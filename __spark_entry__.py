@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()`` — every implemented operator from SURVEY.md §2, keyed by name.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+non-SQL-expressible ops, which get a rows-only check).
+
+All real logic lives in ``eth_event_tracker_spark``; this module is a thin
+adapter over its query registry.
 """
 
 from __future__ import annotations
@@ -15,24 +17,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's core
+    filter semantics in one statement (P-1 address filter + P-2 positional
+    topic with wildcard + S-5 indx assignment + S-8 per-address rollup —
+    tracker.go:62-71, 52-58; postgresql_store.go:111-130)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.operators import filters as OPF
+    from eth_event_tracker_spark.operators import indexing as OPI
+    from eth_event_tracker_spark.tables import address_pool, derived_logs, sig_pool
+
+    logs = derived_logs(spark, "/root/testdata/sf0.001")
+    matched = OPF.topic_filter(OPF.address_filter(logs, address_pool()[:3]), [sig_pool()[0], None])
+    indexed = OPI.assign_indx(matched)
+    return indexed.groupBy("address").agg(
+        F.count("*").alias("n_logs"),
+        F.max("indx").alias("max_indx"),
+        F.min("block_num").alias("first_block"),
+        F.max("block_num").alias("last_block"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from eth_event_tracker_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from eth_event_tracker_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,60 @@
+"""Query registry: every driver-verified query lives here.
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string (or None for ops that are not
+SQL-expressible — the driver then records a weaker rows-only check).
+
+Column names are aliased identically on both sides: the driver sorts
+columns by name before hashing values, so names must match exactly.
+Float determinism convention: any SUM over doubles goes through
+CAST(x AS DECIMAL(18,4)) then back to DOUBLE, making the aggregate
+order-independent and bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    from . import chain, relational, streams, llmdata  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,358 @@
+"""Chain-semantics queries (SURVEY §2 Part A) over the derived logs /
+blocks / kv tables — each one a driver-verified twin of a reference
+operator, cited per-function."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import filters as OPF
+from ..operators import indexing as OPI
+from ..tables import (
+    FORK_DEPTH,
+    KV_CTE_DUCKDB,
+    LOGS_CTE_DUCKDB,
+    address_pool,
+    blocks_cte_duckdb,
+    derived_blocks,
+    derived_kv,
+    derived_logs,
+    sig_pool,
+    topic1_pool,
+)
+from . import register
+
+_ADDRS = address_pool()
+_SIGS = sig_pool()
+_T1S = topic1_pool()
+
+_DEC = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _sum_dec(col: str = "value"):
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# P-1 — address filter (tracker.go:62-71; server-side pushdown in the ref,
+# parquet predicate pushdown here)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_address_filter",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT address, COUNT(*) AS n_logs, {_DEC} AS sum_value
+FROM logs
+WHERE address IN ('{_ADDRS[0]}', '{_ADDRS[1]}')
+GROUP BY address
+""",
+    doc="P-1 address-set filter + per-address rollup (tracker.go:62-71)",
+)
+def logs_address_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    return (
+        OPF.address_filter(logs, _ADDRS[:2])
+        .groupBy("address")
+        .agg(F.count("*").alias("n_logs"), _sum_dec().alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-2 — positional topic filter, exact position 0 (event signature)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_topic_filter",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT topic1, COUNT(*) AS n_logs
+FROM logs
+WHERE topic0 = '{_SIGS[1]}'
+GROUP BY topic1
+""",
+    doc="P-2 positional topic filter, constrained topic0 (tracker.go:52-58)",
+)
+def logs_topic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    return (
+        OPF.topic_filter(logs, [_SIGS[1]])
+        .groupBy("topic1")
+        .agg(F.count("*").alias("n_logs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-2 — wildcard at position 0, constrained position 1
+# (tracker_test.go:136: Topics [nil, T] matches any topic0)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_topic_wildcard",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT COUNT(*) AS n_logs, COUNT(DISTINCT address) AS n_addr, COUNT(DISTINCT topic0) AS n_sigs
+FROM logs
+WHERE topic1 = '{_T1S[3]}'
+""",
+    doc="P-2 wildcard topic0 + constrained topic1 (tracker_test.go:136)",
+)
+def logs_topic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    return OPF.topic_filter(logs, [None, _T1S[3]]).agg(
+        F.count("*").alias("n_logs"),
+        F.countDistinct("address").alias("n_addr"),
+        F.countDistinct(F.element_at("topics", 1)).alias("n_sigs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-5 — monotonic indx assignment (postgresql_store.go:111-130)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_indx_assignment",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS BIGINT) AS indx,
+       block_num, tx_index, log_index, tx_hash
+FROM logs
+""",
+    doc="S-5 ordered indx via row_number over the canonical key",
+)
+def logs_indx_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    return OPI.assign_indx(logs).select("indx", "block_num", "tx_index", "log_index", "tx_hash")
+
+
+# ---------------------------------------------------------------------------
+# S-8 — LastIndex as max aggregate (bolt_store.go:132-144, pg :98-107)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_last_index",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT COUNT(*) AS last_index FROM logs
+""",
+    doc="S-8 LastIndex = 1 + max(indx) = count for a dense sequence",
+)
+def logs_last_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = OPI.assign_indx(derived_logs(spark, sf_dir))
+    return OPI.last_index(logs)
+
+
+# ---------------------------------------------------------------------------
+# S-7 — point lookup by indx (store/store.go:34-35)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_point_lookup",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+numbered AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS BIGINT) AS indx, *
+  FROM logs
+)
+SELECT indx, block_num, tx_index, log_index, tx_hash, address
+FROM numbered WHERE indx = 123
+""",
+    doc="S-7 GetLog(123)",
+)
+def logs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = OPI.assign_indx(derived_logs(spark, sf_dir))
+    return OPI.point_lookup(logs, 123).select(
+        "indx", "block_num", "tx_index", "log_index", "tx_hash", "address"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-2/A-3 — reorg rollback set: block_num > n OR (== n AND hash mismatch),
+# emitted oldest-first (tracker.go:717-761)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_tail_truncate",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+m AS (SELECT MAX(block_num) - 2 AS n FROM logs)
+SELECT block_num, tx_index, log_index, tx_hash, block_hash
+FROM logs, m
+WHERE block_num > m.n
+   OR (block_num = m.n AND block_hash <> '0x' || sha256('blkfork' || CAST(m.n AS STRING)))
+""",
+    doc="A-2 removeLogs predicate incl. same-height hash mismatch (tracker.go:734-740)",
+)
+def logs_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    logs = logs.withColumn("_n", F.max("block_num").over(Window.partitionBy()) - 2)
+    fork_hash_at_n = F.concat(F.lit("0x"), F.sha2(F.concat(F.lit("blkfork"), F.col("_n").cast("string")), 256))
+    pred = (F.col("block_num") > F.col("_n")) | (
+        (F.col("block_num") == F.col("_n")) & (F.col("block_hash") != fork_hash_at_n)
+    )
+    return logs.where(pred).select("block_num", "tx_index", "log_index", "tx_hash", "block_hash")
+
+
+# ---------------------------------------------------------------------------
+# O-3 — checkpoint resume: scan strictly above lastBlock (tracker.go:611-666)
+# ---------------------------------------------------------------------------
+@register(
+    "checkpoint_resume",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+m AS (SELECT MAX(block_num) - 5 AS last_block FROM logs)
+SELECT COUNT(*) AS n_logs, MIN(block_num) AS first_block, MAX(block_num) AS last_block
+FROM logs, m
+WHERE block_num > m.last_block
+""",
+    doc="O-3 resume from checkpoint: block_num > lastBlock only",
+)
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    logs = logs.withColumn("_last", F.max("block_num").over(Window.partitionBy()) - 5)
+    return (
+        logs.where(F.col("block_num") > F.col("_last"))
+        .agg(
+            F.count("*").alias("n_logs"),
+            F.min("block_num").alias("first_block"),
+            F.max("block_num").alias("last_block"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-10 — KV prefix scan (store/store.go:10-11, pg LIKE 'p%')
+# ---------------------------------------------------------------------------
+@register(
+    "kv_prefix_scan",
+    f"""
+WITH kv AS ({KV_CTE_DUCKDB})
+SELECT key, val FROM kv WHERE key LIKE 'filter\\_%' ESCAPE '\\'
+""",
+    doc="S-10 ListPrefix('filter_')",
+)
+def kv_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kv = derived_kv(spark, sf_dir)
+    return OPF.kv_prefix_scan(kv, "filter_").select("key", "val")
+
+
+# ---------------------------------------------------------------------------
+# Reorg block diff via EXCEPT: which blocks does the fork retract / add?
+# (the add/remove diff the blocktracker computes; SURVEY §2 Part B set ops)
+# ---------------------------------------------------------------------------
+@register(
+    "reorg_diff_except",
+    f"""
+WITH canon AS ({blocks_cte_duckdb(fork=False)}),
+     fork AS ({blocks_cte_duckdb(fork=True)}),
+removed AS (
+  SELECT 'remove' AS change_type, block_num, block_hash FROM
+    (SELECT block_num, block_hash FROM canon EXCEPT SELECT block_num, block_hash FROM fork)
+),
+added AS (
+  SELECT 'add' AS change_type, block_num, block_hash FROM
+    (SELECT block_num, block_hash FROM fork EXCEPT SELECT block_num, block_hash FROM canon)
+)
+SELECT * FROM removed UNION ALL SELECT * FROM added
+""",
+    doc="reorg diff = exceptAll on (block_num, block_hash) both directions",
+)
+def reorg_diff_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = derived_blocks(spark, sf_dir, fork=False).select("block_num", "block_hash")
+    fork = derived_blocks(spark, sf_dir, fork=True).select("block_num", "block_hash")
+    removed = canon.exceptAll(fork).withColumn("change_type", F.lit("remove"))
+    added = fork.exceptAll(canon).withColumn("change_type", F.lit("add"))
+    return removed.unionByName(added).select("change_type", "block_num", "block_hash")
+
+
+# ---------------------------------------------------------------------------
+# A-1 — common-ancestor: highest height where canonical and fork agree
+# (findAncestor, tracker.go:291-314; relational form of the parent walk)
+# ---------------------------------------------------------------------------
+@register(
+    "ancestor_walk",
+    f"""
+WITH canon AS ({blocks_cte_duckdb(fork=False)}),
+     fork AS ({blocks_cte_duckdb(fork=True)})
+SELECT MAX(c.block_num) AS ancestor
+FROM canon c JOIN fork f
+  ON c.block_num = f.block_num AND c.block_hash = f.block_hash
+""",
+    doc="A-1 findAncestor as equi-join + max (tracker.go:291-314)",
+)
+def ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = derived_blocks(spark, sf_dir, fork=False)
+    fork = derived_blocks(spark, sf_dir, fork=True).select(
+        F.col("block_num").alias("f_num"), F.col("block_hash").alias("f_hash")
+    )
+    j = canon.join(fork, (canon.block_num == fork.f_num) & (canon.block_hash == fork.f_hash))
+    return j.agg(F.max("block_num").alias("ancestor"))
+
+
+# ---------------------------------------------------------------------------
+# A-4 — changelog assembly in batch form: removed tail logs + added blocks,
+# one row per (change_type, block), with per-block log counts
+# (doFilter, tracker.go:786-829)
+# ---------------------------------------------------------------------------
+@register(
+    "changelog_assembly",
+    f"""
+WITH canon AS ({blocks_cte_duckdb(fork=False)}),
+     fork AS ({blocks_cte_duckdb(fork=True)}),
+     logs AS ({LOGS_CTE_DUCKDB}),
+diff AS (
+  SELECT 'remove' AS change_type, block_num, block_hash FROM
+    (SELECT block_num, block_hash FROM canon EXCEPT SELECT block_num, block_hash FROM fork)
+  UNION ALL
+  SELECT 'add' AS change_type, block_num, block_hash FROM
+    (SELECT block_num, block_hash FROM fork EXCEPT SELECT block_num, block_hash FROM canon)
+)
+SELECT d.change_type, d.block_num, d.block_hash, COUNT(l.tx_hash) AS n_logs
+FROM diff d LEFT JOIN logs l ON l.block_num = d.block_num
+GROUP BY d.change_type, d.block_num, d.block_hash
+""",
+    doc="A-4 Event{Added,Removed} assembly as a batch diff+join (tracker.go:786-829)",
+)
+def changelog_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    diff = reorg_diff_except(spark, sf_dir)
+    logs = derived_logs(spark, sf_dir).select(F.col("block_num").alias("l_num"), "tx_hash")
+    return (
+        diff.join(logs, diff.block_num == logs.l_num, "left")
+        .groupBy("change_type", "block_num", "block_hash")
+        .agg(F.count("tx_hash").alias("n_logs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-1 / F-group — hex & binary scalar functions: little-endian uint decode
+# of the ABI payload (README.md:101-102 consumer pattern), sha-256
+# fingerprinting (buildHash recipe, tracker.go:47-60)
+# ---------------------------------------------------------------------------
+def _le48_duck(col: str) -> str:
+    """DuckDB: little-endian uint48 from first 12 hex chars of col —
+    reverse the 6 bytes then hex→bigint by digit arithmetic."""
+    rev = " || ".join(f"substr({col}, {2 * i + 1}, 2)" for i in reversed(range(6)))
+    h = f"({rev})"
+    terms = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({h}, {p + 1}, 1)) - 1 AS BIGINT) * {16 ** (11 - p)}"
+        for p in range(12)
+    )
+    return f"({terms})"
+
+
+@register(
+    "hex_scalar_funcs",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB})
+SELECT tx_hash,
+       {_le48_duck('data_hex')} AS data_le48,
+       sha256(tx_hash || CAST(block_num AS STRING)) AS row_fingerprint,
+       upper(substr(data_hex, 1, 8)) AS data_head_hex
+FROM logs
+WHERE block_num < 20
+""",
+    doc="U-1 hex/LE-uint decode + sha-256 fingerprint (README.md:101-102, tracker.go:47-60)",
+)
+def hex_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir).where(F.col("block_num") < 20)
+    rev = F.concat(*[F.substring("data_hex", 2 * i + 1, 2) for i in reversed(range(6))])
+    return logs.select(
+        "tx_hash",
+        F.conv(rev, 16, 10).cast("long").alias("data_le48"),
+        F.sha2(F.concat(F.col("tx_hash"), F.col("block_num").cast("string")), 256).alias("row_fingerprint"),
+        F.upper(F.substring("data_hex", 1, 8)).alias("data_head_hex"),
+    )

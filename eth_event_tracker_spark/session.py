@@ -1,0 +1,47 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter at cluster scale too (AQE, shuffle partitioning, Arrow) — partition
+sizing is expressed in bytes/ratios rather than absolute counts so the same
+plan survives a 1000-executor deployment reading ~100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Scale notes:
+    - AQE on: runtime partition coalescing + skew-join splitting replace any
+      hand-tuned static partition counts at 100 TB.
+    - ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on a
+      real cluster set it ~2-3x total cores and let AQE coalesce.
+    - Arrow on: every Pandas UDF / mapInPandas transfer is columnar.
+    - Session timezone pinned to UTC so timestamp semantics match the
+      DuckDB oracle and are cluster-locale-independent.
+    """
+    master = os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp — read as long, tables.load_table converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    return builder.getOrCreate()
