@@ -1,2 +1,381 @@
-"""Relational surface over the TPC-H-ish fixtures (SURVEY §2 Part B):
-joins, aggregations, windows, set ops, sort/limit. Filled in Phase 1."""
+"""Relational surface over the TPC-H-ish fixtures (SURVEY §2 Part B).
+
+The reference has no SQL engine; these queries are the standard
+relational-operator categories our engine must expose over tracked tables
+(joins incl. broadcast/semi/anti, hash aggregations, grouping sets,
+windows, sort/limit top-k, set ops, pivot) — all pure Catalyst plans.
+
+Scale discipline (100 TB):
+- dims (region/nation/supplier/part) are broadcast — no shuffle of the
+  fact side for those joins;
+- aggregates are partial+final (map-side combine) by construction;
+- top-k is orderBy+limit → TakeOrdered (no global sort materialization);
+- every SUM over doubles goes through DECIMAL(18,4) for engine-portable
+  determinism (see queries/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+_DEC = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _sum_dec(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double")
+
+
+def _revenue():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+_REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 — pricing summary: the canonical hash-agg with partial combine
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_DEC.format(x='l_quantity')} AS sum_qty,
+       {_DEC.format(x='l_extendedprice')} AS sum_base_price,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+       {_DEC.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary (hash agg, map-side partials)",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_dec("l_quantity").alias("sum_qty"),
+        _sum_dec("l_extendedprice").alias("sum_base_price"),
+        F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+        (_sum_dec("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 — shipping priority: fact-fact join + top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT l.l_orderkey AS l_orderkey,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       o.o_orderdate AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shipping priority (join + agg + TakeOrdered top-k)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-01-01"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-01-01"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join chain: region ⋈ nation ⋈ customer ⋈ orders
+# ---------------------------------------------------------------------------
+@register(
+    "join_broadcast_dims",
+    """
+SELECT r.r_name AS region, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY r.r_name
+""",
+    doc="star join with explicit broadcast of region/nation/customer dims — zero fact shuffle pre-agg",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # broadcast the dim chain: at 100 TB the orders fact never shuffles for
+    # these joins — each task streams facts against an in-memory dim map
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+            F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+        ).select("c_custkey", "r_name")
+    )
+    return (
+        o.join(dims, o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sum_dec("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (reorg-diff style membership tests at relational scale)
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_anti",
+    """
+SELECT 'with_orders' AS cohort, COUNT(*) AS n_customers
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS cohort, COUNT(*) AS n_customers
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left-semi + left-anti join cohorts",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(F.count("*").alias("n_customers")).withColumn("cohort", F.lit("with_orders"))
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(F.count("*").alias("n_customers")).withColumn("cohort", F.lit("without_orders"))
+    return semi.unionByName(anti).select("cohort", "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: ROLLUP over region/nation
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rollup",
+    """
+SELECT n.n_name AS nation, r.r_name AS region,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    doc="ROLLUP grouping sets (region, nation) — built-in partial agg per set",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), _sum_dec("c_acctbal").alias("sum_acctbal"))
+        .select("nation", "region", "n_customers", "sum_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over order status/priority
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE grouping sets",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Window: top-3 orders per customer (the indx-assignment pattern generalized)
+# ---------------------------------------------------------------------------
+@register(
+    "window_topk_per_group",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+    doc="per-group top-k via row_number window (partitioned — scales by key)",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window: running sum + lag per customer over order history
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_sum",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+""",
+    doc="running aggregate + lag (the parent-hash chain-check pattern, tracker.go:291-314)",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global top-k: ORDER BY ... LIMIT — TakeOrdered, the S-8 pattern writ large
+# ---------------------------------------------------------------------------
+@register(
+    "sort_limit_topk",
+    """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+    doc="S-8 ORDER BY DESC LIMIT k ≡ TakeOrdered (no global sort, per-partition heaps)",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops: INTERSECT / EXCEPT with distinct semantics
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customers",
+    """
+SELECT 'building_with_bigorder' AS cohort, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+UNION ALL
+SELECT 'building_without_bigorder' AS cohort, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+)
+""",
+    doc="intersect/except distinct set ops",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    a = c.intersect(o).agg(F.count("*").alias("n")).withColumn("cohort", F.lit("building_with_bigorder"))
+    b = c.exceptAll(o.distinct()).distinct().agg(F.count("*").alias("n")).withColumn("cohort", F.lit("building_without_bigorder"))
+    return a.unionByName(b).select("cohort", "n")
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (exact) — address-cardinality style
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_counts",
+    """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+    doc="multi distinct-count (expand + partial agg)",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approx distinct (HLL) — the 100 TB path for address cardinality; no SQL
+# oracle (approx), driver records rows-only
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_parts",
+    None,
+    doc="approx_count_distinct (HyperLogLog++) — constant memory at any scale",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_n_parts"),
+        F.countDistinct("l_partkey").alias("exact_n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: orderstatus × orderpriority counts
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_orderstatus",
+    """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    doc="pivot with explicit value list (no extra pass to discover values)",
+)
+def pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )

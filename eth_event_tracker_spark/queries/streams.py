@@ -1,2 +1,225 @@
-"""Event-stream analytics queries (time windows, sessionization, dedup)
-over the `events` fixture. Filled in Phase 1."""
+"""Event-stream analytics in batch form over the `events` fixture —
+time windows (tumbling/sliding/session), deterministic dedup, JSON
+extraction, and the depth-based finality split that is the chain engine's
+watermark analogue (tracker.go:33-35: only the last MaxBlockBacklog=10
+blocks are reorg-mutable).
+
+These are the batch twins of the Structured Streaming operators in
+``eth_event_tracker_spark.streaming`` — same expressions, so the streaming
+path (readStream → window/watermark → sink) computes identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import LOGS_CTE_DUCKDB, derived_logs, load_table
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window — groupBy(window(ts, 10m)): streaming-identical semantics
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_window",
+    """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="tumbling 10-min window agg (streaming twin: groupBy(window(ts,...)))",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window — 10-min windows every 5 min (each event in exactly 2)
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_window",
+    """
+SELECT ws AS window_start, COUNT(*) AS n_events
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - (o * INTERVAL '5 minutes') AS ws
+  FROM events, (VALUES (0), (1)) AS offs(o)
+)
+GROUP BY ws
+""",
+    doc="sliding window 10m/5m",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window — 30-min gap per user (streaming twin: session_window)
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+    doc="session windows, 30-min inactivity gap (gaps-and-islands oracle)",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dedup: first event per (user, type) — keyed, order-defined
+# (dropDuplicates keeps an arbitrary row; production dedup must be
+# deterministic, so we define it via the window. Streaming twin:
+# dropDuplicates on key after watermark.)
+# ---------------------------------------------------------------------------
+@register(
+    "events_dedup_first",
+    """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    doc="keyed dedup keeping the earliest row (deterministic dropDuplicates)",
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("first_ts"), F.col("event_id").alias("first_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (from_json / get_json_object territory)
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="semi-structured JSON column → typed aggregation",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly activity pivot by event type
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_pivot",
+    """
+SELECT date_trunc('hour', ts) AS hour,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signups,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS errors
+FROM events
+GROUP BY 1
+""",
+    doc="date_trunc + pivot with explicit values",
+)
+def events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "hour",
+        F.coalesce("click", F.lit(0)).alias("clicks"),
+        F.coalesce("view", F.lit(0)).alias("views"),
+        F.coalesce("purchase", F.lit(0)).alias("purchases"),
+        F.coalesce("signup", F.lit(0)).alias("signups"),
+        F.coalesce("error", F.lit(0)).alias("errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Depth-based finality split — the chain engine's watermark analogue (O-5):
+# blocks at depth > MaxBlockBacklog(10) are immutable/finalized
+# (tracker.go:33-35,313); only the head window can be rewritten by reorgs.
+# ---------------------------------------------------------------------------
+@register(
+    "logs_finality_split",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+m AS (SELECT MAX(block_num) AS head FROM logs)
+SELECT CASE WHEN block_num <= m.head - 10 THEN 'final' ELSE 'mutable' END AS finality,
+       COUNT(*) AS n_logs,
+       MIN(block_num) AS first_block,
+       MAX(block_num) AS last_block
+FROM logs, m
+GROUP BY 1
+""",
+    doc="O-5 depth-based finality: head-10 boundary splits immutable vs reorg-mutable",
+)
+def logs_finality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    logs = logs.withColumn("_head", F.max("block_num").over(Window.partitionBy()))
+    return (
+        logs.withColumn(
+            "finality",
+            F.when(F.col("block_num") <= F.col("_head") - 10, F.lit("final")).otherwise(F.lit("mutable")),
+        )
+        .groupBy("finality")
+        .agg(
+            F.count("*").alias("n_logs"),
+            F.min("block_num").alias("first_block"),
+            F.max("block_num").alias("last_block"),
+        )
+    )
