@@ -1,0 +1,242 @@
+"""Parquet-backed Store/Entry — the engine's durable ordered log store.
+
+Re-expresses the reference's pluggable store (interfaces at
+store/store.go:6-36; backends inmem/boltdb/postgresql) as a
+Spark-readable parquet layout:
+
+    root/
+      kv.json                       # KV metadata (Get/Set/ListPrefix)
+      entries/<filter_hash>/
+        meta.json                   # {"last_index": N}
+        bucket=<k>/part-*.parquet   # k = indx // bucket_size
+
+Why this layout scales:
+  - ``bucket`` is a hive partition on the *sequence* key, so tail
+    truncation (RemoveLogs(i), the reorg rollback S-6) only rewrites the
+    bucket(s) at/above the boundary — under O-5 depth-bounded reorgs
+    (tracker.go:33-35) that is always the newest bucket, never the 100 TB
+    of finalized history.
+  - Appends write new files; existing files are immutable (object-store
+    friendly, no read-modify-write of data).
+  - The whole entry is directly ``spark.read.parquet``-able with partition
+    pruning on ``bucket`` (and row-group pruning on indx/block_num).
+
+Micro-batch appends go through pyarrow (driver-side, the head path is
+≤ backlog blocks); bulk backfill uses ``append_df`` (distributed Spark
+write).  Both produce the same layout.
+
+Durability contract matches the reference: StoreLogs persists before the
+checkpoint advances (tracker.go:369-382), so a crash between the two
+replays a suffix — dedupable by deterministic (block_hash, log_index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ARROW_LOG_SCHEMA = pa.schema(
+    [
+        ("indx", pa.int64()),
+        ("log_index", pa.int64()),
+        ("tx_index", pa.int64()),
+        ("tx_hash", pa.string()),
+        ("block_num", pa.int64()),
+        ("block_hash", pa.string()),
+        ("address", pa.string()),
+        ("topics", pa.list_(pa.string())),
+        ("data", pa.binary()),
+    ]
+)
+
+_LOG_COLS = [f.name for f in ARROW_LOG_SCHEMA]
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj, sort_keys=True))
+    os.replace(tmp, path)
+
+
+class ParquetStore:
+    """Store (store/store.go:6-21): KV metadata + named entries."""
+
+    def __init__(self, root: str | os.PathLike) -> None:
+        self.root = Path(root)
+        (self.root / "entries").mkdir(parents=True, exist_ok=True)
+        self._kv_path = self.root / "kv.json"
+        self._kv: dict[str, str] = (
+            json.loads(self._kv_path.read_text()) if self._kv_path.exists() else {}
+        )
+
+    # -- KV (Get/Set/ListPrefix, store/store.go:7-14) -----------------------
+    def get(self, key: str) -> str | None:
+        return self._kv.get(key)
+
+    def set(self, key: str, val: str) -> None:
+        self._kv[key] = val
+        _atomic_write_json(self._kv_path, self._kv)
+
+    def list_prefix(self, prefix: str) -> list[tuple[str, str]]:
+        return sorted((k, v) for k, v in self._kv.items() if k.startswith(prefix))
+
+    # -- entries (GetEntry, store/store.go:16-20) ---------------------------
+    def entry(self, filter_hash: str, bucket_size: int = 10_000) -> "ParquetEntry":
+        return ParquetEntry(self.root / "entries" / filter_hash, bucket_size)
+
+
+class ParquetEntry:
+    """Entry (store/store.go:24-36): ordered, append-only, tail-truncatable."""
+
+    def __init__(self, path: Path, bucket_size: int = 10_000) -> None:
+        self.path = Path(path)
+        self.bucket_size = bucket_size
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._meta_path = self.path / "meta.json"
+        self._seq = 0  # next file sequence number, per-process
+        if self._meta_path.exists():
+            self._last_index = json.loads(self._meta_path.read_text())["last_index"]
+        else:
+            self._last_index = self._scan_last_index()
+
+    # -- LastIndex (store/store.go:25-26) -----------------------------------
+    def last_index(self) -> int:
+        """Next index to assign == 1 + max stored (0 when empty)."""
+        return self._last_index
+
+    def _scan_last_index(self) -> int:
+        buckets = self._buckets()
+        if not buckets:
+            return 0
+        mx = -1
+        for f in self._bucket_files(buckets[-1]):
+            t = pq.read_table(f, columns=["indx"])
+            if t.num_rows:
+                mx = max(mx, pa.compute.max(t.column("indx")).as_py())
+        return mx + 1
+
+    def _buckets(self) -> list[int]:
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in self.path.iterdir()
+            if p.is_dir() and p.name.startswith("bucket=")
+        )
+
+    def _bucket_files(self, k: int) -> list[Path]:
+        d = self.path / f"bucket={k}"
+        return sorted(d.glob("*.parquet")) if d.exists() else []
+
+    def _commit_meta(self) -> None:
+        _atomic_write_json(self._meta_path, {"last_index": self._last_index})
+
+    # -- StoreLogs (store/store.go:28-29; append batch, assign indx) --------
+    def store_logs(self, logs: list[dict]) -> list[dict]:
+        """Append raw logs (no indx), assigning consecutive indx starting
+        at last_index — the serialization point the reference implements
+        with LastIndex()+i (postgresql_store.go:111-130). Returns the
+        indexed rows."""
+        if not logs:
+            return []
+        rows = []
+        for i, lg in enumerate(logs):
+            r = dict(lg)
+            r["indx"] = self._last_index + i
+            rows.append(r)
+        by_bucket: dict[int, list[dict]] = {}
+        for r in rows:
+            by_bucket.setdefault(r["indx"] // self.bucket_size, []).append(r)
+        for k, rs in sorted(by_bucket.items()):
+            d = self.path / f"bucket={k}"
+            d.mkdir(exist_ok=True)
+            t = pa.Table.from_pylist(
+                [{c: r.get(c) for c in _LOG_COLS} for r in rs], schema=ARROW_LOG_SCHEMA
+            )
+            pq.write_table(t, d / f"part-{self._last_index:012d}-{self._seq:06d}.parquet")
+            self._seq += 1
+        self._last_index += len(rows)
+        self._commit_meta()
+        return rows
+
+    # -- RemoveLogs (store/store.go:31-32; tail truncation from indx) -------
+    def remove_logs(self, indx: int) -> None:
+        """Delete every log with indx >= ``indx`` (reorg rollback, S-6).
+        Whole buckets above the boundary are dropped; the boundary bucket
+        is rewritten filtered — the only data rewrite a depth-bounded
+        reorg ever does."""
+        if indx >= self._last_index:
+            return
+        boundary = indx // self.bucket_size
+        for k in self._buckets():
+            if k > boundary:
+                shutil.rmtree(self.path / f"bucket={k}")
+            elif k == boundary:
+                files = self._bucket_files(k)
+                kept = []
+                for f in files:
+                    t = pq.read_table(f)
+                    kept.append(t.filter(pa.compute.less(t.column("indx"), indx)))
+                    f.unlink()
+                merged = pa.concat_tables(kept) if kept else None
+                if merged is not None and merged.num_rows:
+                    pq.write_table(
+                        merged.cast(ARROW_LOG_SCHEMA),
+                        self.path / f"bucket={k}" / f"part-rewrite-{indx:012d}.parquet",
+                    )
+                elif (self.path / f"bucket={k}").exists() and not self._bucket_files(k):
+                    shutil.rmtree(self.path / f"bucket={k}")
+        self._last_index = indx
+        self._commit_meta()
+
+    # -- GetLog (store/store.go:34-35; point lookup) ------------------------
+    def get_log(self, indx: int) -> dict | None:
+        for f in self._bucket_files(indx // self.bucket_size):
+            t = pq.read_table(f, filters=[("indx", "=", indx)])
+            if t.num_rows:
+                return t.to_pylist()[0]
+        return None
+
+    # -- distributed access --------------------------------------------------
+    def df(self, spark):
+        """The entry as a Spark DataFrame (partition-pruned on bucket)."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        files = [str(f) for k in self._buckets() for f in self._bucket_files(k)]
+        if not files:
+            from ..schemas import LOG_SCHEMA
+
+            return spark.createDataFrame([], LOG_SCHEMA)
+        return spark.read.parquet(*files).orderBy(F.col("indx"))
+
+    def append_df(self, df) -> int:
+        """Bulk path: append a Spark DataFrame of raw logs (no indx).
+        Distributed write — assigns indx via the scalable two-phase
+        sequence, partitions by bucket, then advances the meta counter.
+        Returns rows appended."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from ..operators.indexing import assign_indx_scalable
+
+        base = self._last_index
+        indexed = assign_indx_scalable(df, base=base).withColumn(
+            "bucket", (F.col("indx") / self.bucket_size).cast("long")
+        )
+        indexed.select(*_LOG_COLS, "bucket").write.mode("append").partitionBy("bucket").parquet(
+            str(self.path)
+        )
+        n = indexed.count()
+        self._last_index = base + n
+        self._commit_meta()
+        return n
+
+    def all_logs(self) -> list[dict]:
+        """Driver-side full read, ordered by indx (test/verification helper)."""
+        out = []
+        for k in self._buckets():
+            for f in self._bucket_files(k):
+                out.extend(pq.read_table(f).to_pylist())
+        return sorted(out, key=lambda r: r["indx"])

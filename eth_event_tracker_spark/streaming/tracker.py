@@ -1,0 +1,253 @@
+"""The tracker — incremental, reorg-aware log sync (the reference's soul,
+tracker.go:561-829) re-expressed as a micro-batch pipeline.
+
+Execution model mapping (SURVEY §3):
+  - ``sync()``       = Sync/BatchSync/syncImpl: fingerprint check, bulk
+                       backfill with AIMD pacing up to head−backlog, then
+                       head catch-up through the reconcile window.
+  - ``poll()``       = the continuous phase: one head observation →
+                       reconcile → apply diff (handleBlockEvnt/doFilter).
+  - checkpoint       = KV ``lastBlock_<filter_hash>`` + persisted head
+                       window (the reference stores only the last block,
+                       tracker.go:237-247; persisting the whole ≤10-block
+                       window makes restart-time reorg repair exact).
+  - events           = returned ChangelogEvent(added, removed) lists; the
+                       durable store is written *before* the checkpoint
+                       advances, exactly like tracker.go:369-382.
+
+Every mutable piece here is O(backlog) driver state; all data-scale work
+(append/truncate/scan) happens in the parquet entry store, readable as a
+Spark DataFrame with partition pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from ..config import KEY_CHAIN_ID, KEY_GENESIS, FilterConfig, key_filter, key_last_block
+from ..reorg import BlockDiff, HeadWindow, ReorgTooDeepError, reconcile
+from ..sources.mock_chain import Header, TooMuchDataError
+from ..store import ParquetStore
+
+
+class FingerprintMismatchError(Exception):
+    """Resuming against a different chain ('bad genesis', tracker.go:410-444)."""
+
+
+@dataclass
+class ChangelogEvent:
+    """Event{Added, Removed []*Log} (tracker.go:841-846). Removed logs are
+    oldest-first (revertLogs, tracker.go:756-761)."""
+
+    added: list[dict] = field(default_factory=list)
+    removed: list[dict] = field(default_factory=list)
+
+
+def _header_to_json(h: Header) -> str:
+    return json.dumps(
+        {"number": h.number, "hash": h.hash, "parent_hash": h.parent_hash}, sort_keys=True
+    )
+
+
+def _header_from_json(s: str) -> Header:
+    d = json.loads(s)
+    return Header(d["number"], d["hash"], d["parent_hash"])
+
+
+class Tracker:
+    def __init__(
+        self,
+        provider,
+        store: ParquetStore,
+        config: FilterConfig | None = None,
+        head_retry: int = 5,  # tracker.go:806-811: 5 × 500 ms
+        head_retry_delay: float = 0.0,  # 0 in tests; 0.5 in production
+    ) -> None:
+        self.provider = provider
+        self.store = store
+        self.config = config or FilterConfig()
+        self.entry = store.entry(self.config.filter_hash)
+        self.window = HeadWindow(max_backlog=self.config.max_block_backlog)
+        self.head_retry = head_retry
+        self.head_retry_delay = head_retry_delay
+        self._batch_size = float(self.config.batch_size)  # AIMD state (C-1)
+        self._setup()
+
+    # -- E1: prepare (setupFilter, tracker.go:177-211) ----------------------
+    def _setup(self) -> None:
+        fkey = key_filter(self.config.filter_hash)
+        if self.store.get(fkey) is None:
+            self.store.set(fkey, self.config.to_json())
+        wkey = f"headWindow_{self.config.filter_hash}"
+        saved = self.store.get(wkey)
+        if saved:
+            self.window.blocks = [_header_from_json(s) for s in json.loads(saved)]
+
+    # -- S-12: fingerprint validation (preSyncCheckImpl, tracker.go:410-444)
+    def pre_sync_check(self) -> None:
+        genesis = self.provider.genesis_hash()
+        chain_id = str(self.provider.chain_id)
+        stored_g, stored_c = self.store.get(KEY_GENESIS), self.store.get(KEY_CHAIN_ID)
+        if stored_g is None:
+            self.store.set(KEY_GENESIS, genesis)
+            self.store.set(KEY_CHAIN_ID, chain_id)
+        elif stored_g != genesis or stored_c != chain_id:
+            raise FingerprintMismatchError("bad genesis/chainID: checkpoint from another chain")
+
+    # -- S-11: checkpoint (storeLastBlock/GetLastBlock, tracker.go:218-247) -
+    def _commit_checkpoint(self, head: Header) -> None:
+        self.store.set(key_last_block(self.config.filter_hash), _header_to_json(head))
+        self.store.set(
+            f"headWindow_{self.config.filter_hash}",
+            json.dumps([_header_to_json(b) for b in self.window.blocks]),
+        )
+
+    def get_last_block(self) -> Header | None:
+        s = self.store.get(key_last_block(self.config.filter_hash))
+        return _header_from_json(s) if s else None
+
+    # -- S-1 + C-1: bulk range scan with AIMD batching (syncBatch,
+    #    tracker.go:338-400) ------------------------------------------------
+    def _sync_batch(self, from_block: int, to_block: int) -> list[ChangelogEvent]:
+        events: list[ChangelogEvent] = []
+        nominal = float(self.config.batch_size)
+        cur = from_block
+        while cur <= to_block:
+            size = max(1, int(self._batch_size))
+            end = min(cur + size - 1, to_block)
+            try:
+                logs = self.provider.get_logs(
+                    cur, end, self.config.addresses, self.config.topics
+                )
+            except TooMuchDataError:
+                # multiplicative decrease (tracker.go:354-358)
+                self._batch_size = max(1.0, self._batch_size / 2)
+                continue
+            stored = self.entry.store_logs(logs)
+            if stored:
+                events.append(ChangelogEvent(added=stored))
+            hdr = self.provider.get_block_by_number(end)
+            if hdr is not None:
+                self._commit_checkpoint(hdr)  # per-batch commit, tracker.go:376-382
+            # additive increase: +10% of nominal, capped (tracker.go:342,391-394)
+            self._batch_size = min(nominal, self._batch_size + nominal / 10)
+            cur = end + 1
+        return events
+
+    # -- S-2 + O-7: fork-exact per-block fetch with retry (tracker.go:797-815)
+    def _logs_by_hash(self, block_hash: str) -> list[dict]:
+        for attempt in range(self.head_retry):
+            logs = self.provider.get_logs_by_hash(
+                block_hash, self.config.addresses, self.config.topics
+            )
+            if logs or attempt == self.head_retry - 1:
+                return logs
+            if self.head_retry_delay:
+                time.sleep(self.head_retry_delay)
+        return []
+
+    # -- A-2/A-3: rollback removed blocks' logs ------------------------------
+    def _rollback(self, removed: list[Header]) -> list[dict]:
+        removed_hashes = {h.hash for h in removed}
+        victims = [r for r in self.entry.all_logs() if r["block_hash"] in removed_hashes]
+        if not victims:
+            return []
+        boundary = min(r["indx"] for r in victims)
+        self.entry.remove_logs(boundary)
+        return victims  # already oldest-first (all_logs is indx-ordered)
+
+    # -- A-4: apply one block diff (doFilter, tracker.go:786-829) -----------
+    def _apply_diff(self, diff: BlockDiff) -> ChangelogEvent:
+        evnt = ChangelogEvent()
+        if diff.removed:
+            evnt.removed = self._rollback(diff.removed)
+        for hdr in diff.added:
+            logs = self._logs_by_hash(hdr.hash)
+            evnt.added.extend(self.entry.store_logs(logs))
+        if diff.added:
+            self._commit_checkpoint(diff.added[-1])
+        return evnt
+
+    # -- head event handling (handleBlockEvnt, tracker.go:763-784) ----------
+    def handle_head(self, incoming: Header) -> ChangelogEvent | None:
+        diff = reconcile(self.window, incoming, self.provider.get_block_by_hash)
+        if diff.empty:
+            return None
+        return self._apply_diff(diff)
+
+    # -- restart-time reorg repair (tracker.go:627-666) ---------------------
+    def _repair_on_restart(self) -> ChangelogEvent | None:
+        """The stored head window may have forked while we were down: find
+        the highest persisted header still on-chain, roll back everything
+        above it (the golden 'fork inside vs beyond backlog' restart cases,
+        tracker_test.go:277-367)."""
+        if not self.window.blocks:
+            return None
+        keep = -1
+        for i, b in enumerate(self.window.blocks):
+            cur = self.provider.get_block_by_number(b.number)
+            if cur is not None and cur.hash == b.hash:
+                keep = i
+        if keep == len(self.window.blocks) - 1:
+            return None  # checkpoint still canonical
+        if keep < 0:
+            raise ReorgTooDeepError("entire persisted head window forked out")
+        removed_headers = self.window.blocks[keep + 1 :]
+        self.window.blocks = self.window.blocks[: keep + 1]
+        removed = self._rollback(removed_headers)
+        self._commit_checkpoint(self.window.blocks[-1])
+        return ChangelogEvent(removed=removed) if removed else None
+
+    # -- E2: full sync (syncImpl, tracker.go:582-715) -----------------------
+    def sync(self) -> list[ChangelogEvent]:
+        self.pre_sync_check()
+        events: list[ChangelogEvent] = []
+        last = self.get_last_block()
+        if last is not None:
+            repair = self._repair_on_restart()
+            if repair:
+                events.append(repair)
+            origin = self.window.blocks[-1].number + 1 if self.window.blocks else 0
+        else:
+            origin = self.config.start_block  # O-2 skip-scan override
+        target = self.provider.latest()
+        backlog = self.config.max_block_backlog
+        # BULK phase: everything up to head−backlog via range scans (C-2)
+        while target.number - origin > backlog:
+            bulk_end = target.number - backlog
+            events.extend(self._sync_batch(origin, bulk_end))
+            # seed the window at the bulk boundary so head reconcile connects
+            hdr = self.provider.get_block_by_number(bulk_end)
+            self.window.blocks = [hdr]
+            self._commit_checkpoint(hdr)
+            origin = bulk_end + 1
+            target = self.provider.latest()  # head may have moved (tracker.go:683-697)
+        # HEAD phase: remaining ≤ backlog blocks through the reconcile window
+        for n in range(origin, target.number + 1):
+            hdr = self.provider.get_block_by_number(n)
+            if hdr is None:
+                break
+            ev = self.handle_head(hdr)
+            if ev is not None:
+                events.append(ev)
+        return events
+
+    # -- continuous phase: one poll of the head -----------------------------
+    def poll(self) -> list[ChangelogEvent]:
+        target = self.provider.latest()
+        events: list[ChangelogEvent] = []
+        known = self.window.hashes()
+        if target.hash in known:
+            return events
+        start = (self.window.blocks[-1].number + 1) if self.window.blocks else 0
+        start = min(start, target.number)
+        for n in range(start, target.number + 1):
+            hdr = self.provider.get_block_by_number(n)
+            if hdr is None or hdr.hash in known:
+                continue
+            ev = self.handle_head(hdr)
+            if ev is not None:
+                events.append(ev)
+        return events

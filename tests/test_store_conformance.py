@@ -1,0 +1,101 @@
+"""Store conformance — semantic port of the reference's backend-agnostic
+suite (/root/reference/store/testing.go:22-242, run against inmem/bolt/pg):
+KV get/set/update, prefix listing, multi-entry isolation, append/index
+monotonicity, truncate-then-reappend."""
+
+from __future__ import annotations
+
+from eth_event_tracker_spark.sources.mock_chain import mock
+from eth_event_tracker_spark.store import ParquetStore
+
+
+def _logs(tag, n, num):
+    b = mock(tag).num(num)
+    for i in range(n):
+        b.log(f"{tag:x}{i:02x}")
+    return b.logs()
+
+
+def test_kv_set_get_update(tmp_path):
+    s = ParquetStore(tmp_path)
+    assert s.get("k1") is None
+    s.set("k1", "v1")
+    assert s.get("k1") == "v1"
+    s.set("k1", "v2")  # upsert (postgresql_store.go:71-76 ON CONFLICT)
+    assert s.get("k1") == "v2"
+
+
+def test_kv_prefix_listing(tmp_path):
+    s = ParquetStore(tmp_path)
+    for k, v in [("filter_a", "1"), ("filter_b", "2"), ("lastBlock_a", "3"), ("genesis", "4")]:
+        s.set(k, v)
+    got = s.list_prefix("filter_")
+    assert got == [("filter_a", "1"), ("filter_b", "2")]
+    assert s.list_prefix("nope") == []
+
+
+def test_kv_persistence(tmp_path):
+    ParquetStore(tmp_path).set("k", "v")
+    assert ParquetStore(tmp_path).get("k") == "v"
+
+
+def test_entry_append_monotonic(tmp_path):
+    e = ParquetStore(tmp_path).entry("f1")
+    assert e.last_index() == 0
+    e.store_logs(_logs(0x1, 3, 1))
+    assert e.last_index() == 3
+    e.store_logs(_logs(0x2, 2, 2))
+    assert e.last_index() == 5
+    assert [r["indx"] for r in e.all_logs()] == [0, 1, 2, 3, 4]
+
+
+def test_entry_isolation(tmp_path):
+    s = ParquetStore(tmp_path)
+    e1, e2 = s.entry("f1"), s.entry("f2")
+    e1.store_logs(_logs(0x1, 3, 1))
+    e2.store_logs(_logs(0x2, 1, 1))
+    assert e1.last_index() == 3
+    assert e2.last_index() == 1
+    assert len(e1.all_logs()) == 3
+    assert len(e2.all_logs()) == 1
+
+
+def test_entry_truncate_then_reappend(tmp_path):
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)  # force bucket spans
+    e.store_logs(_logs(0x1, 10, 1))
+    e.remove_logs(6)
+    assert e.last_index() == 6
+    assert [r["indx"] for r in e.all_logs()] == list(range(6))
+    e.store_logs(_logs(0x3, 3, 2))
+    assert e.last_index() == 9
+    assert [r["indx"] for r in e.all_logs()] == list(range(9))
+    # truncate to zero
+    e.remove_logs(0)
+    assert e.last_index() == 0
+    assert e.all_logs() == []
+
+
+def test_entry_point_lookup(tmp_path):
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+    e.store_logs(_logs(0x1, 9, 1))
+    r = e.get_log(7)
+    assert r is not None and r["indx"] == 7
+    assert e.get_log(99) is None
+
+
+def test_entry_reopen_recovers_index(tmp_path):
+    s = ParquetStore(tmp_path)
+    s.entry("f1").store_logs(_logs(0x1, 5, 1))
+    # meta intact
+    assert ParquetStore(tmp_path).entry("f1").last_index() == 5
+    # meta lost → rescan from parquet
+    (tmp_path / "entries" / "f1" / "meta.json").unlink()
+    assert ParquetStore(tmp_path).entry("f1").last_index() == 5
+
+
+def test_entry_spark_readable(tmp_path, spark):
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+    e.store_logs(_logs(0x1, 9, 1))
+    df = e.df(spark)
+    assert df.count() == 9
+    assert [r.indx for r in df.select("indx").orderBy("indx").collect()] == list(range(9))

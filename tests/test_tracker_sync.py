@@ -1,0 +1,166 @@
+"""Tracker sync behavior — semantic ports of the reference's mock-scenario
+and randomized tests (tracker_test.go:43-97 polling, :221-275 restarts,
+:369-482 randomized invariants, :760-818 AIMD limit recovery,
+:182-219 fingerprint preflight)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from eth_event_tracker_spark.config import FilterConfig
+from eth_event_tracker_spark.sources.mock_chain import MockProvider
+from eth_event_tracker_spark.store import ParquetStore
+from eth_event_tracker_spark.streaming import FingerprintMismatchError, Tracker
+
+
+def chain_logs(prov):
+    return [lg for b in prov.canonical for lg in b.logs()]
+
+
+def test_polling_sync(tmp_path):
+    """TestPolling (tracker_test.go:43-97): each new block's logs arrive."""
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=2)
+    t = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    t.sync()
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+    # continuous phase: new blocks picked up by poll()
+    prov.advance(3, logs_per_block=1)
+    events = t.poll()
+    assert sum(len(e.added) for e in events) == 3
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+
+
+def test_bulk_sync_long_chain(tmp_path):
+    """Bulk + head split (syncImpl, tracker.go:582-715): chain much longer
+    than the backlog goes through AIMD range scans."""
+    prov = MockProvider()
+    prov.advance(150, logs_per_block=1)
+    t = Tracker(prov, ParquetStore(tmp_path), FilterConfig(batch_size=16))
+    t.sync()
+    rows = t.entry.all_logs()
+    assert len(rows) == 150
+    assert [r["indx"] for r in rows] == list(range(150))
+    assert [r["tx_hash"] for r in rows] == [lg["tx_hash"] for lg in chain_logs(prov)]
+
+
+def test_restart_resume(tmp_path):
+    """TestTrackerSyncerRestarts (tracker_test.go:221-275): stop/start
+    resumes from the checkpoint, no duplicates, both small and large
+    advances."""
+    prov = MockProvider()
+    prov.advance(30, logs_per_block=1)
+    Tracker(prov, ParquetStore(tmp_path), FilterConfig()).sync()
+    # advance less than backlog, restart
+    prov.advance(5, logs_per_block=1)
+    t2 = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    t2.sync()
+    assert [r["tx_hash"] for r in t2.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+    # advance more than backlog, restart
+    prov.advance(40, logs_per_block=1)
+    t3 = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    t3.sync()
+    assert [r["tx_hash"] for r in t3.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+
+
+def test_restart_fork_repair(tmp_path):
+    """testSyncerReconcile (tracker_test.go:277-358): the chain forks while
+    the tracker is down; restart rolls back forked-out logs and resyncs."""
+    prov = MockProvider()
+    prov.advance(30, logs_per_block=1)
+    t1 = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    t1.sync()
+    prov.fork(4, logs_per_block=1)  # reorg last 4 blocks while down
+    t2 = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    events = t2.sync()
+    assert [r["tx_hash"] for r in t2.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+    removed = [r["tx_hash"] for e in events for r in e.removed]
+    assert len(removed) == 4  # the forked-out logs were retracted
+
+
+def test_live_reorg(tmp_path):
+    """Reorg observed while polling: removed logs emitted, store repaired."""
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    t = Tracker(prov, ParquetStore(tmp_path), FilterConfig())
+    t.sync()
+    prov.fork(3, logs_per_block=2)
+    events = t.poll()
+    removed = [r for e in events for r in e.removed]
+    added = [r for e in events for r in e.added]
+    assert len(removed) == 3
+    assert len(added) == 6
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == [lg["tx_hash"] for lg in chain_logs(prov)]
+
+
+def test_aimd_limit_recovery(tmp_path):
+    """TestTooMuchDataRequested (tracker_test.go:760-818): the server cap
+    halves the batch, yet every log is recovered exactly once."""
+    prov = MockProvider(logs_per_query_limit=10)
+    prov.advance(100, logs_per_block=2)
+    t = Tracker(prov, ParquetStore(tmp_path), FilterConfig(batch_size=50))
+    t.sync()
+    rows = t.entry.all_logs()
+    assert len(rows) == 200
+    assert [r["tx_hash"] for r in rows] == [lg["tx_hash"] for lg in chain_logs(prov)]
+    assert t._batch_size < 50  # AIMD actually decreased at some point
+
+
+def test_fingerprint_preflight(tmp_path):
+    """TestPreflight (tracker_test.go:182-219): resuming a store against a
+    different chain fails."""
+    prov1 = MockProvider(chain_id=1)
+    prov1.advance(5)
+    store = ParquetStore(tmp_path)
+    Tracker(prov1, store, FilterConfig()).sync()
+    prov2 = MockProvider(chain_id=2)  # same genesis hash, different chainID
+    prov2.advance(5)
+    with pytest.raises(FingerprintMismatchError):
+        Tracker(prov2, store, FilterConfig()).sync()
+
+
+def test_filter_pushdown(tmp_path):
+    """Filter semantics end-to-end (TestFilterIntegration,
+    tracker_test.go:99-140): address filter selects a strict subset."""
+    prov = MockProvider()
+    prov.advance(10, logs_per_block=2)
+    # all mock logs share one address; filtering on another yields nothing
+    t = Tracker(prov, ParquetStore(tmp_path / "a"), FilterConfig(addresses=("0x" + "bb" * 20,)))
+    t.sync()
+    assert t.entry.all_logs() == []
+    t2 = Tracker(prov, ParquetStore(tmp_path / "b"), FilterConfig(addresses=("0x" + "aa" * 20,)))
+    t2.sync()
+    assert len(t2.entry.all_logs()) == 20
+
+
+def test_randomized_invariants(tmp_path):
+    """TestTrackerSyncerRandom (tracker_test.go:369-482): random sequences
+    of advances and bounded-depth forks; invariants: store == chain logs,
+    window == chain tail, added/removed accounting balances."""
+    rng = random.Random(42)
+    for run in range(8):
+        prov = MockProvider()
+        prov.advance(15, logs_per_block=1)
+        backlog = rng.randint(4, 10)
+        t = Tracker(prov, ParquetStore(tmp_path / f"r{run}"), FilterConfig(max_block_backlog=backlog))
+        t.sync()
+        total_added = len(t.entry.all_logs())
+        total_removed = 0
+        for _ in range(30):
+            if rng.random() < 0.25 and len(prov.canonical) > 5:
+                depth = rng.randint(1, max(1, backlog - 1))
+                prov.fork(depth, logs_per_block=1)
+            else:
+                prov.advance(rng.randint(1, 4), logs_per_block=1)
+            for e in t.poll():
+                total_added += len(e.added)
+                total_removed += len(e.removed)
+        chain = chain_logs(prov)
+        store_rows = t.entry.all_logs()
+        assert [r["tx_hash"] for r in store_rows] == [lg["tx_hash"] for lg in chain]
+        assert [r["indx"] for r in store_rows] == list(range(len(store_rows)))
+        assert total_added - total_removed == len(store_rows)
+        tail = prov.canonical[-backlog:]
+        assert [b.hash for b in t.window.blocks] == [b.hash for b in tail]
