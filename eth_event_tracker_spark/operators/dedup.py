@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+  - exact:   one shuffle on the content hash; map-side nothing to combine,
+             but the hash key is uniform → no skew.
+  - jaccard: exact pairwise verification joins on *shingle* — only docs
+             sharing a shingle ever meet. Still O(sum of bucket²) worst
+             case; at scale it runs AFTER LSH candidate pruning.
+  - minhash: signatures are per-(doc, seed) min-aggregates (map-side
+             combine); LSH banding turns all-pairs into equality joins on
+             band keys — the only quadratic step is within a band bucket,
+             which the band width controls.
+  - simhash: per-doc 64-bit signature; near-dup = Hamming ≤ r, blocked by
+             splitting the signature into (r+1) chunks (pigeonhole: any
+             pair within r shares an exact chunk) → equality joins again.
+
+Every hash here is the engine-portable sha-based hash60, so minhash/LSH
+results are *exactly* reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from .text import normalize, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content hash: keep the smallest id per
+    group. Returns the surviving rows."""
+    h = F.sha2(normalize(F.col(text_col)), 256)
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ threshold.
+
+    Pairs meet through a join on shingle (never a cross join). Pass
+    ``candidates`` (doc_a, doc_b) to restrict verification to an LSH
+    candidate set — the scale path."""
+    sh = word_shingles(df, text_col, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, seed, minhash) for k portable hash permutations."""
+    sh = word_shingles(df, text_col, n, id_col)
+    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+    return (
+        seeded.withColumn("hv", hash60(F.col("shingle"), F.col("seed")))
+        .groupBy(id_col, "seed")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature (band key = joined minhashes of `band_rows`
+    consecutive seeds); docs sharing any band key are candidates."""
+    banded = (
+        sigs.withColumn("band", F.expr(f"seed DIV {band_rows}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    band_rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: shingle → minhash → LSH bands → candidate pairs →
+    exact Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    cands = lsh_candidates(sigs, band_rows, id_col)
+    return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands)
+
+
+def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word shingles: bit b of the signature is the
+    majority vote of bit b across all shingle hashes (here: two 60-bit
+    portable hashes supply 64 usable bits — we use bits 0..59 of seed 0
+    and 0..3 of seed 1)."""
+    sh = word_shingles(df, text_col, n, id_col)
+    h0 = hash60(F.col("shingle"), 0)
+    h1 = hash60(F.col("shingle"), 1)
+    bits = [F.when(h0.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{b}") for b in range(60)]
+    bits += [F.when(h1.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{60 + b}") for b in range(4)]
+    voted = sh.select(id_col, *bits).groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    sig = voted.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i) for i in range(63)),
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked by the
+    pigeonhole principle: split the 64-bit signature into max_hamming+1
+    chunks; any qualifying pair matches exactly on ≥1 chunk."""
+    id_col = kw.get("id_col", "doc_id")
+    sigs = simhash64(df, **kw)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("chunk"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk_id", "ck.chunk")
+    a = chunks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk_id", "chunk")
+    b = chunks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk_id", "chunk")
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+  - ``cosine_topk_exact``   — brute-force exact top-k, expressed with
+    posexplode + decimal-sum dot products.  Deterministic to the bit (the
+    decimal accumulation is order-independent), hence DuckDB-oracle-able.
+    This is the correctness baseline.
+  - ``cosine_topk_pandas``  — the throughput path: Arrow-batched pandas
+    UDF doing the same dot products in numpy (BLAS), still exact math but
+    float-order-dependent → verified by tests against the exact tier, not
+    by the SQL oracle.
+  - ``ann_lsh``             — the 100 TB path: random-hyperplane LSH
+    bucketing (sign bits of portable-hashed hyperplanes), candidates meet
+    through equality joins on bucket keys; recall measured vs brute force.
+
+Scale notes: brute force is O(Q×N×d) — fine for reranking within buckets,
+wrong as a global scan; LSH reduces candidates per query to a bucket.
+A production IVF variant would k-means the corpus and probe nearest
+centroids; the bucketing/join skeleton is identical to ann_lsh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pseudo-random hyperplane component in [-1, 1):
+# portable hash60 of "p:d" scaled — same recipe both engines.
+from ..functions.hashing import hash60
+
+_DEC = "decimal(38,18)"
+
+
+def _norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector L2 norm via decimal-exact sum of squares."""
+    e = df.select(id_col, F.posexplode(vec_col).alias("pos", "x"))
+    prod = (F.col("x").cast("double") * F.col("x").cast("double")).cast(_DEC)
+    return e.groupBy(id_col).agg(F.sqrt(F.sum(prod).cast("double")).alias("norm"))
+
+
+def cosine_topk_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query, bit-deterministic.
+
+    Join on dimension position: each (query, corpus, pos) contributes one
+    decimal product; the sum is order-independent, so the result matches
+    the SQL oracle exactly."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.posexplode(vec_col).alias("pos", "qx"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.posexplode(vec_col).alias("pos", "cx"))
+    prod = (F.col("qx").cast("double") * F.col("cx").cast("double")).cast(_DEC)
+    dots = (
+        q.join(c, "pos")
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(prod).cast("double").alias("dot"))
+    )
+    qn = _norms(queries, id_col, vec_col).select(F.col(id_col).alias("q_id"), F.col("norm").alias("qn"))
+    cn = _norms(corpus, id_col, vec_col).select(F.col(id_col).alias("c_id"), F.col("norm").alias("cn"))
+    scored = (
+        dots.join(F.broadcast(qn), "q_id")
+        .join(F.broadcast(cn), "c_id")
+        .withColumn("cosine", F.col("dot") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        # 9-dp rounding absorbs the ≤1-ulp engine divergence in the final
+        # double division/sqrt chain (sums themselves are decimal-exact)
+        .select("q_id", "c_id", "rank", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput tier: broadcast the query matrix, mapInPandas over the
+    corpus computing per-partition partial top-k, then a tiny global
+    top-k reduce.  Arrow-batched numpy matmul — the shape that saturates
+    executors at scale (corpus never shuffles; only Q×k candidate rows
+    move)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()  # Q is small by contract
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def part(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = q_mat @ c_mat.T  # Q × B
+            top = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            out = {
+                "q_id": np.repeat(ids, top),
+                "c_id": c_ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, 1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        part, schema="q_id long, c_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cosine")
+    )
+
+
+def lsh_bucket(df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH signature: bit p = sign(v · h_p) where
+    h_p[d] = portable_hash60("p:d") scaled to [-1, 1). Pure column
+    expressions — bucketing shuffles once on the bucket key."""
+    dim = len(df.select(vec_col).first()[0])
+    bits = []
+    for p in range(n_planes):
+        comps = [
+            F.element_at(vec_col, d + 1).cast("double") * F.lit(_plane_component(p, d))
+            for d in range(dim)
+        ]
+        dot = sum(comps[1:], start=comps[0])
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = sum(bits[1:], start=bits[0]).cast("long")
+    return df.withColumn("bucket", bucket)
+
+
+def _plane_component(p: int, d: int) -> float:
+    import hashlib
+
+    h = int(hashlib.sha256(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h / float(1 << 60)) * 2.0 - 1.0
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank restricted to same-bucket
+    candidates (equality join on the LSH bucket — never a cross join).
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance
+    1 from the query's bucket (flip each plane bit) — the standard
+    recall/cost knob: candidates grow ~(n_planes+1)×, still equality
+    joins, no extra shuffle of the corpus."""
+    qb = lsh_bucket(queries, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    cb = lsh_bucket(corpus, n_planes, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    cand = qb.join(cb, "bucket").where(F.col("q_id") != F.col("c_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.transform("cv", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", dot / (nq * nc))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cosine")
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+normalization, shingling, token counting, quality scoring, language ID,
+and document fingerprinting.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) — no Python UDFs.  Shingling explodes to
+O(words_per_doc) rows; at 100 TB that is an embarrassingly parallel map +
+the downstream groupBys shuffle on (doc_id) / (shingle), both well-keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny and hard-coded: the operator contract is
+# "deterministic heuristic", not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "pour", "que", "dans"),
+}
+
+PUNCT_RE = r"[^\w\s]"
+BPE_ISH_TOKEN_RE = r"\w+|[^\w\s]"  # word pieces + standalone punctuation
+
+
+def normalize(col: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form every dedup /
+    fingerprint operator keys on."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def words(col: Column) -> Column:
+    return F.split(normalize(col), " ")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle)."""
+    ws = words(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (words and
+    punctuation as separate tokens)."""
+    return df.withColumn("n_ws_tokens", F.size(words(F.col(text_col)))).withColumn(
+        "n_bpe_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_TOKEN_RE), 0))
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, word stats, punctuation density,
+    stopword ratio (en list) — the standard pre-training quality filters."""
+    t = F.col(text_col)
+    ws = words(t)
+    en = list(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(en)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.size(ws).alias("n_words"),
+        (F.length(F.array_join(ws, "")) / F.size(ws)).alias("avg_word_len"),
+        (n_stop / F.size(ws)).alias("stopword_ratio"),
+        (n_punct / F.length(t)).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: score each language by stopword matches,
+    predict the argmax (ties broken by language code order)."""
+    ws = words(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(ws, lambda w: w.isin(list(sw)))).alias("score"),
+            F.lit(code).alias("lang"),
+        )
+        for code, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    # argmax: sort (score asc, lang desc-by-construction) and take last max
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].cast("long").alias("pred_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+    """Document fingerprint: sha-256 of the normalized text (exact
+    identity) + the k smallest shingle hashes joined (robust identity —
+    equal for near-identical docs; the min-k sketch is the rolling-hash
+    winnowing analogue)."""
+    sh = word_shingles(df, text_col)
+    sketch = (
+        sh.withColumn("hv", hash60(F.col("shingle"), 0))
+        .groupBy("doc_id")
+        .agg(F.array_join(F.slice(F.array_sort(F.collect_set("hv")), 1, k), ",").alias("sketch_minhash"))
+    )
+    exact = df.select("doc_id", F.sha2(normalize(F.col(text_col)), 256).alias("sha_norm"))
+    return exact.join(sketch, "doc_id", "left")

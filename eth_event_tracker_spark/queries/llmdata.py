@@ -1,2 +1,321 @@
-"""LLM-data-pipeline queries (dedup, similarity search, text analysis)
-over `documents` / `embeddings`. Filled in Phase 4."""
+"""LLM-training-data pipeline queries over documents/embeddings: dedup
+(exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search, text
+analysis.  Everything hash-based uses the engine-portable hash60, so even
+MinHash+LSH is *exactly* verified against the DuckDB oracle — the
+probabilistic operators are not exempt from the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_digitsum_expr, duck_sha15_expr
+from ..operators import dedup as OPD
+from ..operators import similarity as OPS
+from ..operators import text as OPT
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (twin definitions of operators/text.py)
+# ---------------------------------------------------------------------------
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_WORDS_CTE = f"""
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
+"""
+
+_SHINGLES_CTE = f"""
+{_WORDS_CTE},
+wi AS (SELECT doc_id, words, unnest(generate_series(0, greatest(len(words) - 3, 0))) AS i FROM w),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i+1:i+3], ' ') AS shingle
+       FROM wi WHERE array_to_string(words[i+1:i+3], ' ') <> '')
+"""
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  {cand_join}
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    f"""
+WITH {_WORDS_CTE}
+SELECT d.doc_id,
+       len(w.words) AS n_ws_tokens,
+       len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+""",
+    doc="token counting: whitespace + BPE-ish regex tokens",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.token_counts(docs).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+_STOP_EN_SQL = ", ".join(f"'{s}'" for s in OPT.LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_quality_scores",
+    f"""
+WITH {_WORDS_CTE}
+SELECT d.doc_id,
+       length(d.text) AS n_chars,
+       len(w.words) AS n_words,
+       length(array_to_string(w.words, '')) / len(w.words) AS avg_word_len,
+       len(list_filter(w.words, x -> x IN ({_STOP_EN_SQL}))) / len(w.words) AS stopword_ratio,
+       len(regexp_extract_all(d.text, '[^\\w\\s]')) / length(d.text) AS punct_ratio
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+""",
+    doc="quality scoring: length / word stats / stopword + punctuation ratios",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.quality_scores(docs).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+    )
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"  {{'score': len(list_filter(words, x -> x IN ({', '.join(repr(s) for s in sw)}))), 'lang': '{code}'}}"
+    for code, sw in sorted(OPT.LANG_STOPWORDS.items())
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH {_WORDS_CTE},
+scored AS (
+  SELECT doc_id, unnest([
+{_LANG_SCORES_SQL}
+  ]) AS s
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, s.lang AS pred_lang, s.score AS pred_score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.score DESC, s.lang DESC) AS rn
+  FROM scored
+)
+SELECT doc_id, pred_lang, CAST(pred_score AS BIGINT) AS pred_score
+FROM ranked WHERE rn = 1
+""",
+    doc="language-ID heuristic: stopword-hit argmax per language",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.lang_id(docs)
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+WITH {_SHINGLES_CTE},
+hashed AS (SELECT doc_id, {duck_sha15_expr("shingle", "0")} AS h FROM sh),
+vals AS (SELECT DISTINCT doc_id, {duck_digitsum_expr("h")} AS hv FROM hashed),
+sketch AS (
+  SELECT doc_id,
+         array_to_string(list_transform(list_sort(list(hv))[1:4], x -> CAST(x AS STRING)), ',') AS sketch_minhash
+  FROM vals GROUP BY doc_id
+)
+SELECT d.doc_id, sha256({_NORM}) AS sha_norm, s.sketch_minhash
+FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
+""",
+    doc="document fingerprinting: sha-256 exact + min-k shingle-hash sketch",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (SELECT doc_id, sha256({_NORM}) AS content_hash FROM corpus)
+SELECT MIN(doc_id) AS kept_id, COUNT(*) AS n_copies
+FROM hashed GROUP BY content_hash HAVING COUNT(*) > 1
+""",
+    doc="exact dedup via normalized-content hash groupBy (injected duplicates)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    return (
+        corpus.withColumn("content_hash", F.sha2(OPT.normalize(F.col("text")), 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("kept_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE},
+{_JACCARD_TAIL.format(cand_join="")}
+""",
+    doc="exact word-3-gram Jaccard near-dup pairs (threshold 0.8); pairs meet via shingle join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPD.jaccard_pairs(docs, threshold=0.8)
+
+
+_MINHASH_CAND_CTE = f"""
+seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh),
+hashed2 AS (SELECT doc_id, seed, {duck_sha15_expr("shingle", "seed")} AS h FROM seeded),
+vals2 AS (SELECT doc_id, seed, {duck_digitsum_expr("h")} AS hv FROM hashed2),
+sigs AS (SELECT doc_id, seed, MIN(hv) AS minhash FROM vals2 GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band,
+         string_agg(CAST(minhash AS STRING), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_CAND_CTE},
+{_JACCARD_TAIL.format(cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id")}
+""",
+    doc="MinHash(16)+LSH(4×4 bands) candidates → exact Jaccard verify ≥0.8 — fully oracle-checked",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPD.minhash_lsh_dedup(docs, threshold=0.8, k=16, band_rows=4)
+
+
+@register(
+    "dedup_simhash",
+    None,  # 64-bit majority-vote signature is not reasonably SQL-expressible
+    doc="SimHash-64 near-dups (Hamming ≤ 6, pigeonhole-blocked); verified in pytest vs Jaccard ground truth",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPD.simhash_near_dups(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_COSINE_ORACLE = """
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
+qi AS (SELECT q_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM q),
+qe AS (SELECT q_id, pos, CAST(embedding[pos] AS DOUBLE) AS qx FROM qi),
+ci AS (SELECT c_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM c),
+ce AS (SELECT c_id, pos, CAST(embedding[pos] AS DOUBLE) AS cx FROM ci),
+dots AS (
+  SELECT q_id, c_id, CAST(SUM(CAST(qx * cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM qe JOIN ce USING (pos) GROUP BY q_id, c_id
+),
+qn AS (SELECT q_id, sqrt(CAST(SUM(CAST(qx * qx AS DECIMAL(38,18))) AS DOUBLE)) AS qn FROM qe GROUP BY q_id),
+cn AS (SELECT c_id, sqrt(CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE)) AS cn FROM ce GROUP BY c_id),
+scored AS (
+  SELECT d.q_id, d.c_id, d.dot / (qn.qn * cn.cn) AS cosine
+  FROM dots d JOIN qn ON qn.q_id = d.q_id JOIN cn ON cn.c_id = d.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, rank, round(cosine, 9) AS cosine FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    _COSINE_ORACLE,
+    doc="brute-force cosine top-5 (bit-deterministic decimal dot products) — correctness baseline",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return OPS.cosine_topk_exact(queries, corpus, k=5)
+
+
+@register(
+    "embedding_cosine_topk_fast",
+    None,  # float accumulation order differs from SQL — verified vs exact tier in pytest
+    doc="Arrow/numpy mapInPandas cosine top-5 — the throughput tier (corpus never shuffles)",
+)
+def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return OPS.cosine_topk_pandas(queries, corpus, k=5)
+
+
+@register(
+    "embedding_ann_lsh",
+    None,  # approximate by design — recall vs brute force asserted in pytest
+    doc="random-hyperplane LSH bucketed ANN top-5 — the 100 TB scale path (equality join on bucket)",
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return OPS.ann_lsh_topk(queries, corpus, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no image/audio libs in container)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    None,  # binary synthesis + mapInPandas stub: schema/plumbing is the contract
+    doc="multimodal binary column plumbing: synth payloads → mapInPandas feature extraction (decode stubbed)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features, synth_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synth_assets(docs)
+    return extract_features(assets)
