@@ -25,6 +25,13 @@ def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: 
     - Session timezone pinned to UTC so timestamp semantics match the
       DuckDB oracle and are cluster-locale-independent.
     """
+    # make the package importable inside executor Python workers (needed by
+    # the custom data source class, which tasks unpickle by module path)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+
     master = os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     builder = (

@@ -86,16 +86,28 @@ class ParquetStore:
         return sorted((k, v) for k, v in self._kv.items() if k.startswith(prefix))
 
     # -- entries (GetEntry, store/store.go:16-20) ---------------------------
-    def entry(self, filter_hash: str, bucket_size: int = 10_000) -> "ParquetEntry":
-        return ParquetEntry(self.root / "entries" / filter_hash, bucket_size)
+    def entry(
+        self, filter_hash: str, bucket_size: int = 10_000, schema: pa.Schema | None = None
+    ) -> "ParquetEntry":
+        return ParquetEntry(self.root / "entries" / filter_hash, bucket_size, schema)
+
+    def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "ParquetEntry":
+        """Entry extended with a change_type column — the durable changelog
+        stream (Event{Added,Removed} rows, tracker.go:841-846)."""
+        schema = ARROW_LOG_SCHEMA.append(pa.field("change_type", pa.string()))
+        return self.entry("changelog_" + filter_hash, bucket_size, schema)
 
 
 class ParquetEntry:
     """Entry (store/store.go:24-36): ordered, append-only, tail-truncatable."""
 
-    def __init__(self, path: Path, bucket_size: int = 10_000) -> None:
+    def __init__(
+        self, path: Path, bucket_size: int = 10_000, schema: pa.Schema | None = None
+    ) -> None:
         self.path = Path(path)
         self.bucket_size = bucket_size
+        self.schema = schema if schema is not None else ARROW_LOG_SCHEMA
+        self.columns = [f.name for f in self.schema]
         self.path.mkdir(parents=True, exist_ok=True)
         self._meta_path = self.path / "meta.json"
         self._seq = 0  # next file sequence number, per-process
@@ -154,7 +166,7 @@ class ParquetEntry:
             d = self.path / f"bucket={k}"
             d.mkdir(exist_ok=True)
             t = pa.Table.from_pylist(
-                [{c: r.get(c) for c in _LOG_COLS} for r in rs], schema=ARROW_LOG_SCHEMA
+                [{c: r.get(c) for c in self.columns} for r in rs], schema=self.schema
             )
             pq.write_table(t, d / f"part-{self._last_index:012d}-{self._seq:06d}.parquet")
             self._seq += 1
@@ -184,7 +196,7 @@ class ParquetEntry:
                 merged = pa.concat_tables(kept) if kept else None
                 if merged is not None and merged.num_rows:
                     pq.write_table(
-                        merged.cast(ARROW_LOG_SCHEMA),
+                        merged.cast(self.schema),
                         self.path / f"bucket={k}" / f"part-rewrite-{indx:012d}.parquet",
                     )
                 elif (self.path / f"bucket={k}").exists() and not self._bucket_files(k):

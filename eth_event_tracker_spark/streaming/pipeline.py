@@ -1,0 +1,100 @@
+"""End-to-end streaming ingest pipelines combining the `web3logs` source,
+the parquet entry store, and the changelog model.
+
+Two-channel architecture (mirrors the reference's durable-store +
+event-channel split, SURVEY §1.3):
+
+  1. **Finalized feed** — ``start_finalized_ingest``: readStream from the
+     web3logs source (which never emits a block shallower than
+     finality_depth) → foreachBatch append into the per-filter entry.
+     Exactly-once: Spark's checkpoint serializes batches; the batch append
+     dedups on (block_hash, tx_index, log_index) against a replayed
+     suffix, upgrading the reference's at-least-once commit order
+     (tracker.go:369-382).
+
+  2. **Head changelog** — the Tracker's poll() emits Added/Removed for the
+     mutable window; ``append_changelog`` persists them as
+     (change_type, …) rows, and ``current_view`` reconstructs the live
+     table as adds − removes — the CDF-style view a streaming consumer
+     joins against.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import FilterConfig
+from ..store import ParquetEntry, ParquetStore
+from .tracker import ChangelogEvent
+
+# deterministic natural key of a log row (unique per chain position)
+NATURAL_KEY = ("block_hash", "tx_index", "log_index")
+
+
+def start_finalized_ingest(
+    spark: SparkSession,
+    chain_dir: str,
+    store: ParquetStore,
+    config: FilterConfig,
+    checkpoint_dir: str,
+):
+    """Streaming query: web3logs → idempotent entry append."""
+    from ..sources.web3_source import register
+
+    register(spark)
+    entry = store.entry(config.filter_hash)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # replay guard (exactly-once upgrade): anti-join against already-
+        # stored natural keys, fully distributed; only the key set of the
+        # tail bucket would be needed in a tuned version
+        existing = entry.df(spark).select(*NATURAL_KEY)
+        fresh = batch_df.dropDuplicates(list(NATURAL_KEY)).join(
+            existing, list(NATURAL_KEY), "left_anti"
+        )
+        entry.append_df(fresh)
+
+    reader = (
+        spark.readStream.format("web3logs")
+        .option("chain_dir", chain_dir)
+        .option("addresses", json.dumps(list(config.addresses)))
+        .option("topics", json.dumps(list(config.topics)))
+        .option("start_block", str(config.start_block))
+        .option("max_blocks_per_batch", str(config.batch_size))
+        .option("finality_depth", str(config.max_block_backlog))
+    )
+    return (
+        reader.load()
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def append_changelog(entry: ParquetEntry, event: ChangelogEvent) -> None:
+    """Persist one tracker event as tagged changelog rows (the durable
+    twin of EventCh, tracker.go:841-846). The changelog itself is
+    append-only — retractions are *rows*, never deletes, so consumers can
+    replay history."""
+    rows = []
+    for r in event.added:
+        rows.append({**{k: r[k] for k in r if k != "indx"}, "change_type": "add"})
+    for r in event.removed:
+        rows.append({**{k: r[k] for k in r if k != "indx"}, "change_type": "remove"})
+    if rows:
+        entry.store_logs(rows)
+
+
+def current_view(changelog: DataFrame) -> DataFrame:
+    """Reconstruct the live table from an append-only changelog:
+    rows whose latest change is an 'add' (reorged-out rows have a later
+    'remove'). Keyed on the natural chain position key."""
+    w = Window.partitionBy(*NATURAL_KEY).orderBy(F.desc("indx"))
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("change_type") == "add"))
+        .drop("_rn", "change_type")
+    )

@@ -1,0 +1,72 @@
+"""End-to-end streaming pipeline: web3logs source → foreachBatch entry
+ingest (exactly-once), plus the changelog/current-view model."""
+
+from __future__ import annotations
+
+from eth_event_tracker_spark.config import FilterConfig
+from eth_event_tracker_spark.sources.file_chain import dump_chain
+from eth_event_tracker_spark.sources.mock_chain import MockProvider
+from eth_event_tracker_spark.store import ParquetStore
+from eth_event_tracker_spark.streaming import Tracker
+from eth_event_tracker_spark.streaming.pipeline import (
+    append_changelog,
+    current_view,
+    start_finalized_ingest,
+)
+
+from .test_web3_source import _drain
+
+
+def test_finalized_ingest_exactly_once(spark, tmp_path):
+    prov = MockProvider()
+    prov.advance(40, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+    store = ParquetStore(tmp_path / "store")
+    cfg = FilterConfig(batch_size=15, max_block_backlog=10)
+
+    q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"))
+    _drain(q)
+    entry = store.entry(cfg.filter_hash)
+    rows = entry.all_logs()
+    # finalized only: blocks 0..30 (head 40 − backlog 10)
+    assert max(r["block_num"] for r in rows) == 30
+    assert [r["indx"] for r in rows] == list(range(len(rows)))
+    n1 = len(rows)
+
+    # advance + restart from the same checkpoint: no duplicates, new rows in
+    prov.advance(10, logs_per_block=2)
+    dump_chain(prov, cdir)
+    q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"))
+    _drain(q)
+    rows2 = store.entry(cfg.filter_hash).all_logs()
+    assert len(rows2) > n1
+    keys = [(r["block_hash"], r["tx_index"], r["log_index"]) for r in rows2]
+    assert len(keys) == len(set(keys))
+    assert [r["indx"] for r in rows2] == list(range(len(rows2)))
+
+
+def test_changelog_current_view(spark, tmp_path):
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    store = ParquetStore(tmp_path / "store")
+    t = Tracker(prov, store, FilterConfig())
+    clog = store.changelog_entry(t.config.filter_hash)
+    for e in t.sync():
+        append_changelog(clog, e)
+    prov.fork(3, logs_per_block=1)
+    for e in t.poll():
+        append_changelog(clog, e)
+
+    cdf = clog.df(spark)
+    assert cdf.where("change_type = 'remove'").count() == 3
+    live = current_view(cdf)
+    # the reconstructed view matches the store (the authoritative table)
+    live_keys = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in live.select("block_hash", "tx_index", "log_index").collect()
+    }
+    store_keys = {
+        (r["block_hash"], r["tx_index"], r["log_index"]) for r in t.entry.all_logs()
+    }
+    assert live_keys == store_keys
