@@ -143,11 +143,16 @@ def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "
     portable hashes supply 64 usable bits — we use bits 0..59 of seed 0
     and 0..3 of seed 1)."""
     sh = word_shingles(df, text_col, n, id_col)
-    h0 = hash60(F.col("shingle"), 0)
-    h1 = hash60(F.col("shingle"), 1)
+    # materialize the two sha-hashes ONCE per shingle; the 64 bit-vote
+    # columns then read cheap integer ops off h0/h1 instead of re-running
+    # sha256 per bit (a 60x expression-duplication trap)
+    hashed = sh.select(
+        id_col, hash60(F.col("shingle"), 0).alias("h0"), hash60(F.col("shingle"), 1).alias("h1")
+    )
+    h0, h1 = F.col("h0"), F.col("h1")
     bits = [F.when(h0.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{b}") for b in range(60)]
     bits += [F.when(h1.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{60 + b}") for b in range(4)]
-    voted = sh.select(id_col, *bits).groupBy(id_col).agg(
+    voted = hashed.select(id_col, *bits).groupBy(id_col).agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
     )
     sig = voted.select(

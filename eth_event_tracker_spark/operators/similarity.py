@@ -21,6 +21,8 @@ centroids; the bucketing/join skeleton is identical to ann_lsh.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -87,9 +89,6 @@ def cosine_topk_pandas(
     top-k reduce.  Arrow-batched numpy matmul — the shape that saturates
     executors at scale (corpus never shuffles; only Q×k candidate rows
     move)."""
-    import numpy as np
-    import pandas as pd
-
     spark = queries.sparkSession
     qrows = queries.select(id_col, vec_col).collect()  # Q is small by contract
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -126,19 +125,26 @@ def cosine_topk_pandas(
 
 def lsh_bucket(df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where
-    h_p[d] = portable_hash60("p:d") scaled to [-1, 1). Pure column
-    expressions — bucketing shuffles once on the bucket key."""
+    h_p[d] = sha-derived pseudo-random in [-1, 1) — deterministic across
+    runs and machines.  Computed in an Arrow-batched pandas UDF (one
+    numpy matmul per batch): a column-expression version would be a
+    dim×planes-term codegen blowup, and the matmul is what a 100 TB
+    corpus needs anyway."""
+    from pyspark.sql.functions import pandas_udf
+
     dim = len(df.select(vec_col).first()[0])
-    bits = []
-    for p in range(n_planes):
-        comps = [
-            F.element_at(vec_col, d + 1).cast("double") * F.lit(_plane_component(p, d))
-            for d in range(dim)
-        ]
-        dot = sum(comps[1:], start=comps[0])
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
-    bucket = sum(bits[1:], start=bits[0]).cast("long")
-    return df.withColumn("bucket", bucket)
+    planes = np.array(
+        [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
+    )  # n_planes × dim
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)  # B × dim
+        bits = (m @ planes.T) >= 0  # B × n_planes
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return df.withColumn("bucket", bucket_of(F.col(vec_col)))
 
 
 def _plane_component(p: int, d: int) -> float:

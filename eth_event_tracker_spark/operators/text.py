@@ -40,7 +40,15 @@ def words(col: Column) -> Column:
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle)."""
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    The input is repartitioned on id_col before the explode: fixture-sized
+    corpora arrive as one parquet file (= one task), which would serialize
+    all shingle/hash compute onto a single core; hash-partitioning by doc
+    also lets every downstream per-doc groupBy reuse the partitioning
+    instead of shuffling the exploded (much larger) data."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, F.col(id_col))
     ws = words(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),

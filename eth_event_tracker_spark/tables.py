@@ -64,7 +64,10 @@ def derived_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Column-for-column twin of LOGS_CTE_DUCKDB below — keep in sync.
     """
+    # single-file fixture → one scan task; spread the per-row sha-256
+    # derivation across cores (result is row-wise, partitioning-invariant)
     ev = load_table(spark, sf_dir, "events")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     block_num = F.expr("event_id DIV 5")
     return ev.select(
         block_num.alias("block_num"),
