@@ -356,3 +356,48 @@ def hex_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.concat(F.col("tx_hash"), F.col("block_num").cast("string")), 256).alias("row_fingerprint"),
         F.upper(F.substring("data_hex", 1, 8)).alias("data_head_hex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P-3 / F-group — ABI-style event decode: map topic0 to an event name,
+# extract the counterparty address from topic1 (last 20 bytes of the
+# 32-byte topic), little-endian-decode the amount from the data payload —
+# the consumer pattern of README.md:94-104 as column expressions.
+# ---------------------------------------------------------------------------
+@register(
+    "abi_decode_event",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+decoded AS (
+  SELECT CASE topic0
+           WHEN '{_SIGS[0]}' THEN 'Transfer'
+           WHEN '{_SIGS[1]}' THEN 'Approval'
+           ELSE 'Deposit' END AS event_name,
+         '0x' || substr(topic1, length(topic1) - 39, 40) AS counterparty,
+         {{le48}} AS amount
+  FROM logs
+)
+SELECT event_name, COUNT(*) AS n_events,
+       COUNT(DISTINCT counterparty) AS n_counterparties,
+       CAST(SUM(amount) AS BIGINT) AS total_amount
+FROM decoded GROUP BY event_name
+""".format(le48=_le48_duck("data_hex")),
+    doc="P-3 ABI decode: event-name map, address extraction, LE amount (README.md:94-104)",
+)
+def abi_decode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import le_uint_from_hex
+
+    logs = derived_logs(spark, sf_dir)
+    decoded = logs.select(
+        F.when(F.col("topic0") == _SIGS[0], "Transfer")
+        .when(F.col("topic0") == _SIGS[1], "Approval")
+        .otherwise("Deposit")
+        .alias("event_name"),
+        F.concat(F.lit("0x"), F.substring("topic1", -40, 40)).alias("counterparty"),
+        le_uint_from_hex(F.col("data_hex"), 6).alias("amount"),
+    )
+    return decoded.groupBy("event_name").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("counterparty").alias("n_counterparties"),
+        F.sum("amount").alias("total_amount"),
+    )

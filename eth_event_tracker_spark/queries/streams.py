@@ -223,3 +223,37 @@ def logs_finality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("block_num").alias("last_block"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase enriched with the user's most recent prior (or
+# simultaneous) click — the point-in-time enrichment pattern (log ↔ state
+# at block height in chain terms). Spark impl: scalable union-window asof
+# (operators/asof.py); oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_join",
+    """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, c.click_id AS click_id_asof, c.ts AS ts_asof
+FROM purchases p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="as-of join via union-window (one shuffle, no range cross join)",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["click_id"]
+    ).select("event_id", "user_id", "ts", "click_id_asof", "ts_asof")

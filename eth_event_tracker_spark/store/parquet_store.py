@@ -214,15 +214,16 @@ class ParquetEntry:
 
     # -- distributed access --------------------------------------------------
     def df(self, spark):
-        """The entry as a Spark DataFrame (partition-pruned on bucket)."""
-        from pyspark.sql import functions as F  # noqa: N812
-
+        """The entry as a Spark DataFrame (partition-pruned on bucket).
+        Unordered — an orderBy here would force a global sort exchange on
+        every read; callers that need the sequence order by `indx` (which
+        parquet row-group stats make cheap to range-filter)."""
         files = [str(f) for k in self._buckets() for f in self._bucket_files(k)]
         if not files:
             from ..schemas import LOG_SCHEMA
 
             return spark.createDataFrame([], LOG_SCHEMA)
-        return spark.read.parquet(*files).orderBy(F.col("indx"))
+        return spark.read.parquet(*files)
 
     def append_df(self, df) -> int:
         """Bulk path: append a Spark DataFrame of raw logs (no indx).
