@@ -112,7 +112,11 @@ class ParquetEntry:
         self._meta_path = self.path / "meta.json"
         self._seq = 0  # next file sequence number, per-process
         if self._meta_path.exists():
-            self._last_index = json.loads(self._meta_path.read_text())["last_index"]
+            # crash recovery: data files commit before meta (same order as
+            # the reference, tracker.go:369-382), so after a crash between
+            # the two the scan may be ahead of meta — trust the data
+            meta = json.loads(self._meta_path.read_text())["last_index"]
+            self._last_index = max(meta, self._scan_last_index())
         else:
             self._last_index = self._scan_last_index()
 

@@ -99,3 +99,19 @@ def test_entry_spark_readable(tmp_path, spark):
     df = e.df(spark)
     assert df.count() == 9
     assert [r.indx for r in df.select("indx").orderBy("indx").collect()] == list(range(9))
+
+
+def test_entry_crash_recovery_meta_behind(tmp_path):
+    """Crash between data write and meta commit: the reopened entry must
+    trust the data files (no overlapping indx on the next append)."""
+    import json
+
+    e = ParquetStore(tmp_path).entry("f1")
+    e.store_logs(_logs(0x1, 5, 1))
+    meta = tmp_path / "entries" / "f1" / "meta.json"
+    meta.write_text(json.dumps({"last_index": 2}))  # simulate stale meta
+    e2 = ParquetStore(tmp_path).entry("f1")
+    assert e2.last_index() == 5
+    e2.store_logs(_logs(0x2, 2, 2))
+    idxs = [r["indx"] for r in e2.all_logs()]
+    assert idxs == list(range(7))
