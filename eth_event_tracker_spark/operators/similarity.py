@@ -196,3 +196,104 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-then-probe scale path
+# ---------------------------------------------------------------------------
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Deterministic mini k-means: seed centroids from an id-stratified
+    sample, then ``n_iters`` Lloyd rounds where assignment is an
+    Arrow-batched argmax (numpy) and the update is a Spark groupBy mean —
+    both distributed, no driver-side data pass beyond the k×d centroid
+    matrix itself."""
+    first = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    cents = np.stack([np.array(r[1], dtype=np.float64) for r in first])
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.centroid_id, {})[r.pos] = r.m
+        for ci, posmap in by_c.items():
+            new[ci] = np.array([posmap[p] for p in sorted(posmap)])
+        cents = new
+    return cents
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Tag each vector with its nearest centroid (cosine) — vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return df.withColumn("centroid_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign corpus to centroids once (the 'index build' — at
+    100 TB this is a partitioned write clustered by centroid_id), then for
+    each query probe its ``n_probe`` nearest centroids and exact-rerank
+    only those buckets. Candidates meet via an equality join on
+    centroid_id — the same no-cross-join shape as LSH."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = ivf_build_centroids(corpus, n_centroids, 2, id_col, vec_col)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    corpus_tagged = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+
+    @pandas_udf("array<int>")
+    def probe_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    qb = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+        .withColumn("centroid_id", F.explode(probe_of(F.col("qv"))))
+    )
+    cand = qb.join(corpus_tagged, "centroid_id").where(F.col("q_id") != F.col("c_id"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    nc = F.sqrt(F.aggregate(F.transform("cv", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x))
+    scored = cand.withColumn("cosine", dot / (nq * nc))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cosine")
+    )

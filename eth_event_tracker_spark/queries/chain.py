@@ -401,3 +401,35 @@ def abi_decode_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("counterparty").alias("n_counterparties"),
         F.sum("amount").alias("total_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array ops — explode the positional topics array (lateral-view pattern):
+# per (position, topic) frequency, the shape of topic-cardinality stats
+# ---------------------------------------------------------------------------
+@register(
+    "logs_topics_exploded",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+topics AS (
+  SELECT block_num, tx_index, unnest(generate_series(1, 2)) AS pos,
+         topic0, topic1
+  FROM logs
+),
+flat AS (
+  SELECT CAST(pos AS BIGINT) AS pos, CASE pos WHEN 1 THEN topic0 ELSE topic1 END AS topic
+  FROM topics
+)
+SELECT pos, topic, COUNT(*) AS n
+FROM flat GROUP BY pos, topic
+""",
+    doc="posexplode of the topics array + per-position frequency (array ops)",
+)
+def logs_topics_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    return (
+        logs.select(F.posexplode("topics").alias("pos0", "topic"))
+        .select((F.col("pos0") + 1).cast("long").alias("pos"), "topic")
+        .groupBy("pos", "topic")
+        .agg(F.count("*").alias("n"))
+    )

@@ -319,3 +319,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = synth_assets(docs)
     return extract_features(assets)
+
+
+@register(
+    "embedding_ivf",
+    None,  # approximate by design — recall vs brute force asserted in pytest
+    doc="IVF ANN: mini k-means index + nearest-centroid probing — the cluster-then-probe scale path",
+)
+def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=3)

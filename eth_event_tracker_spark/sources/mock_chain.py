@@ -184,3 +184,37 @@ class MockProvider:
         if b is None:
             return []
         return [lg for lg in b.logs() if self._match(lg, set(addresses), tuple(topics))]
+
+
+class MockActivityIndex:
+    """The Etherscan-style first-activity index the fast-track probe
+    queries (tracker.go:446-519): per-address first block containing a
+    matching log."""
+
+    def __init__(self, provider: MockProvider) -> None:
+        self.provider = provider
+        self.calls = 0
+
+    def first_activity_block(self, address: str) -> int | None:
+        self.calls += 1
+        for b in self.provider.canonical:
+            for lg in b.logs():
+                if lg["address"].lower() == address.lower():
+                    return b.block_number
+        return None
+
+
+class CountingProvider:
+    """Wraps a provider counting get_logs range calls (for skip-scan
+    assertions)."""
+
+    def __init__(self, inner: MockProvider) -> None:
+        self._inner = inner
+        self.get_logs_calls: list[tuple[int, int]] = []
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def get_logs(self, from_block, to_block, addresses=(), topics=()):
+        self.get_logs_calls.append((from_block, to_block))
+        return self._inner.get_logs(from_block, to_block, addresses, topics)

@@ -64,9 +64,11 @@ class Tracker:
         config: FilterConfig | None = None,
         head_retry: int = 5,  # tracker.go:806-811: 5 × 500 ms
         head_retry_delay: float = 0.0,  # 0 in tests; 0.5 in production
+        activity_index=None,  # S-3: external first-activity index (Etherscan analogue)
     ) -> None:
         self.provider = provider
         self.store = store
+        self.activity_index = activity_index
         self.config = config or FilterConfig()
         self.entry = store.entry(self.config.filter_hash)
         self.window = HeadWindow(max_backlog=self.config.max_block_backlog)
@@ -200,6 +202,25 @@ class Tracker:
         self._commit_checkpoint(self.window.blocks[-1])
         return ChangelogEvent(removed=removed) if removed else None
 
+    # -- S-3/O-2: fast-track probe (fastTrack, tracker.go:446-519) ----------
+    def _fast_track(self) -> int:
+        """Skip dead history on first sync: ask the external activity index
+        for each address's first active block, start at the minimum
+        (min across addresses, tracker.go:500-509). Falls back to the
+        configured start_block when no index or no addresses."""
+        if self.activity_index is None or not self.config.addresses:
+            return self.config.start_block
+        firsts = [
+            b
+            for b in (
+                self.activity_index.first_activity_block(a) for a in self.config.addresses
+            )
+            if b is not None
+        ]
+        if not firsts:
+            return self.config.start_block
+        return max(self.config.start_block, min(firsts))
+
     # -- E2: full sync (syncImpl, tracker.go:582-715) -----------------------
     def sync(self) -> list[ChangelogEvent]:
         self.pre_sync_check()
@@ -211,7 +232,7 @@ class Tracker:
                 events.append(repair)
             origin = self.window.blocks[-1].number + 1 if self.window.blocks else 0
         else:
-            origin = self.config.start_block  # O-2 skip-scan override
+            origin = self._fast_track()  # O-2 skip-scan / S-3 probe
         target = self.provider.latest()
         backlog = self.config.max_block_backlog
         # BULK phase: everything up to head−backlog via range scans (C-2)

@@ -102,3 +102,27 @@ def test_decode_stub_gated():
         pass
     with pytest.raises(NotImplementedError):
         OPM.decode_image(b"\x89PNG\r\n")
+
+
+def test_ivf_recall(spark):
+    """IVF probes the right centroid buckets on clustered data."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    rows, vid = [], 0
+    for ci in range(8):
+        for _ in range(25):
+            v = centers[ci] + 0.12 * rng.normal(size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") % 25 == 0)
+    c = df.where(F.col("vec_id") % 25 != 0)
+    exact = {(r.q_id, r.c_id) for r in OPS.cosine_topk_exact(q, c, k=5).collect()}
+    approx = {
+        (r.q_id, r.c_id)
+        for r in OPS.ivf_topk(q, c, k=5, n_centroids=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ivf recall {recall:.2f}"

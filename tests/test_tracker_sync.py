@@ -164,3 +164,31 @@ def test_randomized_invariants(tmp_path):
         assert total_added - total_removed == len(store_rows)
         tail = prov.canonical[-backlog:]
         assert [b.hash for b in t.window.blocks] == [b.hash for b in tail]
+
+
+def test_fast_track_skips_dead_history(tmp_path):
+    """fastTrack (tracker.go:446-519): with an activity index, the first
+    sync never scans blocks before the filter's first activity."""
+    from eth_event_tracker_spark.sources.mock_chain import (
+        CountingProvider,
+        MockActivityIndex,
+    )
+
+    prov = MockProvider()
+    prov.advance(60)  # blocks 1..60 without logs
+    # logs appear only from block 61 on
+    prov.advance(20, logs_per_block=1)
+    idx = MockActivityIndex(prov)
+    counting = CountingProvider(prov)
+    addr = "0x" + "aa" * 20
+    t = Tracker(
+        counting,
+        ParquetStore(tmp_path),
+        FilterConfig(addresses=(addr,), batch_size=10),
+        activity_index=idx,
+    )
+    t.sync()
+    assert len(t.entry.all_logs()) == 20
+    assert idx.calls == 1
+    # no range scan touched the dead prefix
+    assert min(frm for frm, _ in counting.get_logs_calls) >= 61
