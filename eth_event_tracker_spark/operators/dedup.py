@@ -47,13 +47,15 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold.
 
     Pairs meet through a join on shingle (never a cross join). Pass
     ``candidates`` (doc_a, doc_b) to restrict verification to an LSH
-    candidate set — the scale path."""
-    sh = word_shingles(df, text_col, n, id_col)
+    candidate set — the scale path — and ``shingles`` to reuse an
+    already-materialized shingle table instead of re-deriving it."""
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -81,10 +83,15 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, seed, minhash) for k portable hash permutations."""
-    sh = word_shingles(df, text_col, n, id_col)
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
     seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(k)])))
     return (
         seeded.withColumn("hv", hash60(F.col("shingle"), F.col("seed")))
@@ -131,10 +138,13 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bands → candidate pairs →
-    exact Jaccard verification ≥ threshold."""
-    sigs = minhash_signatures(df, k, n, text_col, id_col)
+    exact Jaccard verification ≥ threshold.  The shingle table is
+    materialized once (cached) and shared between signature generation and
+    verification — at 100 TB it would be a persisted intermediate table."""
+    sh = word_shingles(df, text_col, n, id_col).cache()
+    sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
     cands = lsh_candidates(sigs, band_rows, id_col)
-    return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands)
+    return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
 
 
 def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -379,3 +379,82 @@ def pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style — local supplier volume: region-filtered 6-way join with
+# the supplier-nation = customer-nation co-location predicate
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5: region-filtered 6-way join, broadcast dims, co-location predicate",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, n.n_nationkey == s.s_nationkey)
+        .join(r, r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated pattern — orders above their customer's average order value
+# (decorrelated as a window aggregate: one pass, no per-row subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_above_customer_avg",
+    """
+WITH enriched AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
+  FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_above
+FROM enriched
+WHERE cust_n >= 2 AND o_totalprice > cust_avg
+GROUP BY o_custkey
+""",
+    doc="correlated scalar subquery decorrelated to a window aggregate",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    enriched = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("cust_avg"),
+        F.count("*").over(w).alias("cust_n"),
+    )
+    return (
+        enriched.where((F.col("cust_n") >= 2) & (F.col("o_totalprice") > F.col("cust_avg")))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+    )

@@ -116,3 +116,32 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path):
     assert len(final) == len(want)
     for uid, r in final.items():
         assert (r.n_events, r.last_ts) == want[uid]
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """session_window in a stream (complete mode) equals the batch twin —
+    the gaps-and-islands semantics already oracle-checked in
+    events_session_window."""
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        )
+
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {(r.user_id, r.session_start): r.n_events for r in spark.table("sess").collect()}
+    want = {(r.user_id, r.session_start): r.n_events for r in sessions(ev).collect()}
+    assert got == want
