@@ -71,6 +71,12 @@ class MockBlock:
     def logs(self, address: str = "0x" + "aa" * 20, topic0: str | None = None) -> list[dict]:
         out = []
         for i, tag in enumerate(self.log_tags):
+            # topic0 = one of two event signatures, alternating by block tag
+            # and log position (cf. events A/B in
+            # TestFilterIntegrationEventHash, tracker_test.go:142-180);
+            # topic1 = the unique log tag
+            v = int(tag, 16)
+            sig = topic0 or EVENT_SIGS[(v // 256 + v % 256) % 2]
             out.append(
                 {
                     "log_index": i,
@@ -79,7 +85,7 @@ class MockBlock:
                     "block_num": self.block_number,
                     "block_hash": self.hash,
                     "address": address,
-                    "topics": [topic0] if topic0 else [_pad_hash(tag)],
+                    "topics": [sig, _pad_hash(tag)],
                     "data": bytes.fromhex(f"{self.block_number:08x}{i:04x}"),
                 }
             )
@@ -88,6 +94,10 @@ class MockBlock:
 
 def mock(tag: int) -> MockBlock:
     return MockBlock(tag)
+
+
+# the two mock event signatures (events A/B, tracker_test.go:148-171)
+EVENT_SIGS = (_pad_hash("ee0"), _pad_hash("ee1"))
 
 
 class TooMuchDataError(Exception):

@@ -250,6 +250,28 @@ class ParquetEntry:
         self._commit_meta()
         return n
 
+    def compact(self, bucket: int | None = None) -> int:
+        """Merge a bucket's small files into one (head micro-batches write
+        a file per batch; finalized buckets should be single large files
+        for scan efficiency).  Returns files merged.  At 100 TB this is
+        the routine run on buckets crossing the finality boundary — they
+        are immutable afterwards, so compaction is safe and one-shot."""
+        targets = [bucket] if bucket is not None else self._buckets()
+        merged_count = 0
+        for k in targets:
+            files = self._bucket_files(k)
+            if len(files) <= 1:
+                continue
+            t = pa.concat_tables([pq.read_table(f) for f in files]).cast(self.schema)
+            t = t.sort_by("indx")
+            tmp = self.path / f"bucket={k}" / "_compact.tmp"
+            pq.write_table(t, tmp)
+            for f in files:
+                f.unlink()
+            os.replace(tmp, self.path / f"bucket={k}" / f"part-compacted-{k:06d}.parquet")
+            merged_count += len(files)
+        return merged_count
+
     def all_logs(self) -> list[dict]:
         """Driver-side full read, ordered by indx (test/verification helper)."""
         out = []

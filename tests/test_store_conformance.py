@@ -115,3 +115,20 @@ def test_entry_crash_recovery_meta_behind(tmp_path):
     e2.store_logs(_logs(0x2, 2, 2))
     idxs = [r["indx"] for r in e2.all_logs()]
     assert idxs == list(range(7))
+
+
+def test_entry_compaction(tmp_path):
+    """Many small head-batch files merge into one per bucket; contents and
+    order are unchanged."""
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=100)
+    for i in range(12):  # 12 separate append files
+        e.store_logs(_logs(0x1 + i, 3, i + 1))
+    before = e.all_logs()
+    assert len(list((tmp_path / "entries" / "f1" / "bucket=0").glob("*.parquet"))) == 12
+    merged = e.compact()
+    assert merged == 12
+    assert len(list((tmp_path / "entries" / "f1" / "bucket=0").glob("*.parquet"))) == 1
+    assert e.all_logs() == before
+    # appends continue normally after compaction
+    e.store_logs(_logs(0x99, 2, 99))
+    assert e.last_index() == 38

@@ -145,3 +145,38 @@ def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
     got = {(r.user_id, r.session_start): r.n_events for r in spark.table("sess").collect()}
     want = {(r.user_id, r.session_start): r.n_events for r in sessions(ev).collect()}
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated events collapse to one
+    row each while state stays bounded by the watermark."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tmp_path / "dup"
+    # duplicate every event, then stage as time-ordered files (mtime order
+    # = event-time order, else an out-of-order file is late-dropped whole)
+    dup = ev.unionByName(ev)
+    dup.repartitionByRange(3, "ts").write.parquet(str(d))
+    files = sorted(
+        d.glob("part-*.parquet"),
+        key=lambda p: spark.read.parquet(str(p)).agg(F.min("ts")).first()[0],
+    )
+    now = time.time()
+    for i, p in enumerate(files):
+        os.utime(p, (now + i, now + i))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = spark.table("ddww")
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique

@@ -192,3 +192,34 @@ def test_fast_track_skips_dead_history(tmp_path):
     assert idx.calls == 1
     # no range scan touched the dead prefix
     assert min(frm for frm, _ in counting.get_logs_calls) >= 61
+
+
+def test_topic_filter_end_to_end(tmp_path):
+    """TestFilterIntegrationEventHash (tracker_test.go:142-180): filtering
+    by event-signature topic0 selects that event's logs; a perturbed
+    signature matches nothing; a topic1 filter with wildcard topic0 selects
+    exactly one log."""
+    from eth_event_tracker_spark.sources.mock_chain import EVENT_SIGS, _pad_hash
+
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    all_logs = chain_logs(prov)
+    want_sig0 = [lg for lg in all_logs if lg["topics"][0] == EVENT_SIGS[0]]
+    assert 0 < len(want_sig0) < len(all_logs)
+
+    t = Tracker(prov, ParquetStore(tmp_path / "a"), FilterConfig(topics=(EVENT_SIGS[0],)))
+    t.sync()
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == [lg["tx_hash"] for lg in want_sig0]
+
+    # perturbed signature → nothing (tracker_test.go:172-178)
+    t2 = Tracker(prov, ParquetStore(tmp_path / "b"), FilterConfig(topics=(_pad_hash("dead"),)))
+    t2.sync()
+    assert t2.entry.all_logs() == []
+
+    # wildcard topic0 + exact topic1 → exactly that log (tracker_test.go:136)
+    target = all_logs[7]
+    t3 = Tracker(
+        prov, ParquetStore(tmp_path / "c"), FilterConfig(topics=(None, target["topics"][1]))
+    )
+    t3.sync()
+    assert [r["tx_hash"] for r in t3.entry.all_logs()] == [target["tx_hash"]]
