@@ -120,3 +120,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     )
     exact = df.select("doc_id", F.sha2(normalize(F.col(text_col)), 256).alias("sha_norm"))
     return exact.join(sketch, "doc_id", "left")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping word windows — the training
+    pre-chunking op. Stride = chunk_words - overlap; the final partial
+    window is kept. Pure explode, no shuffle; rows: (id, chunk_id, chunk,
+    n_words)."""
+    stride = chunk_words - overlap
+    assert stride > 0
+    ws = words(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.ceil((F.size(ws) - F.lit(overlap)) / stride) - 1, F.lit(0)))
+    chunks = F.transform(starts, lambda i: F.struct(
+        i.cast("long").alias("chunk_id"),
+        F.array_join(F.slice(ws, i * stride + 1, chunk_words), " ").alias("chunk"),
+    ))
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk").alias("chunk"),
+            F.size(F.split("c.chunk", " ")).cast("long").alias("n_words"),
+        )
+        .where(F.col("chunk") != "")
+    )

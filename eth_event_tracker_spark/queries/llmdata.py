@@ -331,3 +331,108 @@ def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
     return OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — overlapping word windows (training pre-chunking)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunking",
+    f"""
+WITH {_WORDS_CTE},
+starts AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, CAST(greatest(ceil((len(words) - 8) / 24.0) - 1, 0) AS BIGINT))) AS chunk_id
+  FROM w
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
+       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words
+FROM starts
+WHERE array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') <> ''
+""",
+    doc="overlapping word-window chunking (32-word chunks, 8-word overlap)",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.chunk_documents(docs, chunk_words=32, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# Quality gate — the keep/drop decision a pre-training filter pipeline makes
+# ---------------------------------------------------------------------------
+@register(
+    "doc_quality_gate",
+    f"""
+WITH {_WORDS_CTE},
+scored AS (
+  SELECT d.doc_id,
+         len(w.words) AS n_words,
+         length(array_to_string(w.words, '')) / len(w.words) AS avg_word_len
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+)
+SELECT CASE
+         WHEN n_words < 20 THEN 'too_short'
+         WHEN n_words > 400 THEN 'too_long'
+         WHEN avg_word_len < 2.0 THEN 'degenerate_words'
+         ELSE 'keep'
+       END AS verdict,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_words) AS BIGINT) AS min_words,
+       CAST(MAX(n_words) AS BIGINT) AS max_words
+FROM scored GROUP BY 1
+""",
+    doc="quality filter pipeline: rule-based keep/drop verdict with reasons",
+)
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = OPT.words(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        (F.length(F.array_join(ws, "")) / F.size(ws)).alias("avg_word_len"),
+    )
+    verdict = (
+        F.when(F.col("n_words") < 20, "too_short")
+        .when(F.col("n_words") > 400, "too_long")
+        .when(F.col("avg_word_len") < 2.0, "degenerate_words")
+        .otherwise("keep")
+    )
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary stats — top-k terms by document frequency
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_top_terms",
+    f"""
+WITH {_WORDS_CTE},
+flat AS (SELECT DISTINCT doc_id, unnest(words) AS term FROM w)
+SELECT term, COUNT(*) AS doc_freq
+FROM flat WHERE term <> ''
+GROUP BY term
+ORDER BY doc_freq DESC, term
+LIMIT 25
+""",
+    doc="vocabulary statistics: top-25 terms by document frequency",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(OPT.words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "term")
+        .limit(25)
+    )

@@ -1,3 +1,3 @@
-from .tracker import ChangelogEvent, FingerprintMismatchError, Tracker
+from .tracker import ChangelogEvent, FingerprintMismatchError, Tracker, resume_all
 
-__all__ = ["Tracker", "ChangelogEvent", "FingerprintMismatchError"]
+__all__ = ["Tracker", "ChangelogEvent", "FingerprintMismatchError", "resume_all"]

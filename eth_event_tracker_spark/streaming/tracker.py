@@ -272,3 +272,16 @@ class Tracker:
             if ev is not None:
                 events.append(ev)
         return events
+
+
+def resume_all(provider, store: ParquetStore, **tracker_kwargs) -> list[Tracker]:
+    """Rebuild a tracker for every filter ever registered in the store —
+    the reference enumerates persisted FilterConfigs via the KV prefix
+    scan (filter_<hash> keys written at setup, tracker.go:194-209;
+    ListPrefix, store/store.go:10-11). Restart-time recovery needs no
+    caller-side filter list: the store is self-describing."""
+    trackers = []
+    for key, val in store.list_prefix("filter_"):
+        cfg = FilterConfig.from_json(val)
+        trackers.append(Tracker(provider, store, cfg, **tracker_kwargs))
+    return trackers

@@ -223,3 +223,29 @@ def test_topic_filter_end_to_end(tmp_path):
     )
     t3.sync()
     assert [r["tx_hash"] for r in t3.entry.all_logs()] == [target["tx_hash"]]
+
+
+def test_multi_filter_resume(tmp_path):
+    """The store is self-describing: every registered filter resumes from
+    KV alone (filter enumeration via prefix scan, tracker.go:194-209)."""
+    from eth_event_tracker_spark.sources.mock_chain import EVENT_SIGS
+    from eth_event_tracker_spark.streaming import resume_all
+
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    store = ParquetStore(tmp_path)
+    cfg_a = FilterConfig(topics=(EVENT_SIGS[0],))
+    cfg_b = FilterConfig(topics=(EVENT_SIGS[1],))
+    Tracker(prov, store, cfg_a).sync()
+    Tracker(prov, store, cfg_b).sync()
+
+    prov.advance(10, logs_per_block=1)
+    trackers = resume_all(prov, ParquetStore(tmp_path))
+    assert {t.config.filter_hash for t in trackers} == {cfg_a.filter_hash, cfg_b.filter_hash}
+    for t in trackers:
+        t.sync()
+    n_a = len(store.entry(cfg_a.filter_hash).all_logs())
+    n_b = len(store.entry(cfg_b.filter_hash).all_logs())
+    assert n_a + n_b == 30  # every log matched exactly one signature
+    want_a = sum(1 for lg in chain_logs(prov) if lg["topics"][0] == EVENT_SIGS[0])
+    assert n_a == want_a
