@@ -59,14 +59,14 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    pairs = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # prune pair rows BEFORE the aggregation — the whole point of LSH
+        # is that the quadratic step never aggregates non-candidates (at
+        # larger scale, additionally semi-join each shingle side on the
+        # candidate member set to keep the pair join itself bounded)
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -143,7 +143,9 @@ def minhash_lsh_dedup(
     verification — at 100 TB it would be a persisted intermediate table."""
     sh = word_shingles(df, text_col, n, id_col).cache()
     sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
-    cands = lsh_candidates(sigs, band_rows, id_col)
+    # cache shingles + candidates: both are referenced by multiple
+    # downstream branches; at 100 TB they would be persisted tables
+    cands = lsh_candidates(sigs, band_rows, id_col).cache()
     return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
 
 

@@ -26,10 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# deterministic pseudo-random hyperplane component in [-1, 1):
-# portable hash60 of "p:d" scaled — same recipe both engines.
-from ..functions.hashing import hash60
-
 _DEC = "decimal(38,18)"
 
 
