@@ -5,8 +5,20 @@ monotonicity, truncate-then-reappend."""
 
 from __future__ import annotations
 
+import pytest
+
 from eth_event_tracker_spark.sources.mock_chain import mock
 from eth_event_tracker_spark.store import ParquetStore
+from eth_event_tracker_spark.store.inmem_store import InMemStore
+
+
+@pytest.fixture(params=["parquet", "inmem"])
+def make_store(request, tmp_path):
+    """Backend-agnostic store factory — the reference runs one suite
+    against every backend (store/testing.go); so do we."""
+    if request.param == "parquet":
+        return lambda: ParquetStore(tmp_path)
+    return lambda s=InMemStore(): s  # same instance per test
 
 
 def _logs(tag, n, num):
@@ -16,8 +28,8 @@ def _logs(tag, n, num):
     return b.logs()
 
 
-def test_kv_set_get_update(tmp_path):
-    s = ParquetStore(tmp_path)
+def test_kv_set_get_update(make_store):
+    s = make_store()
     assert s.get("k1") is None
     s.set("k1", "v1")
     assert s.get("k1") == "v1"
@@ -25,8 +37,8 @@ def test_kv_set_get_update(tmp_path):
     assert s.get("k1") == "v2"
 
 
-def test_kv_prefix_listing(tmp_path):
-    s = ParquetStore(tmp_path)
+def test_kv_prefix_listing(make_store):
+    s = make_store()
     for k, v in [("filter_a", "1"), ("filter_b", "2"), ("lastBlock_a", "3"), ("genesis", "4")]:
         s.set(k, v)
     got = s.list_prefix("filter_")
@@ -39,8 +51,8 @@ def test_kv_persistence(tmp_path):
     assert ParquetStore(tmp_path).get("k") == "v"
 
 
-def test_entry_append_monotonic(tmp_path):
-    e = ParquetStore(tmp_path).entry("f1")
+def test_entry_append_monotonic(make_store):
+    e = make_store().entry("f1")
     assert e.last_index() == 0
     e.store_logs(_logs(0x1, 3, 1))
     assert e.last_index() == 3
@@ -49,8 +61,8 @@ def test_entry_append_monotonic(tmp_path):
     assert [r["indx"] for r in e.all_logs()] == [0, 1, 2, 3, 4]
 
 
-def test_entry_isolation(tmp_path):
-    s = ParquetStore(tmp_path)
+def test_entry_isolation(make_store):
+    s = make_store()
     e1, e2 = s.entry("f1"), s.entry("f2")
     e1.store_logs(_logs(0x1, 3, 1))
     e2.store_logs(_logs(0x2, 1, 1))
@@ -60,8 +72,8 @@ def test_entry_isolation(tmp_path):
     assert len(e2.all_logs()) == 1
 
 
-def test_entry_truncate_then_reappend(tmp_path):
-    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)  # force bucket spans
+def test_entry_truncate_then_reappend(make_store):
+    e = make_store().entry("f1", bucket_size=4)  # parquet: force bucket spans
     e.store_logs(_logs(0x1, 10, 1))
     e.remove_logs(6)
     assert e.last_index() == 6
@@ -75,8 +87,8 @@ def test_entry_truncate_then_reappend(tmp_path):
     assert e.all_logs() == []
 
 
-def test_entry_point_lookup(tmp_path):
-    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+def test_entry_point_lookup(make_store):
+    e = make_store().entry("f1", bucket_size=4)
     e.store_logs(_logs(0x1, 9, 1))
     r = e.get_log(7)
     assert r is not None and r["indx"] == 7
@@ -132,3 +144,23 @@ def test_entry_compaction(tmp_path):
     # appends continue normally after compaction
     e.store_logs(_logs(0x99, 2, 99))
     assert e.last_index() == 38
+
+
+def test_tracker_runs_on_inmem_backend(tmp_path):
+    """The tracker is store-agnostic: full sync + live reorg on the
+    in-memory backend (WithStore(inmem) in the reference's tests)."""
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+    from eth_event_tracker_spark.streaming import Tracker
+
+    prov = MockProvider()
+    prov.advance(25, logs_per_block=1)
+    t = Tracker(prov, InMemStore(), FilterConfig())
+    t.sync()
+    assert t.entry.last_index() == 25
+    prov.fork(3, logs_per_block=2)
+    events = t.poll()
+    assert sum(len(e.removed) for e in events) == 3
+    assert sum(len(e.added) for e in events) == 6
+    chain = [lg["tx_hash"] for b in prov.canonical for lg in b.logs()]
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == chain
