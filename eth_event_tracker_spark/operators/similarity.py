@@ -293,3 +293,68 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cosine")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs with cosine ≥ threshold — embedding-based
+    near-duplicate detection, exact (decimal-sum dots, oracle-matched).
+    Quadratic by construction: restrict the input (or use
+    ``cosine_near_dup_pairs_lsh``) at scale."""
+    e = df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
+    a = e.select(F.col("id").alias("id_a"), "pos", F.col("x").alias("xa"))
+    b = e.select(F.col("id").alias("id_b"), "pos", F.col("x").alias("xb"))
+    prod = (F.col("xa").cast("double") * F.col("xb").cast("double")).cast(_DEC)
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).cast("double").alias("dot"))
+    )
+    norms = _norms(df, id_col, vec_col)
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 9))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: LSH-bucketed candidate pairs, exact cosine verify —
+    same no-cross-join shape as MinHash dedup."""
+    tagged = lsh_bucket(df, n_planes, id_col, vec_col)
+    a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        a = a.withColumn("bucket", F.explode(probes))
+    b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    return (
+        cand.withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -436,3 +436,47 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "term")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs — exact tier on a bounded subset (oracle), LSH
+# tier unbounded (rows-only)
+# ---------------------------------------------------------------------------
+_NEAR_DUP_ORACLE = """
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+ei AS (SELECT vec_id AS id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM sub),
+ee AS (SELECT id, pos, CAST(embedding[pos] AS DOUBLE) AS x FROM ei),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+  FROM ee a JOIN ee b ON a.pos = b.pos AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+norms AS (
+  SELECT id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+  FROM ee GROUP BY id
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
+FROM dots d JOIN norms na ON na.id = d.id_a JOIN norms nb ON nb.id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.3
+"""
+
+
+@register(
+    "embedding_near_dup",
+    _NEAR_DUP_ORACLE,
+    doc="embedding-cosine near-dup pairs, exact decimal tier on a bounded subset",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return OPS.cosine_near_dup_pairs(emb, threshold=0.3)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    None,  # approximate candidate set — verified vs exact tier in pytest
+    doc="embedding near-dup via LSH buckets + exact verify — the scale tier",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OPS.cosine_near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6)

@@ -126,3 +126,13 @@ def test_ivf_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ivf recall {recall:.2f}"
+
+
+def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    exact = {(r.id_a, r.id_b) for r in OPS.cosine_near_dup_pairs(emb, threshold=0.3).collect()}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in OPS.cosine_near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6).collect()
+    }
+    assert lsh <= exact or not exact  # LSH verifies exactly, so no false positives
