@@ -50,6 +50,8 @@ class FilterConfig:
                 "addresses": list(self.addresses),
                 "topics": list(self.topics),
                 "start_block": self.start_block,
+                "batch_size": self.batch_size,
+                "max_block_backlog": self.max_block_backlog,
             },
             sort_keys=True,
         )
@@ -61,6 +63,8 @@ class FilterConfig:
             addresses=tuple(d.get("addresses", ())),
             topics=tuple(d.get("topics", ())),
             start_block=int(d.get("start_block", 0)),
+            batch_size=int(d.get("batch_size", 100)),
+            max_block_backlog=int(d.get("max_block_backlog", 10)),
         )
 
 

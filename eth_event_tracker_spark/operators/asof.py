@@ -37,13 +37,16 @@ def asof_join(
     as ``<col><suffix>``); the right timestamp itself is always carried
     as ``<right_ts><suffix>``."""
     on = list(on)
+    reserved = {"_tag", "_ats"} | {f"_r_{c}" for c in (right_ts, *value_cols)}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserved column names in input: {sorted(clash)}")
     carry = [right_ts, *value_cols]
     lt = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     rt = right.withColumn("_tag", F.lit(0)).withColumn("_ats", F.col(right_ts))
     for c in carry:
         lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(dict(rt.dtypes)[c]))
         rt = rt.withColumn(f"_r_{c}", F.col(c))
-    lcols = set(left.columns)
     both = lt.select(
         *on, "_tag", "_ats", *[f"_r_{c}" for c in carry],
         *[F.col(c) for c in left.columns if c not in on],

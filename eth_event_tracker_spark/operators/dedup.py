@@ -150,10 +150,10 @@ def minhash_lsh_dedup(
 
 
 def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word shingles: bit b of the signature is the
-    majority vote of bit b across all shingle hashes (here: two 60-bit
-    portable hashes supply 64 usable bits — we use bits 0..59 of seed 0
-    and 0..3 of seed 1)."""
+    """63-bit SimHash over word shingles: bit b of the signature is the
+    majority vote of bit b across all shingle hashes (two 60-bit portable
+    hashes supply the bits: 0..59 of seed 0 plus 60..62 from seed 1; bit
+    63 is left clear to stay inside a signed int64)."""
     sh = word_shingles(df, text_col, n, id_col)
     # materialize the two sha-hashes ONCE per shingle; the 64 bit-vote
     # columns then read cheap integer ops off h0/h1 instead of re-running
@@ -163,9 +163,9 @@ def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "
     )
     h0, h1 = F.col("h0"), F.col("h1")
     bits = [F.when(h0.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{b}") for b in range(60)]
-    bits += [F.when(h1.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{60 + b}") for b in range(4)]
+    bits += [F.when(h1.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{60 + b}") for b in range(3)]
     voted = hashed.select(id_col, *bits).groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(63)]
     )
     sig = voted.select(
         id_col,
@@ -179,8 +179,8 @@ def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked by the
-    pigeonhole principle: split the 64-bit signature into max_hamming+1
-    chunks; any qualifying pair matches exactly on ≥1 chunk."""
+    pigeonhole principle: split the signature into max_hamming+1 chunks;
+    any qualifying pair matches exactly on ≥1 chunk."""
     id_col = kw.get("id_col", "doc_id")
     sigs = simhash64(df, **kw)
     n_chunks = max_hamming + 1

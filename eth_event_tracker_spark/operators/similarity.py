@@ -119,7 +119,13 @@ def cosine_topk_pandas(
     )
 
 
-def lsh_bucket(df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def lsh_bucket(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where
     h_p[d] = sha-derived pseudo-random in [-1, 1) — deterministic across
     runs and machines.  Computed in an Arrow-batched pandas UDF (one
@@ -128,7 +134,11 @@ def lsh_bucket(df: DataFrame, n_planes: int = 8, id_col: str = "vec_id", vec_col
     corpus needs anyway."""
     from pyspark.sql.functions import pandas_udf
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        if not head:  # empty input → empty output with the bucket column
+            return df.withColumn("bucket", F.lit(0).cast("long"))
+        dim = len(head[0][0])
     planes = np.array(
         [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
     )  # n_planes × dim
@@ -166,7 +176,13 @@ def ann_lsh_topk(
     1 from the query's bucket (flip each plane bit) — the standard
     recall/cost knob: candidates grow ~(n_planes+1)×, still equality
     joins, no extra shuffle of the corpus."""
-    qb = lsh_bucket(queries, n_planes, id_col, vec_col).select(
+    head = corpus.select(vec_col).head(1)
+    if not head:
+        return corpus.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, rank long, cosine double"
+        )
+    dim = len(head[0][0])
+    qb = lsh_bucket(queries, n_planes, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "bucket"
     )
     if multiprobe >= 1:
@@ -174,7 +190,7 @@ def ann_lsh_topk(
             F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
         )
         qb = qb.withColumn("bucket", F.explode(probes))
-    cb = lsh_bucket(corpus, n_planes, id_col, vec_col).select(
+    cb = lsh_bucket(corpus, n_planes, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
     )
     cand = qb.join(cb, "bucket").where(F.col("q_id") != F.col("c_id"))

@@ -28,6 +28,10 @@ def salted_join(
     The big side's salt is derived from a hash of the whole row (cheap,
     deterministic, no extra column requirements); the small side is
     exploded salt_n× — acceptable precisely because it is small."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full outer would keep salt_n null-padded copies of each
+        # unmatched small-side row (it was exploded before the join)
+        raise ValueError(f"salted_join supports inner/left/semi/anti joins, not {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n))

@@ -133,13 +133,18 @@ class Web3LogStreamReader(DataSourceStreamReader):
         # committed block instead of start_block (Spark restores the range
         # start from its own checkpoint; this keeps our end-computation and
         # AIMD pace consistent with it)
-        self._sidecar = f"{self.chain_dir}/_source_offset.json"
+        import hashlib
+
+        fid = hashlib.sha256(
+            json.dumps([self.addresses, list(self.topics), self.start], sort_keys=True).encode()
+        ).hexdigest()[:12]
+        self._sidecar = f"{self.chain_dir}/_source_offset_{fid}.json"
         try:
             with open(self._sidecar) as f:
                 self._last = json.load(f)
                 self._pace = float(self._last.get("pace", self.nominal))
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            pass  # absent or torn sidecar → fall back to start_block
 
     def initialOffset(self) -> dict:
         return {"block": self.start, "pace": self.nominal}
@@ -185,8 +190,13 @@ class Web3LogStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # Spark's checkpoint log is the authoritative commit record (O-3);
         # the sidecar only seeds latestOffset on reader re-creation.
-        with open(self._sidecar, "w") as f:
+        # Atomic tmp+rename: a torn write must not poison restarts.
+        import os
+
+        tmp = f"{self._sidecar}.tmp"
+        with open(tmp, "w") as f:
             json.dump(end, f)
+        os.replace(tmp, self._sidecar)
 
 
 def register(spark) -> None:

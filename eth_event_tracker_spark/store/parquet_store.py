@@ -112,11 +112,21 @@ class ParquetEntry:
         self._meta_path = self.path / "meta.json"
         self._seq = 0  # next file sequence number, per-process
         if self._meta_path.exists():
-            # crash recovery: data files commit before meta (same order as
-            # the reference, tracker.go:369-382), so after a crash between
-            # the two the scan may be ahead of meta — trust the data
-            meta = json.loads(self._meta_path.read_text())["last_index"]
-            self._last_index = max(meta, self._scan_last_index())
+            meta_obj = json.loads(self._meta_path.read_text())
+            meta = meta_obj["last_index"]
+            if meta_obj.get("truncating"):
+                # crash mid-truncation: the truncate intent was committed
+                # before file deletion — finish the job (rows >= meta are
+                # doomed, whatever subset survived the crash)
+                self._last_index = self._scan_last_index()
+                self.remove_logs(meta)
+                self._last_index = meta
+                self._commit_meta()
+            else:
+                # append-crash direction: data files commit before meta
+                # (same order as the reference, tracker.go:369-382), so the
+                # scan may be ahead of meta — trust the data
+                self._last_index = max(meta, self._scan_last_index())
         else:
             self._last_index = self._scan_last_index()
 
@@ -126,15 +136,17 @@ class ParquetEntry:
         return self._last_index
 
     def _scan_last_index(self) -> int:
-        buckets = self._buckets()
-        if not buckets:
-            return 0
-        mx = -1
-        for f in self._bucket_files(buckets[-1]):
-            t = pq.read_table(f, columns=["indx"])
-            if t.num_rows:
-                mx = max(mx, pa.compute.max(t.column("indx")).as_py())
-        return mx + 1
+        # walk buckets top-down: the highest bucket directory can be empty
+        # after a crashed truncation — fall through to the next one
+        for k in reversed(self._buckets()):
+            mx = -1
+            for f in self._bucket_files(k):
+                t = pq.read_table(f, columns=["indx"])
+                if t.num_rows:
+                    mx = max(mx, pa.compute.max(t.column("indx")).as_py())
+            if mx >= 0:
+                return mx + 1
+        return 0
 
     def _buckets(self) -> list[int]:
         return sorted(
@@ -186,6 +198,11 @@ class ParquetEntry:
         reorg ever does."""
         if indx >= self._last_index:
             return
+        # commit the truncate INTENT before touching files: a crash during
+        # deletion must not let recovery resurrect the doomed tail (the
+        # append direction commits data-then-meta; truncation is the
+        # opposite — meta-then-data)
+        _atomic_write_json(self._meta_path, {"last_index": indx, "truncating": True})
         boundary = indx // self.bucket_size
         for k in self._buckets():
             if k > boundary:
@@ -239,13 +256,15 @@ class ParquetEntry:
         from ..operators.indexing import assign_indx_scalable
 
         base = self._last_index
-        indexed = assign_indx_scalable(df, base=base).withColumn(
-            "bucket", (F.col("indx") / self.bucket_size).cast("long")
-        )
-        indexed.select(*_LOG_COLS, "bucket").write.mode("append").partitionBy("bucket").parquet(
-            str(self.path)
+        indexed = (
+            assign_indx_scalable(df, base=base)
+            .withColumn("bucket", (F.col("indx") / self.bucket_size).cast("long"))
+            .select(*self.columns, "bucket")
+            .persist()  # pin: count and write must see the same rows
         )
         n = indexed.count()
+        indexed.write.mode("append").partitionBy("bucket").parquet(str(self.path))
+        indexed.unpersist()
         self._last_index = base + n
         self._commit_meta()
         return n

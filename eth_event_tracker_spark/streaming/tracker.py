@@ -124,9 +124,16 @@ class Tracker:
                     cur, end, self.config.addresses, self.config.topics
                 )
             except TooMuchDataError:
-                # multiplicative decrease (tracker.go:354-358)
-                self._batch_size = max(1.0, self._batch_size / 2)
-                continue
+                if size > 1:
+                    # multiplicative decrease (tracker.go:354-358)
+                    self._batch_size = max(1.0, self._batch_size / 2)
+                    continue
+                # a single block exceeds the server cap — the range API can
+                # never satisfy it (the reference would loop forever here);
+                # fall back to the per-block by-hash path (S-2), which has
+                # no range cap
+                hdr = self.provider.get_block_by_number(cur)
+                logs = self._logs_by_hash(hdr.hash) if hdr is not None else []
             stored = self.entry.store_logs(logs)
             if stored:
                 events.append(ChangelogEvent(added=stored))

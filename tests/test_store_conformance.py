@@ -164,3 +164,38 @@ def test_tracker_runs_on_inmem_backend(tmp_path):
     assert sum(len(e.added) for e in events) == 6
     chain = [lg["tx_hash"] for b in prov.canonical for lg in b.logs()]
     assert [r["tx_hash"] for r in t.entry.all_logs()] == chain
+
+
+def test_entry_truncate_crash_recovery(tmp_path):
+    """Crash mid-truncation: the truncate intent (meta committed before
+    deletion) must win on reopen — the doomed tail never resurrects."""
+    import json
+
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+    e.store_logs(_logs(0x1, 10, 1))
+    # simulate: intent written, deletion never ran
+    meta = tmp_path / "entries" / "f1" / "meta.json"
+    meta.write_text(json.dumps({"last_index": 6, "truncating": True}))
+    e2 = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+    assert e2.last_index() == 6
+    assert [r["indx"] for r in e2.all_logs()] == list(range(6))
+    e2.store_logs(_logs(0x2, 2, 2))
+    assert [r["indx"] for r in e2.all_logs()] == list(range(8))
+
+
+def test_single_block_exceeding_cap_does_not_hang(tmp_path):
+    """A single block with more logs than the server cap must fall back to
+    the per-block by-hash fetch instead of looping forever."""
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+    from eth_event_tracker_spark.streaming import Tracker
+
+    prov = MockProvider(logs_per_query_limit=5)
+    prov.advance(30, logs_per_block=1)
+    # one fat block in bulk range: 8 logs > cap 5
+    for j in range(1, 8):
+        prov.canonical[10].log(f"fa{j:04x}")
+    t = Tracker(prov, ParquetStore(tmp_path), FilterConfig(batch_size=10))
+    t.sync()
+    chain = [lg["tx_hash"] for b in prov.canonical for lg in b.logs()]
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == chain
