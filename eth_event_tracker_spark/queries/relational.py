@@ -458,3 +458,72 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.count("*").alias("n_above"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates: exact quantiles (sort-based), decimal-exact
+# stddev (computed from exact sums, not streaming float accumulation),
+# and an arithmetic histogram
+# ---------------------------------------------------------------------------
+@register(
+    "stats_order_values",
+    """
+WITH s AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sm,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)) * CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sq,
+         COUNT(*) AS n,
+         round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS median_price,
+         round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90_price
+  FROM orders
+)
+SELECT n AS n_orders, median_price, p90_price,
+       round(sqrt((sq - sm * sm / n) / (n - 1)), 6) AS stddev_price
+FROM s
+""",
+    doc="exact quantiles + decimal-exact sample stddev (no float accumulation order dependence)",
+)
+def stats_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    dec_w = F.col("o_totalprice").cast("decimal(28,4)")
+    s = o.agg(
+        F.sum(dec).cast("double").alias("sm"),
+        F.sum(dec_w * dec_w).cast("double").alias("sq"),
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)"), 6).alias("p90_price"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        "median_price",
+        "p90_price",
+        F.round(F.sqrt((F.col("sq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)), 6).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width price buckets (portable floor arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_order_price",
+    """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+""",
+    doc="fixed-width histogram via floor bucketing",
+)
+def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 50000).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
