@@ -58,6 +58,16 @@ class InMemEntry:
     def all_logs(self) -> list[dict]:
         return list(self._rows)
 
+    def scan_tail(self, block_hashes: set[str]) -> list[dict]:
+        victims: list[dict] = []
+        for r in reversed(self._rows):
+            if r["block_hash"] in block_hashes:
+                victims.append(r)
+            else:
+                break
+        victims.reverse()
+        return victims
+
     def compact(self, bucket: int | None = None) -> int:
         return 0  # nothing to compact in memory
 

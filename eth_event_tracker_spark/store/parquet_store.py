@@ -269,6 +269,30 @@ class ParquetEntry:
         self._commit_meta()
         return n
 
+    def scan_tail(self, block_hashes: set[str]) -> list[dict]:
+        """Reverse tail walk (removeLogs's cursor walk, tracker.go:717-754):
+        collect rows from the end while their block_hash is in the removed
+        set; stop at the first non-matching row.  Reads only the bucket(s)
+        actually touched by the reorg — O(reorg depth), never O(entry)."""
+        victims: list[dict] = []
+        stop = False
+        for k in reversed(self._buckets()):
+            rows = []
+            for f in self._bucket_files(k):
+                rows.extend(pq.read_table(f).to_pylist())
+            rows.sort(key=lambda r: r["indx"])
+            for r in reversed(rows):
+                if r["block_hash"] in block_hashes:
+                    victims.append(r)
+                else:
+                    stop = True
+                    break
+            if stop:
+                break
+            # bucket empty or fully matched → walk into the previous bucket
+        victims.reverse()
+        return victims
+
     def compact(self, bucket: int | None = None) -> int:
         """Merge a bucket's small files into one (head micro-batches write
         a file per batch; finalized buckets should be single large files

@@ -159,13 +159,15 @@ class Tracker:
 
     # -- A-2/A-3: rollback removed blocks' logs ------------------------------
     def _rollback(self, removed: list[Header]) -> list[dict]:
-        removed_hashes = {h.hash for h in removed}
-        victims = [r for r in self.entry.all_logs() if r["block_hash"] in removed_hashes]
+        # reverse tail walk, O(reorg depth) not O(entry) — the removed
+        # blocks are by construction the newest, so their logs form a
+        # contiguous tail (removeLogs's cursor walk, tracker.go:717-754)
+        victims = self.entry.scan_tail({h.hash for h in removed})
         if not victims:
             return []
         boundary = min(r["indx"] for r in victims)
         self.entry.remove_logs(boundary)
-        return victims  # already oldest-first (all_logs is indx-ordered)
+        return victims  # oldest-first (A-3, revertLogs tracker.go:756-761)
 
     # -- A-4: apply one block diff (doFilter, tracker.go:786-829) -----------
     def _apply_diff(self, diff: BlockDiff) -> ChangelogEvent:

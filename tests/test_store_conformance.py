@@ -199,3 +199,18 @@ def test_single_block_exceeding_cap_does_not_hang(tmp_path):
     t.sync()
     chain = [lg["tx_hash"] for b in prov.canonical for lg in b.logs()]
     assert [r["tx_hash"] for r in t.entry.all_logs()] == chain
+
+
+def test_scan_tail_stops_at_boundary(tmp_path):
+    """Reverse tail walk returns exactly the contiguous matching tail and
+    reads across bucket boundaries."""
+    e = ParquetStore(tmp_path).entry("f1", bucket_size=4)
+    e.store_logs(_logs(0x1, 3, 1))  # indx 0-2, hash of block 0x1
+    e.store_logs(_logs(0x2, 3, 2))  # indx 3-5
+    e.store_logs(_logs(0x3, 4, 3))  # indx 6-9, spans buckets 1-2
+    tail_hash = mock(0x3).num(3).hash
+    mid_hash = mock(0x2).num(2).hash
+    got = e.scan_tail({tail_hash, mid_hash})
+    assert [r["indx"] for r in got] == [3, 4, 5, 6, 7, 8, 9]
+    # a hash set matching only non-tail rows yields nothing (walk stops)
+    assert e.scan_tail({mock(0x1).num(1).hash}) == []
