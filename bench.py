@@ -40,6 +40,27 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # tracker pipeline throughput: full sync of a 2000-block mock chain
+    # (4000 logs) incl. a live 5-block reorg — the reference's own implied
+    # envelope is 100 mock blocks in 1-2 s (tracker_test.go:249,301,332)
+    import tempfile
+
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+    from eth_event_tracker_spark.store import ParquetStore
+    from eth_event_tracker_spark.streaming import Tracker
+
+    prov = MockProvider()
+    prov.advance(2000, logs_per_block=2)
+    t0 = time.perf_counter()
+    tr = Tracker(prov, ParquetStore(tempfile.mkdtemp()), FilterConfig(batch_size=200))
+    tr.sync()
+    prov.fork(5, logs_per_block=2)
+    tr.poll()
+    timings["tracker_sync_2k_blocks"] = round(time.perf_counter() - t0, 4)
+    assert tr.entry.last_index() == 4000 + 0  # 2000*2 logs, reorg net-neutral
+    print(f"# tracker_sync_2k_blocks: {timings['tracker_sync_2k_blocks']:.3f}s", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),

@@ -433,3 +433,71 @@ def logs_topics_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos", "topic")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain validation — parent-linkage integrity (the invariant findAncestor
+# walks rely on, tracker.go:291-314): every block's parent_hash must equal
+# the previous block's hash; report violations + chain stats
+# ---------------------------------------------------------------------------
+@register(
+    "blocks_chain_validation",
+    f"""
+WITH canon AS ({blocks_cte_duckdb(fork=False)})
+SELECT COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN p.block_hash IS NOT NULL AND c.parent_hash <> p.block_hash THEN 1 ELSE 0 END) AS BIGINT) AS bad_links,
+       CAST(SUM(CASE WHEN p.block_hash IS NULL AND c.block_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gaps
+FROM canon c LEFT JOIN canon p ON c.block_num = p.block_num + 1
+""",
+    doc="chain integrity: parent-hash linkage + continuity audit",
+)
+def blocks_chain_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = derived_blocks(spark, sf_dir, fork=False)
+    p = canon.select(
+        (F.col("block_num") + 1).alias("next_num"), F.col("block_hash").alias("p_hash")
+    )
+    j = canon.join(p, canon.block_num == p.next_num, "left")
+    return j.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(
+            F.when(F.col("p_hash").isNotNull() & (F.col("parent_hash") != F.col("p_hash")), 1).otherwise(0)
+        ).cast("long").alias("bad_links"),
+        F.sum(
+            F.when(F.col("p_hash").isNull() & (F.col("block_num") > 0), 1).otherwise(0)
+        ).cast("long").alias("gaps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-block enrichment — join the fact stream to the header dimension and
+# verify hash agreement (S-4 lookup join; the batch form of fork-exact
+# reads, tracker.go:799-800)
+# ---------------------------------------------------------------------------
+@register(
+    "logs_block_enrich",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+canon AS ({blocks_cte_duckdb(fork=False)})
+SELECT CAST(l.block_num // 10 AS BIGINT) AS block_decade,
+       COUNT(*) AS n_logs,
+       CAST(SUM(CASE WHEN l.block_hash = b.block_hash THEN 1 ELSE 0 END) AS BIGINT) AS hash_agree,
+       COUNT(DISTINCT b.parent_hash) AS n_parents
+FROM logs l JOIN canon b ON l.block_num = b.block_num
+GROUP BY 1
+""",
+    doc="S-4 lookup join: enrich logs with headers, verify fork-exact hash agreement",
+)
+def logs_block_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = derived_logs(spark, sf_dir)
+    blocks = derived_blocks(spark, sf_dir, fork=False).select(
+        F.col("block_num").alias("b_num"), F.col("block_hash").alias("b_hash"), "parent_hash"
+    )
+    return (
+        logs.join(F.broadcast(blocks), logs.block_num == blocks.b_num)
+        .groupBy(F.expr("block_num DIV 10").alias("block_decade"))
+        .agg(
+            F.count("*").alias("n_logs"),
+            F.sum(F.when(F.col("block_hash") == F.col("b_hash"), 1).otherwise(0)).cast("long").alias("hash_agree"),
+            F.countDistinct("parent_hash").alias("n_parents"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Simulate the driver: vanilla SparkSession (no engine configs), import
+__spark_entry__, smoke entry(), then run every queries()[k] at sf0.01 vs
+oracle_sql()[k] in DuckDB — row count + column names + sorted value compare."""
+import sys, math
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession
+import duckdb, pandas as pd, numpy as np
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.host", "127.0.0.1")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+n = df.count()
+print(f"SMOKE entry(): rows={n} schema={[f.name for f in df.schema.fields]}")
+assert n > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs, os_ = e.queries(), e.oracle_sql()
+def canon(v):
+    if v is None: return "N"
+    if isinstance(v, float):
+        return "N" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple, np.ndarray)): return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+fails = []
+for name, fn in qs.items():
+    try:
+        sp = fn(spark, SF).toPandas()
+        if name not in os_:
+            print(f"ROWS-ONLY {name}: rows={len(sp)}")
+            continue
+        du = con.execute(os_[name]).fetchdf()
+        ok_cnt = len(sp) == len(du)
+        ok_cols = sorted(sp.columns) == sorted(du.columns)
+        a = sp.reindex(sorted(sp.columns), axis=1).apply(lambda c: c.map(canon)).sort_values(by=sorted(sp.columns)).reset_index(drop=True)
+        b = du.reindex(sorted(du.columns), axis=1).apply(lambda c: c.map(canon)).sort_values(by=sorted(du.columns)).reset_index(drop=True)
+        ok_vals = a.equals(b)
+        status = "OK" if (ok_cnt and ok_cols and ok_vals) else "MISMATCH"
+        print(f"{status} {name}: rows {len(sp)}/{len(du)} cols_ok={ok_cols} vals_ok={ok_vals}")
+        if status != "OK": fails.append(name)
+    except Exception as ex:
+        print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:200]}")
+        fails.append(name)
+print("FAILED:" if fails else "ALL OK:", fails if fails else len(qs))
+sys.exit(1 if fails else 0)
