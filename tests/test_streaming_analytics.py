@@ -180,3 +180,49 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_unique = ev.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join (clicks ⋈ purchases within 30 min per
+    user), both sides watermarked — equals the batch join."""
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+
+    def sides(df):
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        )
+        purchases = (
+            df.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        )
+        return clicks, purchases
+
+    # batch twin
+    bc, bp = sides(ev)
+    batch = bc.join(
+        bp,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id")
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sc, sp = sides(stream)
+    joined = (
+        sc.withWatermark("c_ts", "2 hours")
+        .join(
+            sp.withWatermark("p_ts", "2 hours"),
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("click_id", "purchase_id")
+    )
+    q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {(r.click_id, r.purchase_id) for r in spark.table("ssj").collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
