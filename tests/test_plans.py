@@ -80,3 +80,21 @@ def test_address_filter_is_source_predicate(spark, sf_dir):
     assert "In(address" in squashed or "EqualTo(address" in squashed
     # reading an entry must not cost a shuffle
     assert "Exchange" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union-window as-of join must cost exactly one exchange for the
+    window (plus broadcast-free unions) — no range cross join."""
+    q = REGISTRY["events_asof_join"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exactly two hash exchanges: the clicks dedup aggregate + the single
+    # union-window shuffle; the as-of itself never joins
+    assert plan.count("hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    q = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
+    plan = plan_of(q)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
