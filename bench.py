@@ -52,13 +52,14 @@ def main() -> None:
 
     prov = MockProvider()
     prov.advance(2000, logs_per_block=2)
-    t0 = time.perf_counter()
-    tr = Tracker(prov, ParquetStore(tempfile.mkdtemp()), FilterConfig(batch_size=200))
-    tr.sync()
-    prov.fork(5, logs_per_block=2)
-    tr.poll()
-    timings["tracker_sync_2k_blocks"] = round(time.perf_counter() - t0, 4)
-    assert tr.entry.last_index() == 4000 + 0  # 2000*2 logs, reorg net-neutral
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        tr = Tracker(prov, ParquetStore(tmp), FilterConfig(batch_size=200))
+        tr.sync()
+        prov.fork(5, logs_per_block=2)
+        tr.poll()
+        timings["tracker_sync_2k_blocks"] = round(time.perf_counter() - t0, 4)
+        assert tr.entry.last_index() == 4000  # 2000*2 logs, reorg net-neutral
     print(f"# tracker_sync_2k_blocks: {timings['tracker_sync_2k_blocks']:.3f}s", file=sys.stderr)
 
     out = {

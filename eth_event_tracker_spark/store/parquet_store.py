@@ -274,23 +274,34 @@ class ParquetEntry:
         collect rows from the end while their block_hash is in the removed
         set; stop at the first non-matching row.  Reads only the bucket(s)
         actually touched by the reorg — O(reorg depth), never O(entry)."""
-        victims: list[dict] = []
+        # pass 1: locate the boundary reading ONLY (indx, block_hash) —
+        # a shallow reorg never deserializes the wide columns of a 10k-row
+        # bucket just to peel off a few victims
+        boundary: int | None = None
         stop = False
         for k in reversed(self._buckets()):
-            rows = []
+            keys = []
             for f in self._bucket_files(k):
-                rows.extend(pq.read_table(f).to_pylist())
-            rows.sort(key=lambda r: r["indx"])
-            for r in reversed(rows):
+                keys.extend(pq.read_table(f, columns=["indx", "block_hash"]).to_pylist())
+            keys.sort(key=lambda r: r["indx"])
+            for r in reversed(keys):
                 if r["block_hash"] in block_hashes:
-                    victims.append(r)
+                    boundary = r["indx"]
                 else:
                     stop = True
                     break
             if stop:
                 break
             # bucket empty or fully matched → walk into the previous bucket
-        victims.reverse()
+        if boundary is None:
+            return []
+        # pass 2: fetch the full victim rows (exactly the reorg tail)
+        victims: list[dict] = []
+        for k in range(boundary // self.bucket_size, (self._last_index - 1) // self.bucket_size + 1):
+            for f in self._bucket_files(k):
+                t = pq.read_table(f, filters=[("indx", ">=", boundary)])
+                victims.extend(t.to_pylist())
+        victims.sort(key=lambda r: r["indx"])
         return victims
 
     def compact(self, bucket: int | None = None) -> int:

@@ -25,10 +25,11 @@ def main() -> None:
     spark = get_spark("demo")
     spark.sparkContext.setLogLevel("ERROR")
 
+    tmp = tempfile.TemporaryDirectory()
     # 1. a chain with 200 blocks x 2 logs, tracked by event signature
     prov = MockProvider()
     prov.advance(200, logs_per_block=2)
-    store = ParquetStore(tempfile.mkdtemp())
+    store = ParquetStore(tmp.name)
     cfg = FilterConfig(topics=(EVENT_SIGS[0],), batch_size=50)
     tracker = Tracker(prov, store, cfg)
     clog = store.changelog_entry(cfg.filter_hash)
