@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     logs = derived_logs(spark, "/root/testdata/sf0.001")
     matched = OPF.topic_filter(OPF.address_filter(logs, address_pool()[:3]), [sig_pool()[0], None])
-    indexed = OPI.assign_indx(matched)
+    indexed = OPI.assign_indx_scalable(matched)
     return indexed.groupBy("address").agg(
         F.count("*").alias("n_logs"),
         F.max("indx").alias("max_indx"),

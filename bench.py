@@ -40,6 +40,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # throughput tiers that are pytest-pinned to their exact twins (not in
+    # the oracle registry) still get benchmarked
+    from eth_event_tracker_spark.queries.llmdata import (
+        embedding_cosine_topk_fast,
+        embedding_near_dup_lsh,
+    )
+
+    for extra in (embedding_cosine_topk_fast, embedding_near_dup_lsh):
+        t0 = time.perf_counter()
+        n = extra(spark, sf_dir).count()
+        timings[extra.__name__] = round(time.perf_counter() - t0, 4)
+        print(f"# {extra.__name__}: {timings[extra.__name__]:.3f}s rows={n}", file=sys.stderr)
+
     # tracker pipeline throughput: full sync of a 2000-block mock chain
     # (4000 logs) incl. a live 5-block reorg — the reference's own implied
     # envelope is 100 mock blocks in 1-2 s (tracker_test.go:249,301,332)

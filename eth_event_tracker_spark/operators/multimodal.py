@@ -63,7 +63,12 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     # deterministic stand-ins for decoded dimensions
                     "fake_width": payloads.map(lambda b: 16 * (1 + b[2] % 64)).astype("int64"),
                     "fake_height": payloads.map(lambda b: 16 * (1 + b[3] % 64)).astype("int64"),
-                    "checksum": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    # checksum over the hex encoding (not raw bytes): byte-
+                    # deterministic AND expressible in engines whose sha256
+                    # only accepts strings — keeps the oracle portable
+                    "checksum": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
+                    ),
                 }
             )
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import filters as OPF
 from ..operators import indexing as OPI
+from ..operators.scalars import with_scalars
 from ..tables import (
     FORK_DEPTH,
     KV_CTE_DUCKDB,
@@ -115,11 +116,13 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS B
        block_num, tx_index, log_index, tx_hash
 FROM logs
 """,
-    doc="S-5 ordered indx via row_number over the canonical key",
+    doc="S-5 ordered indx via the two-phase range-partitioned sequence (scale plan)",
 )
 def logs_indx_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    return OPI.assign_indx(logs).select("indx", "block_num", "tx_index", "log_index", "tx_hash")
+    return OPI.assign_indx_scalable(logs).select(
+        "indx", "block_num", "tx_index", "log_index", "tx_hash"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +137,7 @@ SELECT COUNT(*) AS last_index FROM logs
     doc="S-8 LastIndex = 1 + max(indx) = count for a dense sequence",
 )
 def logs_last_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = OPI.assign_indx(derived_logs(spark, sf_dir))
+    logs = OPI.assign_indx_scalable(derived_logs(spark, sf_dir))
     return OPI.last_index(logs)
 
 
@@ -155,7 +158,7 @@ FROM numbered WHERE indx = 123
     doc="S-7 GetLog(123)",
 )
 def logs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = OPI.assign_indx(derived_logs(spark, sf_dir))
+    logs = OPI.assign_indx_scalable(derived_logs(spark, sf_dir))
     return OPI.point_lookup(logs, 123).select(
         "indx", "block_num", "tx_index", "log_index", "tx_hash", "address"
     )
@@ -179,7 +182,7 @@ WHERE block_num > m.n
 )
 def logs_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    logs = logs.withColumn("_n", F.max("block_num").over(Window.partitionBy()) - 2)
+    logs = with_scalars(logs, _n=F.max("block_num") - 2)
     fork_hash_at_n = F.concat(F.lit("0x"), F.sha2(F.concat(F.lit("blkfork"), F.col("_n").cast("string")), 256))
     pred = (F.col("block_num") > F.col("_n")) | (
         (F.col("block_num") == F.col("_n")) & (F.col("block_hash") != fork_hash_at_n)
@@ -203,7 +206,7 @@ WHERE block_num > m.last_block
 )
 def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    logs = logs.withColumn("_last", F.max("block_num").over(Window.partitionBy()) - 5)
+    logs = with_scalars(logs, _last=F.max("block_num") - 5)
     return (
         logs.where(F.col("block_num") > F.col("_last"))
         .agg(

@@ -232,12 +232,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # 64-bit majority-vote signature is not reasonably SQL-expressible
-    doc="SimHash-64 near-dups (Hamming ≤ 6, pigeonhole-blocked); verified in pytest vs Jaccard ground truth",
+    f"""
+WITH {_SHINGLES_CTE},
+hx AS (SELECT doc_id, {duck_sha15_expr("shingle", "0")} AS x0, {duck_sha15_expr("shingle", "1")} AS x1 FROM sh),
+hv AS (SELECT doc_id, {duck_digitsum_expr("x0")} AS h0, {duck_digitsum_expr("x1")} AS h1 FROM hx),
+votes AS (
+  SELECT doc_id, bt.bit_pos,
+         SUM(CASE WHEN (((CASE WHEN bt.bit_pos < 60 THEN h0 ELSE h1 END)
+                         >> (CASE WHEN bt.bit_pos < 60 THEN bt.bit_pos ELSE bt.bit_pos - 60 END)) & 1) = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS bit_pos) bt
+  GROUP BY doc_id, bt.bit_pos
+),
+sigs AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, cs.c AS chunk_id, (simhash >> (cs.c * 9)) & 511 AS chunk
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS c) cs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a JOIN chunks b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+""",
+    doc="SimHash-63 near-dups (Hamming ≤ 6, pigeonhole-blocked) — hash60-based, so fully oracle-checked",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPD.simhash_near_dups(docs, max_hamming=6)
+    return OPD.simhash_near_dups(docs, max_hamming=6).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -281,12 +309,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_topk_exact(queries, corpus, k=5)
 
 
-@register(
-    "embedding_cosine_topk_fast",
-    None,  # float accumulation order differs from SQL — verified vs exact tier in pytest
-    doc="Arrow/numpy mapInPandas cosine top-5 — the throughput tier (corpus never shuffles)",
-)
+# NOT registered: float accumulation order differs from SQL — pytest pins it
+# to the exact tier (test_llmdata), and bench.py times it as an extra entry.
 def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy mapInPandas cosine top-5 — the throughput tier (corpus never shuffles)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
@@ -310,8 +336,20 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_features",
-    None,  # binary synthesis + mapInPandas stub: schema/plumbing is the contract
-    doc="multimodal binary column plumbing: synth payloads → mapInPandas feature extraction (decode stubbed)",
+    """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(4 + octet_length(encode(text)) AS BIGINT) AS byte_len,
+       'feed' AS header_magic,
+       CAST(16 AS BIGINT) AS fake_width,
+       CAST(16 * (1 + (doc_id % 256) % 64) AS BIGINT) AS fake_height,
+       sha256(lower(hex(from_hex('feed' || lpad(to_hex(doc_id % 256), 4, '0')) || encode(text)))) AS checksum
+FROM documents
+""",
+    doc="multimodal binary column plumbing: synth payloads → mapInPandas feature extraction "
+    "(decode stubbed; the synth header + byte-level features are deterministic, hence oracle-checked)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, synth_assets
@@ -472,11 +510,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_near_dup_pairs(emb, threshold=0.3)
 
 
-@register(
-    "embedding_near_dup_lsh",
-    None,  # approximate candidate set — verified vs exact tier in pytest
-    doc="embedding near-dup via LSH buckets + exact verify — the scale tier",
-)
+# NOT registered: approximate candidate set — pytest verifies it as a subset
+# of the exact tier, and bench.py times it as an extra entry.
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH buckets + exact verify — the scale tier."""
     emb = load_table(spark, sf_dir, "embeddings")
     return OPS.cosine_near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.scalars import with_scalars
 from ..tables import LOGS_CTE_DUCKDB, derived_logs, load_table
 from . import register
 
@@ -210,7 +211,7 @@ GROUP BY 1
 )
 def logs_finality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    logs = logs.withColumn("_head", F.max("block_num").over(Window.partitionBy()))
+    logs = with_scalars(logs, _head=F.max("block_num"))
     return (
         logs.withColumn(
             "finality",

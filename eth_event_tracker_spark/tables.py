@@ -156,7 +156,9 @@ FORK_DEPTH = 4
 def derived_blocks(spark: SparkSession, sf_dir: str, fork: bool = False) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     nums = ev.select(F.expr("event_id DIV 5").alias("block_num")).distinct()
-    df = nums.withColumn("_max", F.max("block_num").over(Window.partitionBy()))
+    # scalar head via agg + broadcast cross join — not a single-partition
+    # window (operators/scalars.py has the scale rationale)
+    df = nums.crossJoin(F.broadcast(nums.agg(F.max("block_num").alias("_max"))))
     if fork:
         pfx = F.when(F.col("block_num") > F.col("_max") - F.lit(FORK_DEPTH), F.lit("blkfork")).otherwise(F.lit("blk"))
         pfx_parent = F.when(F.col("block_num") - 1 > F.col("_max") - F.lit(FORK_DEPTH), F.lit("blkfork")).otherwise(F.lit("blk"))

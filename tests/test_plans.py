@@ -98,3 +98,31 @@ def test_q5_all_dims_broadcast(spark, sf_dir):
     q = REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir)
     plan = plan_of(q)
     assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_global_scalars_are_not_single_partition_windows(spark, sf_dir):
+    """Global scalar max must be agg + broadcast cross join — an
+    empty-partitionBy window would move the entire fact table into one
+    task before filtering (the round-1 scale-killer)."""
+    for name in ("logs_tail_truncate", "checkpoint_resume", "logs_finality_split"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "Window" not in plan, f"{name}: global scalar must not use a window"
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}: scalar must be broadcast"
+
+
+def test_derived_blocks_no_global_window(spark, sf_dir):
+    from eth_event_tracker_spark.tables import derived_blocks
+
+    for fork in (False, True):
+        plan = plan_of(derived_blocks(spark, sf_dir, fork=fork))
+        assert "Window" not in plan
+
+
+def test_indx_assignment_two_phase_range_partitioned(spark, sf_dir):
+    """The driver-verified indx query must run the scale plan: range
+    partitioning + per-partition sort, NOT a single-reducer global
+    row_number.  The only SinglePartition exchange allowed is the tiny
+    per-partition-counts offsets aggregate (≤ one row per partition)."""
+    plan = plan_of(REGISTRY["logs_indx_assignment"].fn(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange SinglePartition") <= 1
