@@ -60,18 +60,32 @@ class FileChainReader:
         b = self.blocks[-1]
         return Header(b["number"], b["hash"], b["parent_hash"])
 
+    @staticmethod
+    def _match(lg: dict, addr: set[str], topics) -> bool:
+        if addr and lg["address"].lower() not in addr:
+            return False
+        for i, t in enumerate(topics or ()):
+            if t is not None and (i >= len(lg["topics"]) or lg["topics"][i] != t):
+                return False
+        return True
+
     def get_logs(self, from_block: int, to_block: int, addresses=(), topics=()) -> list[dict]:
-        out = []
         addr = {a.lower() for a in addresses}
-        for b in self.blocks[from_block : to_block + 1]:
-            for lg in b["logs"]:
-                if addr and lg["address"].lower() not in addr:
-                    continue
-                ok = True
-                for i, t in enumerate(topics or ()):
-                    if t is not None and (i >= len(lg["topics"]) or lg["topics"][i] != t):
-                        ok = False
-                        break
-                if ok:
-                    out.append(lg)
-        return out
+        return [
+            lg
+            for b in self.blocks[from_block : to_block + 1]
+            for lg in b["logs"]
+            if self._match(lg, addr, topics)
+        ]
+
+    def count_logs_per_block(
+        self, from_block: int, to_block: int, addresses=(), topics=()
+    ) -> list[int]:
+        """Per-block matching-log counts — the admission-control path: the
+        stream reader's AIMD probe needs only counts, never row data, so
+        the driver stays O(blocks) regardless of log density."""
+        addr = {a.lower() for a in addresses}
+        return [
+            sum(1 for lg in b["logs"] if self._match(lg, addr, topics))
+            for b in self.blocks[from_block : to_block + 1]
+        ]

@@ -94,10 +94,13 @@ class Web3LogBatchReader(DataSourceReader):
         reader = FileChainReader(self.options["chain_dir"])
         head = reader.head().number
         start = int(self.options.get("start_block", 0))
+        # bounded backfill reads stop at end_block (e.g. head − backlog: the
+        # Tracker's bulk phase must not touch the reorg-mutable tail)
+        end = min(head, int(self.options.get("end_block", head)))
         n = max(1, int(self.options.get("n_slices", 4)))
-        step = max(1, (head - start + 1 + n - 1) // n)
+        step = max(1, (end - start + 1 + n - 1) // n)
         return [
-            RangePartition(s, min(s + step - 1, head)) for s in range(start, head + 1, step)
+            RangePartition(s, min(s + step - 1, end)) for s in range(start, end + 1, step)
         ]
 
     def read(self, partition: RangePartition) -> Iterator[tuple]:
@@ -158,14 +161,18 @@ class Web3LogStreamReader(DataSourceStreamReader):
         if final_head < start:
             return {"block": start, "pace": int(self._pace)}
         # AIMD admission: halve if last batch would exceed the row cap,
-        # else grow 10% of nominal (tracker.go:341-394)
+        # else grow 10% of nominal (tracker.go:341-394).  COUNT-ONLY: the
+        # driver fetches per-block counts once for the widest candidate
+        # range; every halving step is then prefix-sum arithmetic — no row
+        # data ever materializes on the driver, and no re-fetch per probe.
         size = max(1, int(self._pace))
         end = min(start + size - 1, final_head)
-        rows = len(reader.get_logs(start, end, self.addresses, self.topics))
+        counts = reader.count_logs_per_block(start, end, self.addresses, self.topics)
+        rows = sum(counts)
         while rows > self.max_rows and end > start:
             self._pace = max(1.0, self._pace / 2)
             end = min(start + max(1, int(self._pace)) - 1, final_head)
-            rows = len(reader.get_logs(start, end, self.addresses, self.topics))
+            rows = sum(counts[: end - start + 1])
         self._pace = min(float(self.nominal), self._pace + self.nominal / 10)
         off = {"block": end + 1, "pace": int(self._pace)}
         self._last = off

@@ -246,6 +246,23 @@ class ParquetEntry:
             return spark.createDataFrame([], LOG_SCHEMA)
         return spark.read.parquet(*files)
 
+    def tail_df(self, spark, max_rows: int):
+        """The trailing bucket(s) covering at least the last ``max_rows``
+        rows, as a DataFrame — O(tail), never O(entry).  The replay guard
+        uses this: a re-delivered micro-batch can only collide with the
+        final committed append, so only that suffix needs scanning.
+        Returns None when the entry is empty."""
+        lo_bucket = max(0, self._last_index - max_rows) // self.bucket_size
+        files = [
+            str(f)
+            for k in self._buckets()
+            if k >= lo_bucket
+            for f in self._bucket_files(k)
+        ]
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
     def append_df(self, df) -> int:
         """Bulk path: append a Spark DataFrame of raw logs (no indx).
         Distributed write — assigns indx via the scalable two-phase
@@ -303,6 +320,37 @@ class ParquetEntry:
                 victims.extend(t.to_pylist())
         victims.sort(key=lambda r: r["indx"])
         return victims
+
+    def truncate_above_block(self, block_num: int) -> int:
+        """Drop the tail of rows with block_num > ``block_num`` and return
+        how many were removed.
+
+        Crash-recovery helper: the append protocol writes logs *before*
+        advancing the lastBlock checkpoint (tracker.go:369-382 ordering),
+        so a crash in between leaves at most one batch of rows above the
+        checkpoint.  Appends are block-ordered, so that suffix is
+        contiguous — the same O(tail) reverse walk as :meth:`scan_tail`,
+        with a block-number predicate instead of a hash set."""
+        boundary: int | None = None
+        stop = False
+        for k in reversed(self._buckets()):
+            keys = []
+            for f in self._bucket_files(k):
+                keys.extend(pq.read_table(f, columns=["indx", "block_num"]).to_pylist())
+            keys.sort(key=lambda r: r["indx"])
+            for r in reversed(keys):
+                if r["block_num"] > block_num:
+                    boundary = r["indx"]
+                else:
+                    stop = True
+                    break
+            if stop:
+                break
+        if boundary is None:
+            return 0
+        removed = self._last_index - boundary
+        self.remove_logs(boundary)
+        return removed
 
     def compact(self, bucket: int | None = None) -> int:
         """Merge a bucket's small files into one (head micro-batches write

@@ -48,14 +48,7 @@ def start_finalized_ingest(
     entry = store.entry(config.filter_hash)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # replay guard (exactly-once upgrade): anti-join against already-
-        # stored natural keys, fully distributed; only the key set of the
-        # tail bucket would be needed in a tuned version
-        existing = entry.df(spark).select(*NATURAL_KEY)
-        fresh = batch_df.dropDuplicates(list(NATURAL_KEY)).join(
-            existing, list(NATURAL_KEY), "left_anti"
-        )
-        entry.append_df(fresh)
+        entry.append_df(dedup_against_tail(spark, entry, batch_df))
 
     reader = (
         spark.readStream.format("web3logs")
@@ -71,6 +64,23 @@ def start_finalized_ingest(
         .writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def dedup_against_tail(spark: SparkSession, entry: ParquetEntry, batch_df: DataFrame) -> DataFrame:
+    """Replay guard (exactly-once upgrade of the reference's at-least-once
+    commit order, tracker.go:369-382): drop batch rows whose natural key is
+    already stored.  Appends are sequential, so a re-delivered micro-batch
+    can only collide with the LAST committed append — the guard anti-joins
+    against the trailing bucket(s) covering one batch of rows, never the
+    whole (100 TB) entry."""
+    batch_df = batch_df.dropDuplicates(list(NATURAL_KEY))
+    n = batch_df.count()  # micro-batch sized; bounds the tail read
+    tail = entry.tail_df(spark, max_rows=max(n, 1))
+    if tail is None:
+        return batch_df
+    return batch_df.join(
+        F.broadcast(tail.select(*NATURAL_KEY)), list(NATURAL_KEY), "left_anti"
     )
 
 

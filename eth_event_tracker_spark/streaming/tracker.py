@@ -65,6 +65,10 @@ class Tracker:
         head_retry: int = 5,  # tracker.go:806-811: 5 × 500 ms
         head_retry_delay: float = 0.0,  # 0 in tests; 0.5 in production
         activity_index=None,  # S-3: external first-activity index (Etherscan analogue)
+        spark=None,  # enables the distributed bulk backfill path
+        chain_dir: str | None = None,  # executor-readable chain (web3logs source)
+        distributed_bulk_threshold: int = 1_000,  # bulk gap that justifies a Spark job
+        on_progress=None,  # C-5: callback(dict) per sync step (SyncCh analogue)
     ) -> None:
         self.provider = provider
         self.store = store
@@ -74,6 +78,14 @@ class Tracker:
         self.window = HeadWindow(max_backlog=self.config.max_block_backlog)
         self.head_retry = head_retry
         self.head_retry_delay = head_retry_delay
+        self.spark = spark
+        self.chain_dir = chain_dir
+        self.distributed_bulk_threshold = distributed_bulk_threshold
+        self.on_progress = on_progress
+        # C-5 — queryable sync progress (the reference exposes SyncCh /
+        # ReadyCh / WaitDuration, tracker.go:143-147,264-289; here one
+        # status dict updated per step + an optional push callback)
+        self.progress: dict = {"phase": "idle", "height": -1, "target": -1, "synced": False}
         self._batch_size = float(self.config.batch_size)  # AIMD state (C-1)
         self._setup()
 
@@ -110,6 +122,12 @@ class Tracker:
         s = self.store.get(key_last_block(self.config.filter_hash))
         return _header_from_json(s) if s else None
 
+    # -- C-5: progress reporting --------------------------------------------
+    def _report(self, phase: str, height: int, target: int, synced: bool = False) -> None:
+        self.progress.update(phase=phase, height=height, target=target, synced=synced)
+        if self.on_progress is not None:
+            self.on_progress(dict(self.progress))
+
     # -- S-1 + C-1: bulk range scan with AIMD batching (syncBatch,
     #    tracker.go:338-400) ------------------------------------------------
     def _sync_batch(self, from_block: int, to_block: int) -> list[ChangelogEvent]:
@@ -142,19 +160,62 @@ class Tracker:
                 self._commit_checkpoint(hdr)  # per-batch commit, tracker.go:376-382
             # additive increase: +10% of nominal, capped (tracker.go:342,391-394)
             self._batch_size = min(nominal, self._batch_size + nominal / 10)
+            self._report("bulk", end, to_block)
             cur = end + 1
         return events
 
+    # -- S-1 at scale: distributed bulk backfill (the 100 TB path) ----------
+    def _bulk_backfill_spark(self, from_block: int, to_block: int) -> int:
+        """Backfill [from_block, to_block] as a Spark job: `web3logs` batch
+        read (filter pushed into every partition fetch, range split across
+        executors) → ``entry.append_df`` (two-phase indx, distributed
+        parquet write).  Row-identical to the driver-side ``_sync_batch``
+        path — the restart/crash contract is unchanged because the data
+        write still lands before the checkpoint commit.
+
+        No per-row ChangelogEvent is emitted for bulk rows: a 100 TB
+        backfill cannot pass through a driver-side list; consumers read
+        the entry (or the changelog table) directly.  The reference's bulk
+        phase equally bypasses per-log events until the head phase
+        (tracker.go:582-715)."""
+        from ..sources.web3_source import Web3LogDataSource
+
+        try:
+            self.spark.dataSource.register(Web3LogDataSource)
+        except Exception:
+            pass  # already registered on this session
+        df = (
+            self.spark.read.format("web3logs")
+            .option("chain_dir", self.chain_dir)
+            .option("start_block", str(from_block))
+            .option("end_block", str(to_block))
+            .option("addresses", json.dumps(list(self.config.addresses)))
+            .option("topics", json.dumps(list(self.config.topics)))
+            .load()
+        )
+        n = self.entry.append_df(df)
+        hdr = self.provider.get_block_by_number(to_block)
+        if hdr is not None:
+            self._commit_checkpoint(hdr)
+        self._report("bulk", to_block, to_block)
+        return n
+
     # -- S-2 + O-7: fork-exact per-block fetch with retry (tracker.go:797-815)
     def _logs_by_hash(self, block_hash: str) -> list[dict]:
+        """Retries PROVIDER ERRORS 5×500 ms (tracker.go:806-812: a lagging
+        node may not serve a fresh head hash yet); an empty list is a valid
+        answer (block with no matching logs) and returns immediately —
+        retrying on empty would cost head_retry RPCs per quiet block."""
         for attempt in range(self.head_retry):
-            logs = self.provider.get_logs_by_hash(
-                block_hash, self.config.addresses, self.config.topics
-            )
-            if logs or attempt == self.head_retry - 1:
-                return logs
-            if self.head_retry_delay:
-                time.sleep(self.head_retry_delay)
+            try:
+                return self.provider.get_logs_by_hash(
+                    block_hash, self.config.addresses, self.config.topics
+                )
+            except Exception:
+                if attempt == self.head_retry - 1:
+                    raise
+                if self.head_retry_delay:
+                    time.sleep(self.head_retry_delay)
         return []
 
     # -- A-2/A-3: rollback removed blocks' logs ------------------------------
@@ -215,39 +276,60 @@ class Tracker:
     def _fast_track(self) -> int:
         """Skip dead history on first sync: ask the external activity index
         for each address's first active block, start at the minimum
-        (min across addresses, tracker.go:500-509). Falls back to the
-        configured start_block when no index or no addresses."""
+        (min across addresses, tracker.go:500-509).
+
+        A user-provided start block wins outright and skips the probe
+        entirely (tracker.go:447-454); an address with no indexed activity
+        maps to 0, so the min conservatively falls back to genesis — both
+        exactly the reference's override interplay."""
+        if self.config.start_block != 0:
+            return self.config.start_block
         if self.activity_index is None or not self.config.addresses:
-            return self.config.start_block
-        firsts = [
-            b
-            for b in (
-                self.activity_index.first_activity_block(a) for a in self.config.addresses
-            )
-            if b is not None
-        ]
-        if not firsts:
-            return self.config.start_block
-        return max(self.config.start_block, min(firsts))
+            return 0
+        return min(
+            self.activity_index.first_activity_block(a) or 0 for a in self.config.addresses
+        )
 
     # -- E2: full sync (syncImpl, tracker.go:582-715) -----------------------
     def sync(self) -> list[ChangelogEvent]:
         self.pre_sync_check()
         events: list[ChangelogEvent] = []
-        last = self.get_last_block()
-        if last is not None:
+        if self.get_last_block() is not None:
             repair = self._repair_on_restart()
             if repair:
                 events.append(repair)
-            origin = self.window.blocks[-1].number + 1 if self.window.blocks else 0
+            # Resume from the MAX of the head-window tail and the lastBlock
+            # checkpoint (re-read after repair — repair rewrites both).  A
+            # crash mid-bulk leaves the persisted window empty/stale while
+            # _sync_batch advanced lastBlock per batch; resuming from the
+            # window alone would re-sync from 0 and append duplicates.  The
+            # reference resumes from last.Number+1 (tracker.go:646).
+            last = self.get_last_block()
+            window_tail = self.window.blocks[-1].number if self.window.blocks else -1
+            origin = max(window_tail, last.number if last else -1) + 1
+            # The append protocol stores logs BEFORE committing the
+            # checkpoint, so a crash in between leaves ≤ one batch of rows
+            # above `origin-1` in the entry; drop them so the re-fetch
+            # can't duplicate (they were never exposed past a committed
+            # checkpoint, so no retraction event is owed)
+            self.entry.truncate_above_block(origin - 1)
         else:
             origin = self._fast_track()  # O-2 skip-scan / S-3 probe
         target = self.provider.latest()
         backlog = self.config.max_block_backlog
-        # BULK phase: everything up to head−backlog via range scans (C-2)
+        # BULK phase: everything up to head−backlog (C-2).  Big gaps run as
+        # a distributed Spark job (web3logs → append_df); small gaps and
+        # reference-parity tests use the driver-side AIMD range scan.
         while target.number - origin > backlog:
             bulk_end = target.number - backlog
-            events.extend(self._sync_batch(origin, bulk_end))
+            if (
+                self.spark is not None
+                and self.chain_dir is not None
+                and bulk_end - origin + 1 >= self.distributed_bulk_threshold
+            ):
+                self._bulk_backfill_spark(origin, bulk_end)
+            else:
+                events.extend(self._sync_batch(origin, bulk_end))
             # seed the window at the bulk boundary so head reconcile connects
             hdr = self.provider.get_block_by_number(bulk_end)
             self.window.blocks = [hdr]
@@ -262,6 +344,8 @@ class Tracker:
             ev = self.handle_head(hdr)
             if ev is not None:
                 events.append(ev)
+            self._report("head", n, target.number)
+        self._report("synced", target.number, target.number, synced=True)
         return events
 
     # -- continuous phase: one poll of the head -----------------------------
@@ -280,6 +364,7 @@ class Tracker:
             ev = self.handle_head(hdr)
             if ev is not None:
                 events.append(ev)
+            self._report("poll", n, target.number, synced=True)
         return events
 
 

@@ -46,6 +46,41 @@ def test_finalized_ingest_exactly_once(spark, tmp_path):
     assert [r["indx"] for r in rows2] == list(range(len(rows2)))
 
 
+def test_replay_guard_reads_only_tail_bucket(spark, tmp_path):
+    """VERDICT r1 #6: the replay guard must anti-join against the trailing
+    bucket(s) only — an injected duplicate batch is fully dropped, and the
+    guard's scan never touches finalized history."""
+    from eth_event_tracker_spark.streaming.pipeline import dedup_against_tail
+
+    store = ParquetStore(tmp_path / "store")
+    entry = store.entry("f1", bucket_size=50)
+    prov = MockProvider()
+    prov.advance(200, logs_per_block=1)  # 200 rows → buckets 0..3
+    logs = [lg for b in prov.canonical for lg in b.logs()]
+    entry.store_logs(logs)
+    assert len(entry._buckets()) == 4
+
+    # guard reads ≤ the buckets covering one batch of rows (here: last one)
+    tail = entry.tail_df(spark, max_rows=30)
+    assert {f.split("bucket=")[1].split("/")[0] for f in tail.inputFiles()} == {"3"}
+
+    # injected duplicate batch (the last 30 rows) → nothing survives the guard
+    dup = spark.createDataFrame(entry.all_logs()[-30:]).drop("indx")
+    assert dedup_against_tail(spark, entry, dup).count() == 0
+
+    # mixed batch: duplicates dropped, genuinely-new rows kept
+    prov.advance(5, logs_per_block=1)
+    new_logs = [lg for b in prov.canonical[-5:] for lg in b.logs()]
+    mixed = spark.createDataFrame(entry.all_logs()[-10:]).drop("indx").unionByName(
+        spark.createDataFrame(new_logs), allowMissingColumns=True
+    )
+    out = dedup_against_tail(spark, entry, mixed)
+    assert out.count() == 5
+    assert {r.block_num for r in out.select("block_num").collect()} == {
+        b.block_number for b in prov.canonical[-5:]
+    }
+
+
 def test_changelog_current_view(spark, tmp_path):
     prov = MockProvider()
     prov.advance(20, logs_per_block=1)
