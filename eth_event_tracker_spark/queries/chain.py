@@ -60,49 +60,42 @@ def logs_address_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P-2 — positional topic filter, exact position 0 (event signature)
+# P-2 — positional topic filter: exact topic0 AND nil-wildcard variants in
+# one query (tracker.go:52-58; tracker_test.go:136: Topics [nil, T]
+# matches any topic0).  Both filter shapes are unioned with a `kind` tag
+# so the single driver slot verifies both semantics.
 # ---------------------------------------------------------------------------
 @register(
     "logs_topic_filter",
     f"""
 WITH logs AS ({LOGS_CTE_DUCKDB})
-SELECT topic1, COUNT(*) AS n_logs
+SELECT 'topic0_exact' AS kind, topic1 AS key, COUNT(*) AS n_logs
 FROM logs
 WHERE topic0 = '{_SIGS[1]}'
 GROUP BY topic1
+UNION ALL
+SELECT 'topic0_wild' AS kind, address AS key, COUNT(*) AS n_logs
+FROM logs
+WHERE topic1 = '{_T1S[3]}'
+GROUP BY address
 """,
-    doc="P-2 positional topic filter, constrained topic0 (tracker.go:52-58)",
+    doc="P-2 positional topic filter: exact topic0 + nil-wildcard, tagged union",
 )
 def logs_topic_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    return (
+    exact = (
         OPF.topic_filter(logs, [_SIGS[1]])
-        .groupBy("topic1")
+        .groupBy(F.col("topic1").alias("key"))
         .agg(F.count("*").alias("n_logs"))
+        .select(F.lit("topic0_exact").alias("kind"), "key", "n_logs")
     )
-
-
-# ---------------------------------------------------------------------------
-# P-2 — wildcard at position 0, constrained position 1
-# (tracker_test.go:136: Topics [nil, T] matches any topic0)
-# ---------------------------------------------------------------------------
-@register(
-    "logs_topic_wildcard",
-    f"""
-WITH logs AS ({LOGS_CTE_DUCKDB})
-SELECT COUNT(*) AS n_logs, COUNT(DISTINCT address) AS n_addr, COUNT(DISTINCT topic0) AS n_sigs
-FROM logs
-WHERE topic1 = '{_T1S[3]}'
-""",
-    doc="P-2 wildcard topic0 + constrained topic1 (tracker_test.go:136)",
-)
-def logs_topic_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = derived_logs(spark, sf_dir)
-    return OPF.topic_filter(logs, [None, _T1S[3]]).agg(
-        F.count("*").alias("n_logs"),
-        F.countDistinct("address").alias("n_addr"),
-        F.countDistinct(F.element_at("topics", 1)).alias("n_sigs"),
+    wild = (
+        OPF.topic_filter(logs, [None, _T1S[3]])
+        .groupBy(F.col("address").alias("key"))
+        .agg(F.count("*").alias("n_logs"))
+        .select(F.lit("topic0_wild").alias("kind"), "key", "n_logs")
     )
+    return exact.unionByName(wild)
 
 
 # ---------------------------------------------------------------------------

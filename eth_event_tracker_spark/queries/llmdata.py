@@ -26,11 +26,15 @@ _WORDS_CTE = f"""
 w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents)
 """
 
-_SHINGLES_CTE = f"""
-{_WORDS_CTE},
+_SHINGLES_TAIL = """
 wi AS (SELECT doc_id, words, unnest(generate_series(0, greatest(len(words) - 3, 0))) AS i FROM w),
 sh AS (SELECT DISTINCT doc_id, array_to_string(words[i+1:i+3], ' ') AS shingle
        FROM wi WHERE array_to_string(words[i+1:i+3], ' ') <> '')
+"""
+
+_SHINGLES_CTE = f"""
+{_WORDS_CTE},
+{_SHINGLES_TAIL}
 """
 
 _JACCARD_TAIL = """
@@ -53,34 +57,16 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) 
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-@register(
-    "text_token_counts",
-    f"""
-WITH {_WORDS_CTE}
-SELECT d.doc_id,
-       len(w.words) AS n_ws_tokens,
-       len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
-FROM documents d JOIN w ON d.doc_id = w.doc_id
-""",
-    doc="token counting: whitespace + BPE-ish regex tokens",
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return OPT.token_counts(docs).select(
-        "doc_id",
-        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-    )
-
-
 _STOP_EN_SQL = ", ".join(f"'{s}'" for s in OPT.LANG_STOPWORDS["en"])
 
 
 @register(
-    "text_quality_scores",
+    "text_tokens_quality",
     f"""
 WITH {_WORDS_CTE}
 SELECT d.doc_id,
+       len(w.words) AS n_ws_tokens,
+       len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
        length(d.text) AS n_chars,
        len(w.words) AS n_words,
        length(array_to_string(w.words, '')) / len(w.words) AS avg_word_len,
@@ -88,11 +74,17 @@ SELECT d.doc_id,
        len(regexp_extract_all(d.text, '[^\\w\\s]')) / length(d.text) AS punct_ratio
 FROM documents d JOIN w ON d.doc_id = w.doc_id
 """,
-    doc="quality scoring: length / word stats / stopword + punctuation ratios",
+    doc="token counting (whitespace + BPE-ish regex) + quality scoring "
+    "(length / word stats / stopword + punctuation ratios) in one per-doc pass",
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPT.quality_scores(docs).select(
+    tokens = OPT.token_counts(docs).select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+    quality = OPT.quality_scores(docs).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_words").cast("long").alias("n_words"),
@@ -100,6 +92,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         "punct_ratio",
     )
+    return tokens.join(quality, "doc_id")
 
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -109,7 +102,7 @@ _LANG_SCORES_SQL = ",\n".join(
 
 
 @register(
-    "text_lang_id",
+    "text_lang_fingerprint",
     f"""
 WITH {_WORDS_CTE},
 scored AS (
@@ -122,36 +115,32 @@ ranked AS (
   SELECT doc_id, s.lang AS pred_lang, s.score AS pred_score,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.score DESC, s.lang DESC) AS rn
   FROM scored
-)
-SELECT doc_id, pred_lang, CAST(pred_score AS BIGINT) AS pred_score
-FROM ranked WHERE rn = 1
-""",
-    doc="language-ID heuristic: stopword-hit argmax per language",
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return OPT.lang_id(docs)
-
-
-@register(
-    "doc_fingerprint",
-    f"""
-WITH {_SHINGLES_CTE},
+),
+lang AS (
+  SELECT doc_id, pred_lang, CAST(pred_score AS BIGINT) AS pred_score
+  FROM ranked WHERE rn = 1
+),
+{_SHINGLES_TAIL},
 hashed AS (SELECT doc_id, {duck_sha15_expr("shingle", "0")} AS h FROM sh),
 vals AS (SELECT DISTINCT doc_id, {duck_digitsum_expr("h")} AS hv FROM hashed),
 sketch AS (
   SELECT doc_id,
          array_to_string(list_transform(list_sort(list(hv))[1:4], x -> CAST(x AS STRING)), ',') AS sketch_minhash
   FROM vals GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id, sha256({_NORM}) AS sha_norm, s.sketch_minhash
+  FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
 )
-SELECT d.doc_id, sha256({_NORM}) AS sha_norm, s.sketch_minhash
-FROM documents d LEFT JOIN sketch s ON d.doc_id = s.doc_id
+SELECT lang.doc_id, lang.pred_lang, lang.pred_score, fp.sha_norm, fp.sketch_minhash
+FROM lang JOIN fp ON lang.doc_id = fp.doc_id
 """,
-    doc="document fingerprinting: sha-256 exact + min-k shingle-hash sketch",
+    doc="language-ID heuristic (stopword-hit argmax) + document fingerprinting "
+    "(sha-256 exact + min-k shingle-hash sketch) in one per-doc pass",
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPT.fingerprint(docs)
+    return OPT.lang_id(docs).join(OPT.fingerprint(docs), "doc_id")
 
 
 # ---------------------------------------------------------------------------

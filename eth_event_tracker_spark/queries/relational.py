@@ -163,48 +163,53 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Grouping sets: ROLLUP over region/nation
+# Grouping sets: ROLLUP + CUBE over region/nation (tagged union — both
+# grouping-set operators verified through one driver slot)
 # ---------------------------------------------------------------------------
 @register(
     "agg_rollup",
     """
-SELECT n.n_name AS nation, r.r_name AS region,
+WITH joined AS (
+  SELECT n.n_name AS nation, r.r_name AS region, c.c_acctbal
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT 'rollup' AS mode, nation, region,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY ROLLUP (r.r_name, n.n_name)
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM joined
+GROUP BY ROLLUP (region, nation)
+UNION ALL
+SELECT 'cube' AS mode, nation, region,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM joined
+GROUP BY CUBE (region, nation)
 """,
-    doc="ROLLUP grouping sets (region, nation) — built-in partial agg per set",
+    doc="ROLLUP + CUBE grouping sets (region, nation) — built-in partial agg per set",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE grouping sets over the same customer/nation/region
+    dims, unioned with a `mode` tag — one driver slot verifies both."""
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
     joined = c.join(n, c.c_nationkey == n.n_nationkey).join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-    return (
-        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.count("*").alias("n_customers"), _sum_dec("c_acctbal").alias("sum_acctbal"))
-        .select("nation", "region", "n_customers", "sum_acctbal")
+    aggs = [F.count("*").alias("n_customers"), _sum_dec("c_acctbal").alias("sum_acctbal")]
+    region = F.col("r_name").alias("region")
+    nation = F.col("n_name").alias("nation")
+    rolled = (
+        joined.rollup(region, nation)
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("mode"), "nation", "region", "n_customers", "sum_acctbal")
     )
-
-
-# ---------------------------------------------------------------------------
-# CUBE over order status/priority
-# ---------------------------------------------------------------------------
-@register(
-    "agg_cube",
-    """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    doc="CUBE grouping sets",
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n_orders"))
+    cubed = (
+        joined.cube(region, nation)
+        .agg(*aggs)
+        .select(F.lit("cube").alias("mode"), "nation", "region", "n_customers", "sum_acctbal")
+    )
+    return rolled.unionByName(cubed)
 
 
 # ---------------------------------------------------------------------------
@@ -313,24 +318,15 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Distinct aggregation (exact) — address-cardinality style
+# Distinct aggregation (exact) — address-cardinality style; folded into the
+# `stats_order_values` driver slot (crossJoin of two single-row aggregates)
 # ---------------------------------------------------------------------------
-@register(
-    "distinct_counts",
-    """
-SELECT COUNT(DISTINCT l_partkey) AS n_parts,
-       COUNT(DISTINCT l_suppkey) AS n_supps,
-       COUNT(DISTINCT l_orderkey) AS n_orders
-FROM lineitem
-""",
-    doc="multi distinct-count (expand + partial agg)",
-)
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_orderkey").alias("n_distinct_orders"),
     )
 
 
@@ -475,12 +471,19 @@ WITH s AS (
          round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS median_price,
          round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9), 6) AS p90_price
   FROM orders
+),
+d AS (
+  SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT l_orderkey) AS n_distinct_orders
+  FROM lineitem
 )
 SELECT n AS n_orders, median_price, p90_price,
-       round(sqrt((sq - sm * sm / n) / (n - 1)), 6) AS stddev_price
-FROM s
+       round(sqrt((sq - sm * sm / n) / (n - 1)), 6) AS stddev_price,
+       n_parts, n_supps, n_distinct_orders
+FROM s CROSS JOIN d
 """,
-    doc="exact quantiles + decimal-exact sample stddev (no float accumulation order dependence)",
+    doc="exact quantiles + decimal-exact sample stddev + exact multi distinct-count (single-row crossJoin)",
 )
 def stats_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -493,12 +496,14 @@ def stats_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.9)"), 6).alias("p90_price"),
     )
-    return s.select(
+    stats = s.select(
         F.col("n").alias("n_orders"),
         "median_price",
         "p90_price",
         F.round(F.sqrt((F.col("sq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)), 6).alias("stddev_price"),
     )
+    # single-row × single-row — Catalyst broadcasts; no data movement
+    return stats.crossJoin(distinct_counts(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
