@@ -122,6 +122,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     return exact.join(sketch, "doc_id", "left")
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word n-grams that appear anywhere in the eval set (the
+    GPT-3/Pile 13-gram overlap filter, n scaled to fixture-size docs).
+
+    Scale shape: the eval side is benchmarks — thousands of docs, not
+    terabytes — so its distinct-gram set is broadcast; the train side is
+    map + broadcast left-semi join + per-doc groupBy.  The 100 TB fact
+    table never shuffles on the gram key.  Rows: (id_col, n_grams, n_hit,
+    contamination)."""
+    tg = word_shingles(train, text_col, n, id_col)
+    eg = word_shingles(eval_df, text_col, n, id_col).select("shingle").distinct()
+    totals = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eg), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_hit.alias("n_hit"),
+        F.round(n_hit / F.col("n_grams"), 9).alias("contamination"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_words: int = 32,

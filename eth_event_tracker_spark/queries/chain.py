@@ -119,23 +119,17 @@ def logs_indx_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S-8 — LastIndex as max aggregate (bolt_store.go:132-144, pg :98-107)
+# S-8 — LastIndex as max aggregate (bolt_store.go:132-144, pg :98-107);
+# folded into the `logs_point_lookup` driver slot (single-row crossJoin)
 # ---------------------------------------------------------------------------
-@register(
-    "logs_last_index",
-    f"""
-WITH logs AS ({LOGS_CTE_DUCKDB})
-SELECT COUNT(*) AS last_index FROM logs
-""",
-    doc="S-8 LastIndex = 1 + max(indx) = count for a dense sequence",
-)
 def logs_last_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = OPI.assign_indx_scalable(derived_logs(spark, sf_dir))
     return OPI.last_index(logs)
 
 
 # ---------------------------------------------------------------------------
-# S-7 — point lookup by indx (store/store.go:34-35)
+# S-7 — point lookup by indx (store/store.go:34-35) + S-8 LastIndex in one
+# driver slot: both single-row results, crossJoined (Catalyst broadcasts)
 # ---------------------------------------------------------------------------
 @register(
     "logs_point_lookup",
@@ -144,17 +138,19 @@ WITH logs AS ({LOGS_CTE_DUCKDB}),
 numbered AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS BIGINT) AS indx, *
   FROM logs
-)
-SELECT indx, block_num, tx_index, log_index, tx_hash, address
-FROM numbered WHERE indx = 123
+),
+li AS (SELECT COUNT(*) AS last_index FROM logs)
+SELECT indx, block_num, tx_index, log_index, tx_hash, address, last_index
+FROM numbered CROSS JOIN li WHERE indx = 123
 """,
-    doc="S-7 GetLog(123)",
+    doc="S-7 GetLog(123) + S-8 LastIndex (single-row crossJoin)",
 )
 def logs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = OPI.assign_indx_scalable(derived_logs(spark, sf_dir))
-    return OPI.point_lookup(logs, 123).select(
+    point = OPI.point_lookup(logs, 123).select(
         "indx", "block_num", "tx_index", "log_index", "tx_hash", "address"
     )
+    return point.crossJoin(OPI.last_index(logs))
 
 
 # ---------------------------------------------------------------------------

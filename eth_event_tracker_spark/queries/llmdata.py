@@ -143,6 +143,45 @@ def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPT.lang_id(docs).join(OPT.fingerprint(docs), "doc_id")
 
 
+_GRAMS5 = """
+i5 AS (SELECT doc_id, words, unnest(generate_series(0, greatest(len(words) - 5, 0))) AS i
+       FROM w WHERE doc_id % 10 <> 7),
+tg AS (SELECT DISTINCT doc_id, array_to_string(words[i+1:i+5], ' ') AS gram
+       FROM i5 WHERE array_to_string(words[i+1:i+5], ' ') <> ''),
+e5 AS (SELECT doc_id, words, unnest(generate_series(0, greatest(len(words) - 5, 0))) AS i
+       FROM w WHERE doc_id % 10 = 7),
+eg AS (SELECT DISTINCT array_to_string(words[i+1:i+5], ' ') AS gram
+       FROM e5 WHERE array_to_string(words[i+1:i+5], ' ') <> '')
+"""
+
+
+@register(
+    "decontamination_ngram",
+    f"""
+WITH {_WORDS_CTE},
+{_GRAMS5},
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit FROM tg
+  WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+       round(COALESCE(h.n_hit, 0) / t.n_grams, 9) AS contamination
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY contamination DESC, t.doc_id
+LIMIT 25
+""",
+    doc="benchmark decontamination: 5-gram overlap of each train doc vs a "
+    "held-out eval set (doc_id % 10 = 7), top-25 most contaminated",
+)
+def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 7)
+    holdout = docs.where(F.col("doc_id") % 10 == 7)
+    res = OPT.ngram_decontaminate(train, holdout, n=5)
+    return res.orderBy(F.desc("contamination"), F.asc("doc_id")).limit(25)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

@@ -136,3 +136,25 @@ def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
         for r in OPS.cosine_near_dup_pairs_lsh(emb, threshold=0.3, n_planes=6).collect()
     }
     assert lsh <= exact or not exact  # LSH verifies exactly, so no false positives
+
+
+def test_ngram_decontaminate(spark):
+    """A train doc identical to an eval doc is fully contaminated; a
+    disjoint-vocabulary doc is 0; the eval docs themselves never appear."""
+    from eth_event_tracker_spark.operators import text as OPT
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # == eval 100
+            (2, "one two three four five six seven eight nine"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in OPT.ngram_decontaminate(train, holdout, n=5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].contamination == 1.0 and rows[1].n_hit == rows[1].n_grams
+    assert rows[2].contamination == 0.0 and rows[2].n_hit == 0
