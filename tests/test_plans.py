@@ -126,3 +126,12 @@ def test_indx_assignment_two_phase_range_partitioned(spark, sf_dir):
     plan = plan_of(REGISTRY["logs_indx_assignment"].fn(spark, sf_dir))
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_decontamination_broadcast_semi_join(spark, sf_dir):
+    """The eval gram set must reach the train side as a broadcast
+    left-semi join — a sort-merge join would shuffle the 100 TB train
+    gram table on the gram key."""
+    plan = plan_of(REGISTRY["decontamination_ngram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
