@@ -122,6 +122,34 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     return exact.join(sketch, "doc_id", "left")
 
 
+# PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backreferences) so the DuckDB oracle evaluates them identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrub — the pre-training privacy filter: replace emails /
+    phone numbers / IPv4 addresses with <TYPE> tags and count each.
+
+    Pure JVM regexp expressions in one projection — embarrassingly
+    parallel, no shuffle, whole-stage codegen at any scale.  Order
+    matters: emails first (an email must not first lose digits to the
+    phone pattern), then phones, then IPs."""
+    t = F.col(text_col)
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.withColumns({**counts, "redacted": red})
+
+
 def ngram_decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

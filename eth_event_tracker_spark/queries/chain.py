@@ -253,18 +253,30 @@ def reorg_diff_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A-1 — common-ancestor: highest height where canonical and fork agree
-# (findAncestor, tracker.go:291-314; relational form of the parent walk)
+# (findAncestor, tracker.go:291-314; relational form of the parent walk).
+# One driver slot also carries the chain-integrity audit (both single-row
+# results, crossJoined — Catalyst broadcasts).
 # ---------------------------------------------------------------------------
 @register(
     "ancestor_walk",
     f"""
 WITH canon AS ({blocks_cte_duckdb(fork=False)}),
-     fork AS ({blocks_cte_duckdb(fork=True)})
-SELECT MAX(c.block_num) AS ancestor
-FROM canon c JOIN fork f
-  ON c.block_num = f.block_num AND c.block_hash = f.block_hash
+     fork AS ({blocks_cte_duckdb(fork=True)}),
+anc AS (
+  SELECT MAX(c.block_num) AS ancestor
+  FROM canon c JOIN fork f
+    ON c.block_num = f.block_num AND c.block_hash = f.block_hash
+),
+chk AS (
+  SELECT COUNT(*) AS n_blocks,
+         CAST(SUM(CASE WHEN p.block_hash IS NOT NULL AND c.parent_hash <> p.block_hash THEN 1 ELSE 0 END) AS BIGINT) AS bad_links,
+         CAST(SUM(CASE WHEN p.block_hash IS NULL AND c.block_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gaps
+  FROM canon c LEFT JOIN canon p ON c.block_num = p.block_num + 1
+)
+SELECT ancestor, n_blocks, bad_links, gaps FROM anc CROSS JOIN chk
 """,
-    doc="A-1 findAncestor as equi-join + max (tracker.go:291-314)",
+    doc="A-1 findAncestor as equi-join + max (tracker.go:291-314) + parent-hash "
+    "linkage/continuity audit (single-row crossJoin)",
 )
 def ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = derived_blocks(spark, sf_dir, fork=False)
@@ -272,7 +284,9 @@ def ancestor_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("block_num").alias("f_num"), F.col("block_hash").alias("f_hash")
     )
     j = canon.join(fork, (canon.block_num == fork.f_num) & (canon.block_hash == fork.f_hash))
-    return j.agg(F.max("block_num").alias("ancestor"))
+    return j.agg(F.max("block_num").alias("ancestor")).crossJoin(
+        blocks_chain_validation(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -430,19 +444,9 @@ def logs_topics_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Chain validation — parent-linkage integrity (the invariant findAncestor
 # walks rely on, tracker.go:291-314): every block's parent_hash must equal
-# the previous block's hash; report violations + chain stats
+# the previous block's hash; report violations + chain stats.  Folded into
+# the `ancestor_walk` driver slot (single-row crossJoin).
 # ---------------------------------------------------------------------------
-@register(
-    "blocks_chain_validation",
-    f"""
-WITH canon AS ({blocks_cte_duckdb(fork=False)})
-SELECT COUNT(*) AS n_blocks,
-       CAST(SUM(CASE WHEN p.block_hash IS NOT NULL AND c.parent_hash <> p.block_hash THEN 1 ELSE 0 END) AS BIGINT) AS bad_links,
-       CAST(SUM(CASE WHEN p.block_hash IS NULL AND c.block_num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gaps
-FROM canon c LEFT JOIN canon p ON c.block_num = p.block_num + 1
-""",
-    doc="chain integrity: parent-hash linkage + continuity audit",
-)
 def blocks_chain_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = derived_blocks(spark, sf_dir, fork=False)
     p = canon.select(

@@ -182,6 +182,70 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy(F.desc("contamination"), F.asc("doc_id")).limit(25)
 
 
+# The fixture corpus is PII-free word salad, so the query plants
+# deterministic doc_id-derived PII and verifies the scrub output exactly
+# (sha-256 of the redacted text) — same construction on both engines.
+_PII_TAIL_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-' || "
+    "CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id * 3 % 9000 + 1000 AS VARCHAR) || "
+    "' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || "
+    "'.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH enriched AS (
+  SELECT doc_id, text || {_PII_TAIL_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{OPT.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{OPT.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{OPT.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{OPT.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{OPT.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+           '{OPT.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')
+       ) AS sha_redacted
+FROM enriched
+""",
+    doc="PII scrub: regex redaction of emails/phones/IPv4 planted per doc; "
+    "redacted output verified exactly via sha-256",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com call 555-"),
+            (d % 900 + 100).cast("string"),
+            F.lit("-"),
+            (d * 3 % 9000 + 1000).cast("string"),
+            F.lit(" node 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d * 7 % 256).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+        ).alias("text"),
+    )
+    r = OPT.redact_pii(enriched)
+    return r.select(
+        "doc_id",
+        F.col("n_email"),
+        F.col("n_phone"),
+        F.col("n_ipv4"),
+        F.sha2("redacted", 256).alias("sha_redacted"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

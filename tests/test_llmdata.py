@@ -158,3 +158,15 @@ def test_ngram_decontaminate(spark):
     assert set(rows) == {1, 2}
     assert rows[1].contamination == 1.0 and rows[1].n_hit == rows[1].n_grams
     assert rows[2].contamination == 0.0 and rows[2].n_hit == 0
+
+
+def test_redact_pii(spark):
+    from eth_event_tracker_spark.operators import text as OPT
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d@e.org call 555-123-4567 from 10.0.0.1 ok")],
+        "doc_id long, text string",
+    )
+    r = OPT.redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (2, 1, 1)
+    assert r.redacted == "mail <EMAIL> and <EMAIL> call <PHONE> from <IPV4> ok"
