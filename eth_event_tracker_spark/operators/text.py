@@ -122,6 +122,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     return exact.join(sketch, "doc_id", "left")
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/Dolma-style repetition signals per document: fraction of
+    duplicate words, most-frequent-word share, fraction of duplicate word
+    2-grams.  High values flag boilerplate / degenerate text.
+
+    dup fractions are pure array expressions (no shuffle); the top-word
+    share is one well-keyed (id, word) groupBy with map-side partial
+    aggregation."""
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col), ws.alias("ws"))
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
+    )
+    fracs = base.select(
+        id_col,
+        F.size("ws").alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct("ws")) / F.size("ws")).alias("dup_word_frac"),
+        F.when(
+            F.size("ws") >= 2,
+            F.lit(1.0) - F.size(F.array_distinct(g2)) / (F.size("ws") - 1),
+        ).alias("dup_2gram_frac"),
+    )
+    top = (
+        base.select(id_col, F.explode("ws").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("max_cnt"))
+    )
+    return fracs.join(top, id_col).select(
+        id_col,
+        "dup_word_frac",
+        (F.col("max_cnt") / F.col("n_words")).alias("top_word_frac"),
+        "dup_2gram_frac",
+    )
+
+
 # PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround,
 # no backreferences) so the DuckDB oracle evaluates them identically.
 PII_PATTERNS: dict[str, str] = {

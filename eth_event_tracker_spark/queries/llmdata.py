@@ -63,7 +63,13 @@ _STOP_EN_SQL = ", ".join(f"'{s}'" for s in OPT.LANG_STOPWORDS["en"])
 @register(
     "text_tokens_quality",
     f"""
-WITH {_WORDS_CTE}
+WITH {_WORDS_CTE},
+wc AS (SELECT doc_id, unnest(words) AS word FROM w),
+top AS (
+  SELECT doc_id, MAX(cnt) AS max_cnt
+  FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM wc GROUP BY 1, 2)
+  GROUP BY doc_id
+)
 SELECT d.doc_id,
        len(w.words) AS n_ws_tokens,
        len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
@@ -71,11 +77,20 @@ SELECT d.doc_id,
        len(w.words) AS n_words,
        length(array_to_string(w.words, '')) / len(w.words) AS avg_word_len,
        len(list_filter(w.words, x -> x IN ({_STOP_EN_SQL}))) / len(w.words) AS stopword_ratio,
-       len(regexp_extract_all(d.text, '[^\\w\\s]')) / length(d.text) AS punct_ratio
-FROM documents d JOIN w ON d.doc_id = w.doc_id
+       len(regexp_extract_all(d.text, '[^\\w\\s]')) / length(d.text) AS punct_ratio,
+       1.0 - len(list_distinct(w.words)) / len(w.words) AS dup_word_frac,
+       top.max_cnt / len(w.words) AS top_word_frac,
+       CASE WHEN len(w.words) >= 2 THEN
+         1.0 - len(list_distinct(list_transform(generate_series(1, len(w.words) - 1),
+                   i -> w.words[i] || ' ' || w.words[i+1]))) / (len(w.words) - 1)
+       END AS dup_2gram_frac
+FROM documents d
+JOIN w ON d.doc_id = w.doc_id
+JOIN top ON d.doc_id = top.doc_id
 """,
     doc="token counting (whitespace + BPE-ish regex) + quality scoring "
-    "(length / word stats / stopword + punctuation ratios) in one per-doc pass",
+    "(length / word stats / stopword + punctuation ratios) + Gopher-style "
+    "repetition signals in one per-doc pass",
 )
 def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -92,7 +107,8 @@ def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         "punct_ratio",
     )
-    return tokens.join(quality, "doc_id")
+    rep = OPT.repetition_scores(docs)
+    return tokens.join(quality, "doc_id").join(rep, "doc_id")
 
 
 _LANG_SCORES_SQL = ",\n".join(

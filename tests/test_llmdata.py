@@ -170,3 +170,20 @@ def test_redact_pii(spark):
     r = OPT.redact_pii(df).collect()[0]
     assert (r.n_email, r.n_phone, r.n_ipv4) == (2, 1, 1)
     assert r.redacted == "mail <EMAIL> and <EMAIL> call <PHONE> from <IPV4> ok"
+
+
+def test_repetition_scores(spark):
+    from eth_event_tracker_spark.operators import text as OPT
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # fully repetitive
+            (2, "one two three four"),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in OPT.repetition_scores(df).collect()}
+    assert rows[1].dup_word_frac == 0.75 and rows[1].top_word_frac == 1.0
+    assert rows[1].dup_2gram_frac == 1.0 - 1 / 3
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_word_frac == 0.25
+    assert rows[2].dup_2gram_frac == 0.0
