@@ -187,3 +187,25 @@ def test_repetition_scores(spark):
     assert rows[1].dup_2gram_frac == 1.0 - 1 / 3
     assert rows[2].dup_word_frac == 0.0 and rows[2].top_word_frac == 0.25
     assert rows[2].dup_2gram_frac == 0.0
+
+
+def test_redact_pii_idempotent_and_bounded(spark):
+    """Redaction is idempotent (tags contain no redactable text) and
+    contamination/repetition scores stay in [0, 1] on adversarial input."""
+    from eth_event_tracker_spark.operators import text as OPT
+
+    rows = [
+        (1, "a@b.io 10.1.2.3 555-111-2222 a@b.io"),
+        (2, "@ . - 1.2 555- x@y 999-999-99999 1.2.3.4.5"),
+        (3, "plain words only here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = OPT.redact_pii(df).select("doc_id", F.col("redacted").alias("text"))
+    twice = OPT.redact_pii(once)
+    for r in twice.collect():
+        assert (r.n_email, r.n_phone, r.n_ipv4) == (0, 0, 0), r
+    rep = OPT.repetition_scores(df.where(F.col("doc_id") < 4))
+    for r in rep.collect():
+        assert 0.0 <= r.dup_word_frac <= 1.0 and 0.0 <= r.top_word_frac <= 1.0
+        assert r.dup_2gram_frac is None or 0.0 <= r.dup_2gram_frac <= 1.0
