@@ -42,11 +42,13 @@ def words(col: Column) -> Column:
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id_col, shingle).
 
-    The input is repartitioned on id_col before the explode: fixture-sized
-    corpora arrive as one parquet file (= one task), which would serialize
-    all shingle/hash compute onto a single core; hash-partitioning by doc
-    also lets every downstream per-doc groupBy reuse the partitioning
-    instead of shuffling the exploded (much larger) data."""
+    Dedup happens per document, so it is `array_distinct` on the row's
+    own shingle array BEFORE the explode — a row-local expression, not a
+    (id, shingle)-keyed shuffle of the exploded table.  The input is
+    repartitioned on id_col first: fixture-sized corpora arrive as one
+    parquet file (= one task), which would serialize all shingle/hash
+    compute onto a single core; hash-partitioning by doc also lets every
+    downstream per-doc groupBy reuse the partitioning."""
     par = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(par, F.col(id_col))
     ws = words(F.col(text_col))
@@ -55,9 +57,8 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str
         lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle") != "")
-        .distinct()
     )
 
 
@@ -122,42 +123,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     return exact.join(sketch, "doc_id", "left")
 
 
+def _repetition_cols(text_col: str = "text") -> dict:
+    """Row-local repetition expressions — even the top-word share is
+    computed inside the word array (O(distinct·n) per row), so no
+    word-level shuffle exists at any scale."""
+    ws = words(F.col(text_col))
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    max_cnt = F.array_max(
+        F.transform(F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w)))
+    )
+    return {
+        "dup_word_frac": F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws),
+        "top_word_frac": max_cnt / F.size(ws),
+        "dup_2gram_frac": F.when(
+            F.size(ws) >= 2, F.lit(1.0) - F.size(F.array_distinct(g2)) / (F.size(ws) - 1)
+        ),
+    }
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher/Dolma-style repetition signals per document: fraction of
     duplicate words, most-frequent-word share, fraction of duplicate word
-    2-grams.  High values flag boilerplate / degenerate text.
+    2-grams.  High values flag boilerplate / degenerate text.  One
+    projection, zero shuffles."""
+    cols = _repetition_cols(text_col)
+    return df.select(F.col(id_col), *[c.alias(k) for k, c in cols.items()])
 
-    dup fractions are pure array expressions (no shuffle); the top-word
-    share is one well-keyed (id, word) groupBy with map-side partial
-    aggregation."""
-    ws = words(F.col(text_col))
-    base = df.select(F.col(id_col), ws.alias("ws"))
-    g2 = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - 2),
-        lambda i: F.concat_ws(" ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
-    )
-    fracs = base.select(
-        id_col,
-        F.size("ws").alias("n_words"),
-        (F.lit(1.0) - F.size(F.array_distinct("ws")) / F.size("ws")).alias("dup_word_frac"),
-        F.when(
-            F.size("ws") >= 2,
-            F.lit(1.0) - F.size(F.array_distinct(g2)) / (F.size("ws") - 1),
-        ).alias("dup_2gram_frac"),
-    )
-    top = (
-        base.select(id_col, F.explode("ws").alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("max_cnt"))
-    )
-    return fracs.join(top, id_col).select(
-        id_col,
-        "dup_word_frac",
-        (F.col("max_cnt") / F.col("n_words")).alias("top_word_frac"),
-        "dup_2gram_frac",
-    )
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The fused per-doc text feature extractor: token counts, quality
+    ratios, and repetition signals in ONE projection — no self-joins, no
+    shuffles; the scale path for a 100 TB profiling pass."""
+    t = F.col(text_col)
+    ws = words(t)
+    en = list(LANG_STOPWORDS["en"])
+    cols = {
+        "n_ws_tokens": F.size(ws).cast("long"),
+        "n_bpe_tokens": F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_TOKEN_RE), 0)).cast("long"),
+        "n_chars": F.length(t).cast("long"),
+        "n_words": F.size(ws).cast("long"),
+        "avg_word_len": F.length(F.array_join(ws, "")) / F.size(ws),
+        "stopword_ratio": F.size(F.filter(ws, lambda w: w.isin(en))) / F.size(ws),
+        "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)) / F.length(t),
+        **_repetition_cols(text_col),
+    }
+    return df.select(F.col(id_col), *[c.alias(k) for k, c in cols.items()])
 
 
 # PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround,

@@ -63,13 +63,7 @@ _STOP_EN_SQL = ", ".join(f"'{s}'" for s in OPT.LANG_STOPWORDS["en"])
 @register(
     "text_tokens_quality",
     f"""
-WITH {_WORDS_CTE},
-wc AS (SELECT doc_id, unnest(words) AS word FROM w),
-top AS (
-  SELECT doc_id, MAX(cnt) AS max_cnt
-  FROM (SELECT doc_id, word, COUNT(*) AS cnt FROM wc GROUP BY 1, 2)
-  GROUP BY doc_id
-)
+WITH {_WORDS_CTE}
 SELECT d.doc_id,
        len(w.words) AS n_ws_tokens,
        len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
@@ -79,36 +73,22 @@ SELECT d.doc_id,
        len(list_filter(w.words, x -> x IN ({_STOP_EN_SQL}))) / len(w.words) AS stopword_ratio,
        len(regexp_extract_all(d.text, '[^\\w\\s]')) / length(d.text) AS punct_ratio,
        1.0 - len(list_distinct(w.words)) / len(w.words) AS dup_word_frac,
-       top.max_cnt / len(w.words) AS top_word_frac,
+       list_max(list_transform(list_distinct(w.words),
+                x -> len(list_filter(w.words, y -> y = x)))) / len(w.words) AS top_word_frac,
        CASE WHEN len(w.words) >= 2 THEN
          1.0 - len(list_distinct(list_transform(generate_series(1, len(w.words) - 1),
                    i -> w.words[i] || ' ' || w.words[i+1]))) / (len(w.words) - 1)
        END AS dup_2gram_frac
 FROM documents d
 JOIN w ON d.doc_id = w.doc_id
-JOIN top ON d.doc_id = top.doc_id
 """,
-    doc="token counting (whitespace + BPE-ish regex) + quality scoring "
-    "(length / word stats / stopword + punctuation ratios) + Gopher-style "
-    "repetition signals in one per-doc pass",
+    doc="fused per-doc text profile: token counting (whitespace + BPE-ish "
+    "regex) + quality scoring (length / word stats / stopword + punctuation "
+    "ratios) + Gopher-style repetition signals — one projection, no shuffle",
 )
 def text_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tokens = OPT.token_counts(docs).select(
-        "doc_id",
-        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
-    )
-    quality = OPT.quality_scores(docs).select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_words").cast("long").alias("n_words"),
-        "avg_word_len",
-        "stopword_ratio",
-        "punct_ratio",
-    )
-    rep = OPT.repetition_scores(docs)
-    return tokens.join(quality, "doc_id").join(rep, "doc_id")
+    return OPT.text_profile(docs)
 
 
 _LANG_SCORES_SQL = ",\n".join(
