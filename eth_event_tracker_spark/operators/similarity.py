@@ -29,11 +29,26 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,18)"
 
 
+def _dec_dot(va, vb):
+    """Row-local decimal-exact dot product: each double product is cast
+    to scale-18 decimal (same rounding as a decimal SUM's addends), then
+    summed with exact decimal addition — order-independent, so the value
+    is bit-identical to the SQL oracle's posexplode+SUM formulation, but
+    with no explode, no join skew, and no shuffle."""
+    prods = F.zip_with(
+        va, vb, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,18)")
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(32,18)"),
+        lambda acc, v: (acc + v).cast("decimal(32,18)"),
+    ).cast("double")
+
+
 def _norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Per-vector L2 norm via decimal-exact sum of squares."""
-    e = df.select(id_col, F.posexplode(vec_col).alias("pos", "x"))
-    prod = (F.col("x").cast("double") * F.col("x").cast("double")).cast(_DEC)
-    return e.groupBy(id_col).agg(F.sqrt(F.sum(prod).cast("double")).alias("norm"))
+    """Per-vector L2 norm via row-local decimal-exact sum of squares."""
+    v = F.col(vec_col)
+    return df.select(id_col, F.sqrt(_dec_dot(v, v)).alias("norm"))
 
 
 def cosine_topk_exact(
@@ -45,16 +60,14 @@ def cosine_topk_exact(
 ) -> DataFrame:
     """Exact top-k cosine neighbours per query, bit-deterministic.
 
-    Join on dimension position: each (query, corpus, pos) contributes one
-    decimal product; the sum is order-independent, so the result matches
-    the SQL oracle exactly."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.posexplode(vec_col).alias("pos", "qx"))
-    c = corpus.select(F.col(id_col).alias("c_id"), F.posexplode(vec_col).alias("pos", "cx"))
-    prod = (F.col("qx").cast("double") * F.col("cx").cast("double")).cast(_DEC)
+    The small query side broadcasts against the corpus; each pair row
+    computes its decimal-exact dot product locally (`_dec_dot`), so the
+    corpus never shuffles and the value matches the SQL oracle exactly."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
     dots = (
-        q.join(c, "pos")
-        .groupBy("q_id", "c_id")
-        .agg(F.sum(prod).cast("double").alias("dot"))
+        c.crossJoin(F.broadcast(q))
+        .select("q_id", "c_id", _dec_dot(F.col("qv"), F.col("cv")).alias("dot"))
     )
     qn = _norms(queries, id_col, vec_col).select(F.col(id_col).alias("q_id"), F.col("norm").alias("qn"))
     cn = _norms(corpus, id_col, vec_col).select(F.col(id_col).alias("c_id"), F.col("norm").alias("cn"))
@@ -321,15 +334,12 @@ def cosine_near_dup_pairs(
     near-duplicate detection, exact (decimal-sum dots, oracle-matched).
     Quadratic by construction: restrict the input (or use
     ``cosine_near_dup_pairs_lsh``) at scale."""
-    e = df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
-    a = e.select(F.col("id").alias("id_a"), "pos", F.col("x").alias("xa"))
-    b = e.select(F.col("id").alias("id_b"), "pos", F.col("x").alias("xb"))
-    prod = (F.col("xa").cast("double") * F.col("xb").cast("double")).cast(_DEC)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dots = (
-        a.join(b, "pos")
+        a.crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(prod).cast("double").alias("dot"))
+        .select("id_a", "id_b", _dec_dot(F.col("va"), F.col("vb")).alias("dot"))
     )
     norms = _norms(df, id_col, vec_col)
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
