@@ -135,3 +135,15 @@ def test_decontamination_broadcast_semi_join(spark, sf_dir):
     plan = plan_of(REGISTRY["decontamination_ngram"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_similarity_no_position_shuffle(spark, sf_dir):
+    """The exact cosine tiers must compute dot products row-locally
+    (zip_with + decimal aggregate) with the small side broadcast — not
+    posexplode + a 64-key position join, which shuffles Q*N*d rows
+    through a skewed exchange."""
+    for name in ("embedding_cosine_topk", "embedding_near_dup"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "Generate" not in plan, f"{name}: no posexplode in the dot product"
