@@ -36,26 +36,38 @@ def assign_indx(df: DataFrame, base: int = 0, partition_cols: tuple[str, ...] = 
 
 
 def assign_indx_scalable(df: DataFrame, base: int = 0) -> DataFrame:
-    """Two-phase global sequence without a single-reducer sort:
-    range-partition by the ordering key, row_number within partition, then
-    add per-partition cumulative offsets (computed from partition counts —
-    a tiny driver-side aggregate, not a second shuffle of the data).
+    """Two-phase global sequence without a single-reducer sort: per-block
+    cumulative offsets + row_number within block.
 
-    Equivalent result to ``assign_indx`` but each of the N partitions sorts
-    only its slice — the plan a 1000-executor backfill needs."""
-    parts = df.repartitionByRange(*[F.col(c) for c in ORDER_COLS])
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in ORDER_COLS])
-    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
-    # offsets: cumulative count of earlier partitions (partition ids are
-    # ordered by range boundaries, so pid order == key order)
-    counts = numbered.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    Phase 1 aggregates log counts per block (map-side combine; output is
+    ~#blocks rows, orders of magnitude smaller than the log table) and
+    turns them into cumulative start offsets.  Phase 2 joins the offsets
+    back and numbers rows within each block — a window partitioned by
+    block_num, so every partition sorts only one block's logs.  The fact
+    table moves through exactly one hash shuffle on block_num, which the
+    join and the window share.
+
+    Unlike a spark_partition_id() formulation (range-partition + offset
+    by physical partition), the offsets here key on DATA VALUES, so the
+    result is deterministic across re-evaluations — repartitionByRange's
+    sampled boundaries and AQE's runtime coalescing can differ between
+    the two branches of a self-join and silently corrupt or drop rows
+    (observed at sf0.1: 12k of 100k rows survived the _pid join).
+
+    The cumulative window over the per-block counts is a single partition
+    of tiny rows; if #blocks itself ever became huge, the same two-phase
+    trick applies recursively on block ranges."""
+    blk, *within = ORDER_COLS
+    per_block = df.groupBy(blk).agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_block.select(
+        blk, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy(blk).orderBy(*[F.col(c) for c in within])
     return (
-        numbered.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn("indx", (F.col("_rn") - 1 + F.col("_off") + F.lit(base)).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        df.join(offsets, blk)
+        .withColumn("indx", (F.row_number().over(w_in) - 1 + F.col("_off") + F.lit(base)).cast("long"))
+        .drop("_off")
     )
 
 

@@ -118,13 +118,18 @@ def test_derived_blocks_no_global_window(spark, sf_dir):
         assert "Window" not in plan
 
 
-def test_indx_assignment_two_phase_range_partitioned(spark, sf_dir):
-    """The driver-verified indx query must run the scale plan: range
-    partitioning + per-partition sort, NOT a single-reducer global
-    row_number.  The only SinglePartition exchange allowed is the tiny
-    per-partition-counts offsets aggregate (≤ one row per partition)."""
+def test_indx_assignment_two_phase_value_keyed(spark, sf_dir):
+    """The driver-verified indx query must run the scale plan: per-block
+    offsets + within-block row_number, NOT a single-reducer global sort.
+    The fact table's window must partition on block_num (value-keyed —
+    deterministic across re-evaluations, unlike spark_partition_id over
+    sampled range boundaries); the only SinglePartition step allowed is
+    the cumulative window over the tiny per-block counts."""
     plan = plan_of(REGISTRY["logs_indx_assignment"].fn(spark, sf_dir))
-    assert "rangepartitioning" in plan.lower()
+    assert "partition_id" not in plan.lower()
+    # the fact-side window is keyed by block_num
+    assert "hashpartitioning(block_num" in plan
+    # the tiny offsets branch aggregates per block BEFORE its global window
     assert plan.count("Exchange SinglePartition") <= 1
 
 
