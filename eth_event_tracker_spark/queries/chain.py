@@ -155,55 +155,51 @@ def logs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A-2/A-3 — reorg rollback set: block_num > n OR (== n AND hash mismatch),
-# emitted oldest-first (tracker.go:717-761)
+# emitted oldest-first (tracker.go:717-761).  The O-3 checkpoint-resume
+# scalars (COUNT/MIN/MAX strictly above lastBlock, tracker.go:611-666) are
+# folded into this driver slot as a broadcast single-row cross join — same
+# pattern as `logs_point_lookup` folding S-8.
 # ---------------------------------------------------------------------------
 @register(
     "logs_tail_truncate",
     f"""
 WITH logs AS ({LOGS_CTE_DUCKDB}),
-m AS (SELECT MAX(block_num) - 2 AS n FROM logs)
-SELECT block_num, tx_index, log_index, tx_hash, block_hash
-FROM logs, m
+m AS (SELECT MAX(block_num) - 2 AS n FROM logs),
+r AS (SELECT MAX(block_num) - 5 AS last_block FROM logs),
+resume AS (
+  SELECT COUNT(*) AS resume_n_logs,
+         MIN(block_num) AS resume_first_block,
+         MAX(block_num) AS resume_last_block
+  FROM logs, r
+  WHERE block_num > r.last_block
+)
+SELECT block_num, tx_index, log_index, tx_hash, block_hash,
+       resume_n_logs, resume_first_block, resume_last_block
+FROM logs, m, resume
 WHERE block_num > m.n
    OR (block_num = m.n AND block_hash <> '0x' || sha256('blkfork' || CAST(m.n AS STRING)))
 """,
-    doc="A-2 removeLogs predicate incl. same-height hash mismatch (tracker.go:734-740)",
+    doc="A-2 removeLogs predicate incl. same-height hash mismatch (tracker.go:734-740); "
+    "O-3 resume-from-checkpoint scalars folded in (tracker.go:611-666)",
 )
 def logs_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs = derived_logs(spark, sf_dir)
-    logs = with_scalars(logs, _n=F.max("block_num") - 2)
+    tail = with_scalars(logs, _n=F.max("block_num") - 2)
     fork_hash_at_n = F.concat(F.lit("0x"), F.sha2(F.concat(F.lit("blkfork"), F.col("_n").cast("string")), 256))
     pred = (F.col("block_num") > F.col("_n")) | (
         (F.col("block_num") == F.col("_n")) & (F.col("block_hash") != fork_hash_at_n)
     )
-    return logs.where(pred).select("block_num", "tx_index", "log_index", "tx_hash", "block_hash")
-
-
-# ---------------------------------------------------------------------------
-# O-3 — checkpoint resume: scan strictly above lastBlock (tracker.go:611-666)
-# ---------------------------------------------------------------------------
-@register(
-    "checkpoint_resume",
-    f"""
-WITH logs AS ({LOGS_CTE_DUCKDB}),
-m AS (SELECT MAX(block_num) - 5 AS last_block FROM logs)
-SELECT COUNT(*) AS n_logs, MIN(block_num) AS first_block, MAX(block_num) AS last_block
-FROM logs, m
-WHERE block_num > m.last_block
-""",
-    doc="O-3 resume from checkpoint: block_num > lastBlock only",
-)
-def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = derived_logs(spark, sf_dir)
-    logs = with_scalars(logs, _last=F.max("block_num") - 5)
-    return (
-        logs.where(F.col("block_num") > F.col("_last"))
+    trunc = tail.where(pred).select("block_num", "tx_index", "log_index", "tx_hash", "block_hash")
+    resume = (
+        with_scalars(logs, _last=F.max("block_num") - 5)
+        .where(F.col("block_num") > F.col("_last"))
         .agg(
-            F.count("*").alias("n_logs"),
-            F.min("block_num").alias("first_block"),
-            F.max("block_num").alias("last_block"),
+            F.count("*").alias("resume_n_logs"),
+            F.min("block_num").alias("resume_first_block"),
+            F.max("block_num").alias("resume_last_block"),
         )
     )
+    return trunc.crossJoin(F.broadcast(resume))
 
 
 # ---------------------------------------------------------------------------

@@ -408,15 +408,19 @@ def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_ann_lsh",
+    "embedding_ann",
     None,  # approximate by design — recall vs brute force asserted in pytest
-    doc="random-hyperplane LSH bucketed ANN top-5 — the 100 TB scale path (equality join on bucket)",
+    doc="ANN top-5, both scale paths in one driver slot: random-hyperplane LSH "
+    "(equality join on bucket) and IVF (mini k-means index + nearest-centroid "
+    "probing), tagged by method",
 )
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
-    return OPS.ann_lsh_topk(queries, corpus, k=5, n_planes=6)
+    lsh = OPS.ann_lsh_topk(queries, corpus, k=5, n_planes=6).withColumn("method", F.lit("lsh"))
+    ivf = OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=3).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
 
 
 # ---------------------------------------------------------------------------
@@ -445,18 +449,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = synth_assets(docs)
     return extract_features(assets)
-
-
-@register(
-    "embedding_ivf",
-    None,  # approximate by design — recall vs brute force asserted in pytest
-    doc="IVF ANN: mini k-means index + nearest-centroid probing — the cluster-then-probe scale path",
-)
-def embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
-    corpus = emb.where(F.col("vec_id") >= 5)
-    return OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=3)
 
 
 # ---------------------------------------------------------------------------

@@ -20,54 +20,61 @@ from . import register
 
 
 # ---------------------------------------------------------------------------
-# Tumbling window — groupBy(window(ts, 10m)): streaming-identical semantics
+# Time windows — tumbling 10m and sliding 10m/5m folded into one driver slot
+# (union by name, tagged by kind; each event lands in exactly 2 sliding
+# windows).  Streaming twins: groupBy(window(ts, ...)) in analytics.py.
 # ---------------------------------------------------------------------------
 @register(
-    "events_tumbling_window",
+    "events_time_windows",
     """
-SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+SELECT 'tumbling' AS kind,
+       time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
-GROUP BY 1, 2
-""",
-    doc="tumbling 10-min window agg (streaming twin: groupBy(window(ts,...)))",
-)
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sliding window — 10-min windows every 5 min (each event in exactly 2)
-# ---------------------------------------------------------------------------
-@register(
-    "events_sliding_window",
-    """
-SELECT ws AS window_start, COUNT(*) AS n_events
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, ws AS window_start,
+       CAST(NULL AS VARCHAR) AS event_type,
+       COUNT(*) AS n_events,
+       CAST(NULL AS DOUBLE) AS sum_value
 FROM (
   SELECT time_bucket(INTERVAL '5 minutes', ts) - (o * INTERVAL '5 minutes') AS ws
   FROM events, (VALUES (0), (1)) AS offs(o)
 )
 GROUP BY ws
 """,
-    doc="sliding window 10m/5m",
+    doc="tumbling 10-min agg + sliding 10m/5m counts (streaming twin: groupBy(window(ts,...)))",
 )
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sliding = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
     )
+    return tumbling.unionByName(sliding)
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
 
 def tumbling_counts(df: DataFrame, watermark: str | None = None) -> DataFrame:
     """10-minute tumbling window counts per event type — identical
-    expression to the batch query `events_tumbling_window`; pass a
+    expression to the batch query `events_time_windows` (tumbling arm); pass a
     watermark (e.g. "30 minutes") on a streaming df to bound state and
     drop late rows."""
     if watermark:

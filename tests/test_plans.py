@@ -104,7 +104,7 @@ def test_global_scalars_are_not_single_partition_windows(spark, sf_dir):
     """Global scalar max must be agg + broadcast cross join — an
     empty-partitionBy window would move the entire fact table into one
     task before filtering (the round-1 scale-killer)."""
-    for name in ("logs_tail_truncate", "checkpoint_resume", "logs_finality_split"):
+    for name in ("logs_tail_truncate", "logs_finality_split"):
         plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
         assert "Window" not in plan, f"{name}: global scalar must not use a window"
         assert "BroadcastNestedLoopJoin" in plan, f"{name}: scalar must be broadcast"
