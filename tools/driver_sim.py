@@ -1,6 +1,12 @@
 """Simulate the driver: vanilla SparkSession (no engine configs), import
-__spark_entry__, smoke entry(), then run every queries()[k] at sf0.01 vs
-oracle_sql()[k] in DuckDB — row count + column names + sorted value compare."""
+__spark_entry__, smoke entry(), then run every queries()[k] vs
+oracle_sql()[k] in DuckDB — row count + column names + sorted value compare.
+
+Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+
+Run it at sf0.1 too before shipping scale-path changes: the sf0.01 gate has
+missed at least one scale-dependent bug (a nondeterministic self-join in the
+two-phase indx assignment dropped rows only at sf0.1)."""
 import sys, math
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -22,7 +28,7 @@ n = df.count()
 print(f"SMOKE entry(): rows={n} schema={[f.name for f in df.schema.fields]}")
 assert n > 0
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
