@@ -149,6 +149,57 @@ def minhash_lsh_dedup(
     return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs: every doc gets the min
+    doc id of its component as ``cluster_id`` (the canonical keeper).
+
+    This is the step that turns pairwise near-dup evidence into an actual
+    dedup decision — pairs alone can chain (A~B, B~C) and a keep-one-per-
+    pair rule would keep too many/few.
+
+    Algorithm: min-label propagation. Each round every node takes the min
+    label over itself and its neighbors; terminates when the global label
+    sum stops changing (the sum is strictly decreasing until fixpoint).
+    Rounds = component diameter; LSH dup clusters are near-cliques, so
+    2–3 rounds in practice. For adversarial long-chain graphs at 100 TB
+    the same loop body accepts the large-star/small-star edge rewriting
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds — but the simple propagation is what dedup workloads
+    need. Each round is one equality-join shuffle + one groupBy; labels
+    are localCheckpoint()ed so lineage stays O(1) and re-evaluation is
+    impossible (a prior bug class: multi-branch plans re-sampling
+    nondeterministic lineage).
+
+    No counterpart in the reference (its store is an ordered log, not a
+    corpus); this is the LLM-data surface.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().cache()
+    # Initialization fuses the first propagation round: every node appears
+    # as a dst (edges are symmetric), so comp₀ = min(self, neighbors) is
+    # one groupBy — near-clique components are already converged here.
+    labels = (
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("nmin"))
+        .select(F.col("dst").alias("id"), F.least(F.col("dst"), F.col("nmin")).alias("comp"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """63-bit SimHash over word shingles: bit b of the signature is the
     majority vote of bit b across all shingle hashes (two 60-bit portable

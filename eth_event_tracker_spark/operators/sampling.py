@@ -1,0 +1,57 @@
+"""Deterministic corpus sampling for training-data mixing.
+
+The at-scale sampling method is HASH sampling, not ``df.sample``: the
+keep/drop decision for a row is a pure function of the row's key, so it
+is (a) reproducible across reruns and engines, (b) stable under
+repartitioning, retries, and AQE re-plans, and (c) consistent across
+tables (sampling `documents` and a sidecar table by the same key keeps
+them aligned). ``df.sample`` is none of those — its outcome depends on
+partition layout and the task-level RNG stream.
+
+Everything here uses the engine-portable hash60 (sha-256 based), so the
+sampled set is *exactly* reproducible in the DuckDB oracle — sampling is
+not exempt from the correctness gate.
+
+No counterpart in the reference (it tracks an exhaustive log); this is
+the LLM-data surface: a pre-training mixture is specified as per-stratum
+rates (e.g. per language / per source) and the sampler realizes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+# hash60 yields a uniform value in [0, 2^60); compare against rate * 2^60.
+_HASH_SPACE = 1 << 60
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Keep each row iff hash60(key, seed) < rate * 2^60 — a deterministic
+    Bernoulli(rate) sample keyed on the row's identity."""
+    threshold = int(rate * _HASH_SPACE)
+    return df.where(hash60(F.col(key_col).cast("string"), seed) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps each row with
+    probability rates[s] (default_rate for unlisted strata).
+
+    The rates table is a literal CASE expression — no join, no shuffle;
+    the whole operator is a single filtered scan however many strata
+    there are (a broadcast join would also work for thousands of strata,
+    but a mixture spec is small by nature).
+    """
+    expr = F.lit(int(default_rate * _HASH_SPACE))
+    for s, r in sorted(rates.items()):
+        expr = F.when(F.col(stratum_col) == s, F.lit(int(r * _HASH_SPACE))).otherwise(expr)
+    return df.where(hash60(F.col(key_col).cast("string"), seed) < expr)

@@ -88,6 +88,22 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_verdicts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc keep/drop decision of the rule-based quality gate:
+    (doc_id, verdict) where verdict ∈ keep | too_short | too_long |
+    degenerate_words. A single projection — no shuffle."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws)
+    avg_word_len = F.length(F.array_join(ws, "")) / n_words
+    verdict = (
+        F.when(n_words < 20, "too_short")
+        .when(n_words > 400, "too_long")
+        .when(avg_word_len < 2.0, "degenerate_words")
+        .otherwise("keep")
+    )
+    return df.select("doc_id", verdict.alias("verdict"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: score each language by stopword matches,
     predict the argmax (ties broken by language code order)."""

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_digitsum_expr, duck_sha15_expr
+from ..functions.hashing import duck_digitsum_expr, duck_hash60_inline, duck_sha15_expr
 from ..operators import dedup as OPD
 from ..operators import similarity as OPS
 from ..operators import text as OPT
@@ -37,20 +37,26 @@ _SHINGLES_CTE = f"""
 {_SHINGLES_TAIL}
 """
 
-_JACCARD_TAIL = """
+_PAIRS_CTE = """
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   {cand_join}
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.8
 )
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.8
+"""
+
+_JACCARD_TAIL = _PAIRS_CTE + """
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 
@@ -307,15 +313,34 @@ cand AS (
 @register(
     "dedup_minhash_lsh",
     f"""
-WITH {_SHINGLES_CTE},
+WITH RECURSIVE {_SHINGLES_CTE},
 {_MINHASH_CAND_CTE},
-{_JACCARD_TAIL.format(cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id")}
+{_PAIRS_CTE.format(cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT p.doc_a, p.doc_b, p.jaccard, c.cluster_id
+FROM pairs p JOIN clusters c ON c.id = p.doc_a
 """,
-    doc="MinHash(16)+LSH(4×4 bands) candidates → exact Jaccard verify ≥0.8 — fully oracle-checked",
+    doc="MinHash(16)+LSH(4×4 bands) candidates → exact Jaccard verify ≥0.8 → "
+    "connected-components clustering (min-label propagation; oracle = recursive "
+    "CTE): each dup pair tagged with its component's canonical keeper id",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPD.minhash_lsh_dedup(docs, threshold=0.8, k=16, band_rows=4)
+    pairs = OPD.minhash_lsh_dedup(docs, threshold=0.8, k=16, band_rows=4).cache()
+    clusters = OPD.dup_clusters(pairs)
+    return pairs.join(clusters, pairs["doc_a"] == clusters["doc_id"]).select(
+        "doc_a", "doc_b", "jaccard", "cluster_id"
+    )
 
 
 @register(
@@ -452,79 +477,99 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document chunking — overlapping word windows (training pre-chunking)
+# Quality gate → chunking pipeline (the pre-training front half, fused):
+# docs that pass the rule-based gate explode into overlapping word-window
+# chunks; dropped docs yield a single tombstone row tagged with the drop
+# reason, so the one relation is both the chunk manifest and the gate audit.
 # ---------------------------------------------------------------------------
 @register(
-    "doc_chunking",
-    f"""
-WITH {_WORDS_CTE},
-starts AS (
-  SELECT doc_id, words,
-         unnest(generate_series(0, CAST(greatest(ceil((len(words) - 8) / 24.0) - 1, 0) AS BIGINT))) AS chunk_id
-  FROM w
-)
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
-       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words
-FROM starts
-WHERE array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') <> ''
-""",
-    doc="overlapping word-window chunking (32-word chunks, 8-word overlap)",
-)
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return OPT.chunk_documents(docs, chunk_words=32, overlap=8)
-
-
-# ---------------------------------------------------------------------------
-# Quality gate — the keep/drop decision a pre-training filter pipeline makes
-# ---------------------------------------------------------------------------
-@register(
-    "doc_quality_gate",
+    "doc_pipeline",
     f"""
 WITH {_WORDS_CTE},
 scored AS (
-  SELECT d.doc_id,
+  SELECT d.doc_id, w.words,
          len(w.words) AS n_words,
          length(array_to_string(w.words, '')) / len(w.words) AS avg_word_len
   FROM documents d JOIN w ON d.doc_id = w.doc_id
+),
+verdicts AS (
+  SELECT doc_id, words,
+         CASE
+           WHEN n_words < 20 THEN 'too_short'
+           WHEN n_words > 400 THEN 'too_long'
+           WHEN avg_word_len < 2.0 THEN 'degenerate_words'
+           ELSE 'keep'
+         END AS verdict
+  FROM scored
+),
+starts AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, CAST(greatest(ceil((len(words) - 8) / 24.0) - 1, 0) AS BIGINT))) AS chunk_id
+  FROM verdicts WHERE verdict = 'keep'
 )
-SELECT CASE
-         WHEN n_words < 20 THEN 'too_short'
-         WHEN n_words > 400 THEN 'too_long'
-         WHEN avg_word_len < 2.0 THEN 'degenerate_words'
-         ELSE 'keep'
-       END AS verdict,
-       COUNT(*) AS n_docs,
-       CAST(MIN(n_words) AS BIGINT) AS min_words,
-       CAST(MAX(n_words) AS BIGINT) AS max_words
-FROM scored GROUP BY 1
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
+       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words,
+       'keep' AS verdict
+FROM starts
+WHERE array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') <> ''
+UNION ALL
+SELECT doc_id, CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), verdict
+FROM verdicts WHERE verdict <> 'keep'
 """,
-    doc="quality filter pipeline: rule-based keep/drop verdict with reasons",
+    doc="quality gate (keep/drop verdict with reasons) → overlapping word-window "
+    "chunking (32-word chunks, 8-word overlap) of the kept docs; dropped docs "
+    "appear as tombstone rows — one relation = chunk manifest + gate audit",
 )
-def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ws = OPT.words(F.col("text"))
-    scored = docs.select(
+    verdicts = OPT.quality_verdicts(docs)
+    kept = docs.join(
+        verdicts.where(F.col("verdict") == "keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    chunks = OPT.chunk_documents(kept, chunk_words=32, overlap=8).withColumn(
+        "verdict", F.lit("keep")
+    )
+    tombstones = verdicts.where(F.col("verdict") != "keep").select(
         "doc_id",
-        F.size(ws).alias("n_words"),
-        (F.length(F.array_join(ws, "")) / F.size(ws)).alias("avg_word_len"),
+        F.lit(-1).cast("long").alias("chunk_id"),
+        F.lit("").alias("chunk"),
+        F.lit(0).cast("long").alias("n_words"),
+        "verdict",
     )
-    verdict = (
-        F.when(F.col("n_words") < 20, "too_short")
-        .when(F.col("n_words") > 400, "too_long")
-        .when(F.col("avg_word_len") < 2.0, "degenerate_words")
-        .otherwise("keep")
-    )
-    return (
-        scored.withColumn("verdict", verdict)
-        .groupBy("verdict")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("n_words").cast("long").alias("min_words"),
-            F.max("n_words").cast("long").alias("max_words"),
-        )
-    )
+    return chunks.unionByName(tombstones)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — training-data mixture realization
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 0.5, "de": 0.35, "es": 0.3, "fr": 0.3}
+_MIX_DEFAULT = 0.1  # zh exercises the unlisted-stratum path
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(r * (1 << 60))}" for s, r in sorted(_MIX_RATES.items())
+)
+
+
+@register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {duck_hash60_inline("CAST(doc_id AS VARCHAR)", "0")} <
+      CASE lang {_MIX_CASE} ELSE {int(_MIX_DEFAULT * (1 << 60))} END
+""",
+    doc="deterministic hash sampling at per-language mixture rates (keep iff "
+    "hash60(doc_id) < rate·2^60): reproducible across reruns/engines, stable "
+    "under repartitioning — the at-scale alternative to df.sample; single "
+    "filtered scan, no shuffle",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, _MIX_RATES, stratum_col="lang", default_rate=_MIX_DEFAULT
+    ).select("doc_id", "lang", "source")
 
 
 # ---------------------------------------------------------------------------

@@ -209,3 +209,40 @@ def test_redact_pii_idempotent_and_bounded(spark):
     for r in rep.collect():
         assert 0.0 <= r.dup_word_frac <= 1.0 and 0.0 <= r.top_word_frac <= 1.0
         assert r.dup_2gram_frac is None or 0.0 <= r.dup_2gram_frac <= 1.0
+
+
+def test_dup_clusters_connected_components(spark):
+    """Transitive chains collapse to one component labeled by its min id;
+    disjoint pairs stay separate; convergence handles a long path (the
+    worst case for min-label propagation)."""
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10,11} as one pair,
+        # component {20..26} as a long path (diameter 6)
+        [(1, 2), (2, 3), (3, 4), (10, 11)] + [(i, i + 1) for i in range(20, 26)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in OPD.dup_clusters(pairs).collect()}
+    assert {k: v for k, v in got.items() if k < 10} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {k: v for k, v in got.items() if 10 <= k < 20} == {10: 10, 11: 10}
+    assert {k: v for k, v in got.items() if k >= 20} == {i: 20 for i in range(20, 27)}
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    """Hash sampling is (a) identical across evaluations and under
+    repartitioning, (b) monotone in the rate (rate r1 < r2 → sample(r1) ⊆
+    sample(r2)), (c) within binomial bounds of the target rate."""
+    from eth_event_tracker_spark.operators.sampling import hash_sample, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = sorted(r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect())
+    s2 = sorted(
+        r.doc_id for r in hash_sample(docs.repartition(13), 0.3).select("doc_id").collect()
+    )
+    assert s1 == s2 and s1, "hash sample must not depend on partition layout"
+    s_small = {r.doc_id for r in hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert s_small <= set(s1), "lower rate must be a subset (nested samples)"
+    n = docs.count()
+    assert 0.2 * n <= len(s1) <= 0.4 * n, f"rate 0.3 sample of {n} gave {len(s1)}"
+    mixed = stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
+    langs = {r.lang for r in mixed.select("lang").distinct().collect()}
+    assert langs == {"en"}, "default_rate=0 must drop every other stratum"
