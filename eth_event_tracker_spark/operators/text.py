@@ -10,7 +10,7 @@ the downstream groupBys shuffle on (doc_id) / (shingle), both well-keyed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -278,4 +278,35 @@ def chunk_documents(
             F.size(F.split("c.chunk", " ")).cast("long").alias("n_words"),
         )
         .where(F.col("chunk") != "")
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_words: int = 64,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign chunks to fixed-budget training sequences: first-fit
+    contiguous packing in deterministic (doc, chunk) order — the step that
+    turns a chunk manifest into dataloader-ready sequence ids.
+
+    Scale shape: packing is embarrassingly parallel ACROSS shards, so the
+    running word count is windowed per shard (shard = hash60(doc) mod
+    n_shards — deterministic, uniform), never over a global single
+    partition (the empty-``partitionBy`` trap). A chunk whose span crosses
+    a budget boundary belongs to the sequence its start falls in — the
+    streaming first-fit approximation real packers use; sequences are
+    therefore ≥ budget_words only when a single chunk overflows alone.
+    Rows gain (shard, seq_id); seq_id is shard-local.
+    """
+    shard = (hash60(F.col(id_col).cast("string"), 1) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_words").over(w), F.lit(0))
+    return chunks.withColumn("shard", shard).withColumn(
+        "seq_id", F.floor(cum_before / budget_words).cast("long")
     )

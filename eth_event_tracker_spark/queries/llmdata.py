@@ -506,20 +506,33 @@ starts AS (
   SELECT doc_id, words,
          unnest(generate_series(0, CAST(greatest(ceil((len(words) - 8) / 24.0) - 1, 0) AS BIGINT))) AS chunk_id
   FROM verdicts WHERE verdict = 'keep'
+),
+chunks AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
+         CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words
+  FROM starts
+  WHERE array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') <> ''
+),
+sharded AS (
+  SELECT *, CAST({duck_hash60_inline("CAST(doc_id AS VARCHAR)", "1")} % 32 AS BIGINT) AS shard
+  FROM chunks
 )
-SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk,
-       CAST(len(words[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_words,
-       'keep' AS verdict
-FROM starts
-WHERE array_to_string(words[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') <> ''
+SELECT doc_id, chunk_id, chunk, n_words, 'keep' AS verdict, shard,
+       CAST(floor(COALESCE(SUM(n_words) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 64) AS BIGINT) AS seq_id
+FROM sharded
 UNION ALL
-SELECT doc_id, CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), verdict
+SELECT doc_id, CAST(-1 AS BIGINT), '', CAST(0 AS BIGINT), verdict,
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
 FROM verdicts WHERE verdict <> 'keep'
 """,
     doc="quality gate (keep/drop verdict with reasons) → overlapping word-window "
-    "chunking (32-word chunks, 8-word overlap) of the kept docs; dropped docs "
-    "appear as tombstone rows — one relation = chunk manifest + gate audit",
+    "chunking (32-word chunks, 8-word overlap) of the kept docs → first-fit "
+    "sequence packing into 64-word training sequences (windowed per hash "
+    "shard, never a global single partition); dropped docs appear as tombstone "
+    "rows — one relation = chunk manifest + packing plan + gate audit",
 )
 def doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -527,7 +540,8 @@ def doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(
         verdicts.where(F.col("verdict") == "keep").select("doc_id"), "doc_id", "left_semi"
     )
-    chunks = OPT.chunk_documents(kept, chunk_words=32, overlap=8).withColumn(
+    chunks = OPT.chunk_documents(kept, chunk_words=32, overlap=8)
+    packed = OPT.pack_sequences(chunks, budget_words=64, n_shards=32).withColumn(
         "verdict", F.lit("keep")
     )
     tombstones = verdicts.where(F.col("verdict") != "keep").select(
@@ -536,8 +550,12 @@ def doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("chunk"),
         F.lit(0).cast("long").alias("n_words"),
         "verdict",
+        F.lit(-1).cast("long").alias("shard"),
+        F.lit(-1).cast("long").alias("seq_id"),
     )
-    return chunks.unionByName(tombstones)
+    return packed.select(
+        "doc_id", "chunk_id", "chunk", "n_words", "verdict", "shard", "seq_id"
+    ).unionByName(tombstones)
 
 
 # ---------------------------------------------------------------------------

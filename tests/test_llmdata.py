@@ -246,3 +246,19 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
     mixed = stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
     langs = {r.lang for r in mixed.select("lang").distinct().collect()}
     assert langs == {"en"}, "default_rate=0 must drop every other stratum"
+
+
+def test_pack_sequences_first_fit(spark):
+    """Within one shard, seq_id advances exactly when the running word
+    count crosses the budget; chunk order is (doc, chunk)."""
+    from eth_event_tracker_spark.operators.text import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "a", 30), (1, 1, "b", 30), (2, 0, "c", 30), (3, 0, "d", 10)],
+        "doc_id long, chunk_id long, chunk string, n_words long",
+    )
+    packed = pack_sequences(chunks, budget_words=64, n_shards=1).collect()
+    seq = {(r.doc_id, r.chunk_id): r.seq_id for r in packed}
+    # cumulative-before: 0, 30, 60, 90 → floor(/64): 0, 0, 0, 1
+    assert seq == {(1, 0): 0, (1, 1): 0, (2, 0): 0, (3, 0): 1}
+    assert all(r.shard == 0 for r in packed)

@@ -152,3 +152,20 @@ def test_exact_similarity_no_position_shuffle(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "Generate" not in plan, f"{name}: no posexplode in the dot product"
+
+
+def test_sample_stratified_no_shuffle(spark, sf_dir):
+    """Hash sampling is a single filtered scan: no Exchange anywhere in
+    the plan — the mixture CASE is a literal expression, not a join."""
+    plan = plan_of(REGISTRY["sample_stratified"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, "sampling must not shuffle"
+    assert "Join" not in plan, "mixture rates must be literals, not a join"
+
+
+def test_doc_pipeline_packing_is_shard_windowed(spark, sf_dir):
+    """Sequence packing must window per hash shard — a global (empty
+    partitionBy) running sum would single-partition the whole chunk
+    manifest."""
+    plan = plan_of(REGISTRY["doc_pipeline"].fn(spark, sf_dir))
+    assert "hashpartitioning(shard" in plan, "packing window must partition by shard"
+    assert "Exchange SinglePartition" not in plan
