@@ -30,6 +30,11 @@ def main() -> None:
     from eth_event_tracker_spark.tables import derived_logs
 
     derived_logs(spark, sf_dir).count()
+    # likewise the shared shingle table (session-scoped intermediate used
+    # by the four shingle-based queries — at 100 TB a persisted table)
+    from eth_event_tracker_spark.queries.llmdata import _doc_shingles
+
+    _doc_shingles(spark, sf_dir).count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

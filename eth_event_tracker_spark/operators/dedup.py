@@ -136,12 +136,13 @@ def minhash_lsh_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bands → candidate pairs →
     exact Jaccard verification ≥ threshold.  The shingle table is
     materialized once (cached) and shared between signature generation and
     verification — at 100 TB it would be a persisted intermediate table."""
-    sh = word_shingles(df, text_col, n, id_col).cache()
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col).cache()
     sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
     # cache shingles + candidates: both are referenced by multiple
     # downstream branches; at 100 TB they would be persisted tables
@@ -200,12 +201,18 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
-def simhash64(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """63-bit SimHash over word shingles: bit b of the signature is the
     majority vote of bit b across all shingle hashes (two 60-bit portable
     hashes supply the bits: 0..59 of seed 0 plus 60..62 from seed 1; bit
     63 is left clear to stay inside a signed int64)."""
-    sh = word_shingles(df, text_col, n, id_col)
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
     # materialize the two sha-hashes ONCE per shingle; the 64 bit-vote
     # columns then read cheap integer ops off h0/h1 instead of re-running
     # sha256 per bit (a 60x expression-duplication trap)

@@ -124,12 +124,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+def fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 4, shingles: DataFrame | None = None
+) -> DataFrame:
     """Document fingerprint: sha-256 of the normalized text (exact
     identity) + the k smallest shingle hashes joined (robust identity —
     equal for near-identical docs; the min-k sketch is the rolling-hash
     winnowing analogue)."""
-    sh = word_shingles(df, text_col)
+    sh = shingles if shingles is not None else word_shingles(df, text_col)
     sketch = (
         sh.withColumn("hv", hash60(F.col("shingle"), 0))
         .groupBy("doc_id")

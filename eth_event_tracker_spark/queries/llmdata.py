@@ -37,6 +37,25 @@ _SHINGLES_CTE = f"""
 {_SHINGLES_TAIL}
 """
 
+# ---------------------------------------------------------------------------
+# Session-level shingle cache: four registry queries (Jaccard, MinHash+LSH,
+# SimHash, fingerprint) all start from the same word-3-gram shingle table;
+# derive + Spark-cache it once per (session, sf_dir). At 100 TB this is a
+# persisted intermediate table, computed once per corpus snapshot.
+# ---------------------------------------------------------------------------
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        docs = load_table(spark, sf_dir, "documents")
+        hit = OPT.word_shingles(docs).cache()
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
+
 _PAIRS_CTE = """
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -142,7 +161,9 @@ FROM lang JOIN fp ON lang.doc_id = fp.doc_id
 )
 def text_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPT.lang_id(docs).join(OPT.fingerprint(docs), "doc_id")
+    return OPT.lang_id(docs).join(
+        OPT.fingerprint(docs, shingles=_doc_shingles(spark, sf_dir)), "doc_id"
+    )
 
 
 _GRAMS5 = """
@@ -290,7 +311,7 @@ WITH {_SHINGLES_CTE},
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPD.jaccard_pairs(docs, threshold=0.8)
+    return OPD.jaccard_pairs(docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir))
 
 
 _MINHASH_CAND_CTE = f"""
@@ -336,7 +357,9 @@ FROM pairs p JOIN clusters c ON c.id = p.doc_a
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = OPD.minhash_lsh_dedup(docs, threshold=0.8, k=16, band_rows=4).cache()
+    pairs = OPD.minhash_lsh_dedup(
+        docs, threshold=0.8, k=16, band_rows=4, shingles=_doc_shingles(spark, sf_dir)
+    ).cache()
     clusters = OPD.dup_clusters(pairs)
     return pairs.join(clusters, pairs["doc_a"] == clusters["doc_id"]).select(
         "doc_a", "doc_b", "jaccard", "cluster_id"
@@ -376,7 +399,9 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPD.simhash_near_dups(docs, max_hamming=6).select(
+    return OPD.simhash_near_dups(
+        docs, max_hamming=6, shingles=_doc_shingles(spark, sf_dir)
+    ).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
