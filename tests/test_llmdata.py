@@ -262,3 +262,39 @@ def test_pack_sequences_first_fit(spark):
     # cumulative-before: 0, 30, 60, 90 → floor(/64): 0, 0, 0, 1
     assert seq == {(1, 0): 0, (1, 1): 0, (2, 0): 0, (3, 0): 1}
     assert all(r.shard == 0 for r in packed)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a driver-side union-find on
+    arbitrary random graphs (cycles, chains, stars, self-dups filtered)."""
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in OPD.dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
