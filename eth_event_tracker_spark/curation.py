@@ -1,0 +1,161 @@
+"""End-to-end training-corpus curation: the operators composed the way a
+pre-training data pipeline actually runs them.
+
+    raw docs
+      → quality gate          (rule-based keep/drop, text.quality_verdicts)
+      → PII redaction         (text.redact_pii — redacted text flows on)
+      → decontamination       (text.ngram_decontaminate vs an eval set)
+      → exact dedup           (dedup.exact_dedup — content-hash keep-min)
+      → near-dup clustering   (dedup.minhash_lsh_dedup → dup_clusters,
+                               keep each component's canonical doc)
+      → stratified sampling   (sampling.stratified_sample, mixture rates)
+      → chunk + pack          (text.chunk_documents → text.pack_sequences)
+
+Every stage is lazy DataFrame composition — one ``CurationResult`` holds
+the curated corpus, the dataloader-ready packed chunks, and per-stage
+drop ledgers for auditability. No stage collects to the driver (the
+clustering rounds inside ``dup_clusters`` are the one documented
+bounded-iteration exception).
+
+Scale notes: gate/redact/sample are shuffle-free projections or filtered
+scans; decontamination is a broadcast semi-join; the dedups meet pairs
+via equality joins only (see docs/SCALE.md §5, §10). The pipeline
+inherits those shapes — no stage introduces a new shuffle class.
+
+No counterpart in the reference (its pipeline is chain ingest); this is
+the LLM-data surface of the engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import dedup as OPD
+from .operators import text as OPT
+from .operators.sampling import stratified_sample
+
+
+@dataclass
+class CurationResult:
+    """Outputs of :func:`curate`. All DataFrames are lazy."""
+
+    kept: DataFrame  # curated docs (doc_id, text=redacted, lang, source, ...)
+    packed: DataFrame  # chunk manifest + packing plan (doc_id, chunk_id, chunk, n_words, shard, seq_id)
+    dropped: DataFrame  # ledger: (doc_id, stage, reason) for every dropped doc
+    dup_pairs: DataFrame  # verified near-dup pairs with cluster ids
+    stages: list[str] = field(default_factory=list)
+
+    def audit(self) -> dict[str, int]:
+        """Materialize per-stage drop counts (actions — call sparingly)."""
+        rows = self.dropped.groupBy("stage", "reason").count().collect()
+        out = {f"{r['stage']}:{r['reason']}": r["count"] for r in rows}
+        out["kept"] = self.kept.count()
+        return out
+
+
+def _ledger(df: DataFrame, stage: str, reason_col) -> DataFrame:
+    return df.select(
+        "doc_id", F.lit(stage).alias("stage"), reason_col.alias("reason")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    *,
+    contamination_max: float = 0.2,
+    jaccard_threshold: float = 0.8,
+    mix_rates: dict[str, float] | None = None,
+    mix_default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    chunk_words: int = 32,
+    overlap: int = 8,
+    budget_words: int = 64,
+    n_shards: int = 32,
+) -> CurationResult:
+    """Run the full curation pipeline over ``docs`` (needs doc_id, text;
+    ``stratum_col`` only if ``mix_rates`` is given).
+
+    ``eval_df`` enables the decontamination stage; ``mix_rates`` enables
+    the mixture-sampling stage — both skip cleanly when omitted.
+    """
+    stages: list[str] = []
+    ledgers: list[DataFrame] = []
+
+    # 1. quality gate ------------------------------------------------------
+    stages.append("quality_gate")
+    verdicts = OPT.quality_verdicts(docs)
+    ledgers.append(
+        _ledger(verdicts.where(F.col("verdict") != "keep"), "quality_gate", F.col("verdict"))
+    )
+    cur = docs.join(
+        verdicts.where(F.col("verdict") == "keep").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 2. PII redaction (transforms, drops nothing) -------------------------
+    stages.append("pii_redaction")
+    red = OPT.redact_pii(cur)
+    cur = red.drop("text", "n_email", "n_phone", "n_ipv4").withColumnRenamed(
+        "redacted", "text"
+    )
+
+    # 3. decontamination ---------------------------------------------------
+    if eval_df is not None:
+        stages.append("decontamination")
+        contam = OPT.ngram_decontaminate(cur, eval_df)
+        dirty = contam.where(F.col("contamination") > contamination_max)
+        ledgers.append(_ledger(dirty, "decontamination", F.lit("eval_overlap")))
+        cur = cur.join(dirty.select("doc_id"), "doc_id", "left_anti")
+
+    # 4. exact dedup -------------------------------------------------------
+    stages.append("exact_dedup")
+    deduped = OPD.exact_dedup(cur).drop("content_hash")
+    ledgers.append(
+        _ledger(
+            cur.join(deduped.select("doc_id"), "doc_id", "left_anti"),
+            "exact_dedup",
+            F.lit("exact_duplicate"),
+        )
+    )
+    cur = deduped
+
+    # 5. near-dup clustering: keep each component's canonical (min-id) doc -
+    stages.append("near_dup_cluster")
+    pairs = OPD.minhash_lsh_dedup(cur, threshold=jaccard_threshold).cache()
+    clusters = OPD.dup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    ledgers.append(_ledger(losers, "near_dup_cluster", F.lit("near_duplicate")))
+    dup_pairs = pairs.join(clusters, pairs["doc_a"] == clusters["doc_id"]).select(
+        "doc_a", "doc_b", "jaccard", "cluster_id"
+    )
+    cur = cur.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+    # 6. stratified mixture sampling ---------------------------------------
+    if mix_rates is not None:
+        stages.append("mixture_sample")
+        sampled = stratified_sample(
+            cur, mix_rates, stratum_col=stratum_col, default_rate=mix_default_rate
+        )
+        ledgers.append(
+            _ledger(
+                cur.join(sampled.select("doc_id"), "doc_id", "left_anti"),
+                "mixture_sample",
+                F.lit("not_sampled"),
+            )
+        )
+        cur = sampled
+
+    # 7. chunk + pack ------------------------------------------------------
+    stages.append("chunk_pack")
+    chunks = OPT.chunk_documents(cur, chunk_words=chunk_words, overlap=overlap)
+    packed = OPT.pack_sequences(chunks, budget_words=budget_words, n_shards=n_shards)
+
+    dropped = ledgers[0]
+    for extra in ledgers[1:]:
+        dropped = dropped.unionByName(extra)
+    return CurationResult(
+        kept=cur, packed=packed, dropped=dropped, dup_pairs=dup_pairs, stages=stages
+    )

@@ -1,0 +1,85 @@
+"""Integration test: the full corpus-curation pipeline on the fixture
+documents table — every stage's invariant checked on real composed output,
+not per-operator mocks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_event_tracker_spark.curation import curate
+from eth_event_tracker_spark.operators import text as OPT
+from eth_event_tracker_spark.tables import load_table
+
+
+def test_curate_end_to_end(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # duplicate every 10th doc under a new id so dedup has work to do
+    dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dups)
+    eval_df = docs.where(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+
+    res = curate(
+        corpus,
+        eval_df,
+        contamination_max=0.5,
+        mix_rates={"en": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0},
+        mix_default_rate=1.0,  # keep all strata: sampling must be a no-op drop
+    )
+    assert res.stages == [
+        "quality_gate",
+        "pii_redaction",
+        "decontamination",
+        "exact_dedup",
+        "near_dup_cluster",
+        "mixture_sample",
+        "chunk_pack",
+    ]
+
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept_ids and kept_ids <= corpus_ids
+
+    # ledger + kept partition the input: every doc is kept or dropped once
+    dropped = res.dropped.collect()
+    dropped_ids = {r.doc_id for r in dropped}
+    assert kept_ids | dropped_ids == corpus_ids
+    assert not kept_ids & dropped_ids
+    by_stage = {}
+    for r in dropped:
+        by_stage.setdefault(r.stage, set()).add(r.doc_id)
+    # rate-1.0 sampling with default 1.0 drops nothing
+    assert "mixture_sample" not in by_stage
+    # the planted exact duplicates all lost to their originals
+    assert by_stage["exact_dedup"], "planted duplicates must be caught"
+    assert all(d >= 100000 for d in by_stage["exact_dedup"])
+    # eval docs (doc_id % 10 == 7) are fully contained in the eval set, so
+    # none may survive curation (near-copies of eval docs may ALSO be
+    # dropped here — that is the filter working, not an error)
+    assert by_stage.get("decontamination"), "eval members must be flagged"
+    assert not any(d % 10 == 7 for d in kept_ids)
+
+    # no exact duplicates survive
+    n_kept = res.kept.count()
+    n_hash = (
+        res.kept.select(F.sha2(OPT.normalize(F.col("text")), 256).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert n_kept == n_hash
+
+    # near-dup components keep exactly their canonical member
+    for r in res.dup_pairs.collect():
+        assert (r.cluster_id in kept_ids) or (r.cluster_id in dropped_ids)
+        winners = {r.doc_a, r.doc_b} & kept_ids
+        assert len(winners) <= 1, f"both sides of near-dup pair kept: {r}"
+
+    # packed chunks come only from kept docs; seq ids are sane
+    packed = res.packed
+    chunk_doc_ids = {r.doc_id for r in packed.select("doc_id").distinct().collect()}
+    assert chunk_doc_ids <= kept_ids
+    assert packed.where((F.col("seq_id") < 0) | (F.col("shard") < 0)).count() == 0
+
+    # redaction happened before chunking: no raw email survives in chunks
+    assert packed.where(F.col("chunk").rlike(r"[\w.]+@[\w.]+\.\w+")).count() == 0
