@@ -105,7 +105,15 @@ def curate(
     # 3. decontamination ---------------------------------------------------
     if eval_df is not None:
         stages.append("decontamination")
-        contam = OPT.ngram_decontaminate(cur, eval_df)
+        # redact the eval side identically: train text is already redacted,
+        # and n-grams spanning a <EMAIL>/<PHONE>/<IPV4> tag must still match
+        # their eval counterparts or contamination is systematically diluted
+        eval_red = (
+            OPT.redact_pii(eval_df)
+            .drop("text", "n_email", "n_phone", "n_ipv4")
+            .withColumnRenamed("redacted", "text")
+        )
+        contam = OPT.ngram_decontaminate(cur, eval_red)
         dirty = contam.where(F.col("contamination") > contamination_max)
         ledgers.append(_ledger(dirty, "decontamination", F.lit("eval_overlap")))
         cur = cur.join(dirty.select("doc_id"), "doc_id", "left_anti")
@@ -124,7 +132,12 @@ def curate(
 
     # 5. near-dup clustering: keep each component's canonical (min-id) doc -
     stages.append("near_dup_cluster")
-    pairs = OPD.minhash_lsh_dedup(cur, threshold=jaccard_threshold).cache()
+    # localCheckpoint, not cache(): CacheManager entries persist until an
+    # explicit unpersist, so per-call cache() leaks across invocations;
+    # checkpoint blocks are released by the ContextCleaner on GC
+    pairs = OPD.minhash_lsh_dedup(cur, threshold=jaccard_threshold).localCheckpoint(
+        eager=False
+    )
     clusters = OPD.dup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id"))
     ledgers.append(_ledger(losers, "near_dup_cluster", F.lit("near_duplicate")))

@@ -158,18 +158,19 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
     dedup decision — pairs alone can chain (A~B, B~C) and a keep-one-per-
     pair rule would keep too many/few.
 
-    Algorithm: min-label propagation. Each round every node takes the min
-    label over itself and its neighbors; terminates when the global label
-    sum stops changing (the sum is strictly decreasing until fixpoint).
-    Rounds = component diameter; LSH dup clusters are near-cliques, so
-    2–3 rounds in practice. For adversarial long-chain graphs at 100 TB
-    the same loop body accepts the large-star/small-star edge rewriting
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    O(log n) rounds — but the simple propagation is what dedup workloads
-    need. Each round is one equality-join shuffle + one groupBy; labels
-    are localCheckpoint()ed so lineage stays O(1) and re-evaluation is
-    impossible (a prior bug class: multi-branch plans re-sampling
-    nondeterministic lineage).
+    Algorithm: min-label propagation with pointer jumping. Each round
+    every node takes the min label over itself, its neighbors' labels,
+    AND its own label's label (path compression — the "pointer jumping"
+    of Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    so convergence is O(log diameter) rounds, not O(diameter): a
+    1000-link chain of incrementally-edited near-dups converges in ~10
+    rounds. Terminates when the global label sum stops changing (the sum
+    is strictly decreasing until fixpoint); raises if max_iter rounds
+    pass without convergence — unconverged labels would silently split
+    components. Each round is two equality-join shuffles + one groupBy;
+    labels are localCheckpoint()ed so lineage stays O(1) and
+    re-evaluation is impossible (a prior bug class: multi-branch plans
+    re-sampling nondeterministic lineage).
 
     No counterpart in the reference (its store is an ordered log, not a
     corpus); this is the LLM-data surface.
@@ -186,18 +187,34 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
         .select(F.col("dst").alias("id"), F.least(F.col("dst"), F.col("nmin")).alias("comp"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "comp"
         )
+        # pointer jumping: my label's current label is also a candidate
+        jump = (
+            labels.alias("l")
+            .join(labels.alias("m"), F.col("l.comp") == F.col("m.id"))
+            .select(F.col("l.id").alias("id"), F.col("m.comp").alias("comp"))
+        )
         labels = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.unionByName(msgs)
+            .unionByName(jump)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "unconverged labels would silently split components"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 

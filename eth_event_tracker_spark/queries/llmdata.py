@@ -43,11 +43,13 @@ _SHINGLES_CTE = f"""
 # derive + Spark-cache it once per (session, sf_dir). At 100 TB this is a
 # persisted intermediate table, computed once per corpus snapshot.
 # ---------------------------------------------------------------------------
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# keyed by the session OBJECT (not id(spark): ids are reused after GC,
+# which could hand a DataFrame of a dead session to a new one)
+_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     hit = _SHINGLE_CACHE.get(key)
     if hit is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -357,9 +359,12 @@ FROM pairs p JOIN clusters c ON c.id = p.doc_a
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint, not cache(): repeated invocations of a registered
+    # query must not accumulate CacheManager entries (cleaned only by
+    # explicit unpersist); checkpoint blocks are GC'd with the DataFrame
     pairs = OPD.minhash_lsh_dedup(
         docs, threshold=0.8, k=16, band_rows=4, shingles=_doc_shingles(spark, sf_dir)
-    ).cache()
+    ).localCheckpoint(eager=False)
     clusters = OPD.dup_clusters(pairs)
     return pairs.join(clusters, pairs["doc_a"] == clusters["doc_id"]).select(
         "doc_a", "doc_b", "jaccard", "cluster_id"

@@ -59,7 +59,9 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # logs — the event-log fact table (schema: postgresql_store.go:208-217)
 # ---------------------------------------------------------------------------
 
-_DERIVED_LOGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# keyed by the session OBJECT (not id(spark): ids are reused after GC,
+# which could hand a DataFrame of a dead session to a new one)
+_DERIVED_LOGS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def derived_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +71,7 @@ def derived_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is memoized + Spark-cached per (session, sf_dir): a dozen
     registry queries start from this table, and the sha-256 derivation
     only needs to run once per session."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     hit = _DERIVED_LOGS_CACHE.get(key)
     if hit is not None:
         return hit

@@ -213,18 +213,20 @@ def test_redact_pii_idempotent_and_bounded(spark):
 
 def test_dup_clusters_connected_components(spark):
     """Transitive chains collapse to one component labeled by its min id;
-    disjoint pairs stay separate; convergence handles a long path (the
-    worst case for min-label propagation)."""
+    disjoint pairs stay separate; a path whose diameter far exceeds
+    max_iter still converges (pointer jumping gives O(log diameter)
+    rounds — plain min-label propagation would need diameter rounds and
+    silently return split components at the round cap)."""
     pairs = spark.createDataFrame(
         # component {1,2,3,4} as a chain, component {10,11} as one pair,
-        # component {20..26} as a long path (diameter 6)
-        [(1, 2), (2, 3), (3, 4), (10, 11)] + [(i, i + 1) for i in range(20, 26)],
+        # component {20..100} as a long path (diameter 80 > max_iter)
+        [(1, 2), (2, 3), (3, 4), (10, 11)] + [(i, i + 1) for i in range(20, 100)],
         "doc_a long, doc_b long",
     )
     got = {r.doc_id: r.cluster_id for r in OPD.dup_clusters(pairs).collect()}
     assert {k: v for k, v in got.items() if k < 10} == {1: 1, 2: 1, 3: 1, 4: 1}
     assert {k: v for k, v in got.items() if 10 <= k < 20} == {10: 10, 11: 10}
-    assert {k: v for k, v in got.items() if k >= 20} == {i: 20 for i in range(20, 27)}
+    assert {k: v for k, v in got.items() if k >= 20} == {i: 20 for i in range(20, 101)}
 
 
 def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
