@@ -140,13 +140,23 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bands → candidate pairs →
     exact Jaccard verification ≥ threshold.  The shingle table is
-    materialized once (cached) and shared between signature generation and
-    verification — at 100 TB it would be a persisted intermediate table."""
-    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col).cache()
+    materialized once and shared between signature generation and
+    verification — at 100 TB it would be a persisted intermediate table.
+
+    Internal intermediates use localCheckpoint, not cache(): a cache()
+    here would add a CacheManager entry per invocation with no owner to
+    unpersist it, leaking executor storage across repeated curate() /
+    registered-query calls.  localCheckpoint blocks are released by the
+    ContextCleaner when the DataFrame is garbage collected.  Callers that
+    already manage a shingle table pass it via ``shingles`` and keep
+    their own lifecycle."""
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, text_col, n, id_col).localCheckpoint(eager=False)
+    )
     sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
-    # cache shingles + candidates: both are referenced by multiple
-    # downstream branches; at 100 TB they would be persisted tables
-    cands = lsh_candidates(sigs, band_rows, id_col).cache()
+    cands = lsh_candidates(sigs, band_rows, id_col).localCheckpoint(eager=False)
     return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
 
 

@@ -45,8 +45,40 @@ def synth_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _byte_at(col, i: int):
+    """i-th byte (1-based) of a binary column as a long — substring works
+    on BinaryType, hex→conv turns the single byte into its integer value."""
+    return F.conv(F.hex(F.substring(col, i, 1)), 16, 10).cast("long")
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Byte-level feature extraction over binary payloads as NATIVE column
+    expressions — length, header slicing, and checksums never leave the
+    JVM (whole-stage codegen, zero Python).  Only work a real decoder
+    genuinely needs Python for belongs in ``decode_features`` below."""
+    p = F.col("payload")
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length(p).cast("long").alias("byte_len"),
+        F.lower(F.hex(F.substring(p, 1, 2))).alias("header_magic"),
+        # deterministic stand-ins for decoded dimensions (header bytes 3/4)
+        (16 * (1 + _byte_at(p, 3) % 64)).cast("long").alias("fake_width"),
+        (16 * (1 + _byte_at(p, 4) % 64)).cast("long").alias("fake_height"),
+        # checksum over the lowercase hex encoding (not raw bytes): byte-
+        # deterministic AND expressible in engines whose sha256 only
+        # accepts strings — keeps the oracle portable
+        F.sha2(F.lower(F.hex(p)), 256).alias("checksum"),
+    )
+
+
+def decode_features(assets: DataFrame) -> DataFrame:
+    """The DECODER SEAM: Arrow-batched mapInPandas over binary payloads —
+    the place a real Pillow/ffmpeg decode plugs in (payloads stream one
+    Arrow batch at a time; zero shuffle).  With no decoder libraries in
+    this container it emits the same deterministic pseudo-features as
+    ``extract_features``; pytest pins the two paths equal, so swapping in
+    a real decoder body is the only change a production deploy makes."""
     import hashlib
 
     import pandas as pd
@@ -60,12 +92,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "modality": pdf["modality"],
                     "byte_len": payloads.map(len).astype("int64"),
                     "header_magic": payloads.map(lambda b: bytes(b[:2]).hex()),
-                    # deterministic stand-ins for decoded dimensions
                     "fake_width": payloads.map(lambda b: 16 * (1 + b[2] % 64)).astype("int64"),
                     "fake_height": payloads.map(lambda b: 16 * (1 + b[3] % 64)).astype("int64"),
-                    # checksum over the hex encoding (not raw bytes): byte-
-                    # deterministic AND expressible in engines whose sha256
-                    # only accepts strings — keeps the oracle portable
                     "checksum": payloads.map(
                         lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
                     ),

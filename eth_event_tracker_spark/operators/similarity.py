@@ -38,10 +38,15 @@ def _dec_dot(va, vb):
     prods = F.zip_with(
         va, vb, lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(30,18)")
     )
+    # Accumulator is the widest fixed-scale decimal (38,18): per-step
+    # rounding is unchanged (scale stays 18) but the integral headroom is
+    # 1e20 — matching the decimal(38,18) a posexplode+SUM plan would get,
+    # so unnormalized vectors don't silently overflow the sum to NULL
+    # under non-ANSI defaults.
     return F.aggregate(
         prods,
-        F.lit(0).cast("decimal(32,18)"),
-        lambda acc, v: (acc + v).cast("decimal(32,18)"),
+        F.lit(0).cast(_DEC),
+        lambda acc, v: (acc + v).cast(_DEC),
     ).cast("double")
 
 

@@ -43,18 +43,28 @@ _SHINGLES_CTE = f"""
 # derive + Spark-cache it once per (session, sf_dir). At 100 TB this is a
 # persisted intermediate table, computed once per corpus snapshot.
 # ---------------------------------------------------------------------------
-# keyed by the session OBJECT (not id(spark): ids are reused after GC,
-# which could hand a DataFrame of a dead session to a new one)
-_SHINGLE_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+# The per-session cache dict lives as an attribute ON the session object,
+# so it is garbage-collected exactly when the session is — no module-level
+# registry pinning dead sessions for the life of the process.  (A
+# WeakKeyDictionary would NOT achieve this: the cached DataFrames strongly
+# reference their session via df.sparkSession, so the dictionary's own
+# values would keep its keys alive forever — the weakref docs call this
+# out explicitly.)  Attribute storage also keeps the id-reuse safety a
+# session-object key gives: the cache can never hand a dead session's
+# DataFrame to a new session.
+_SHINGLE_CACHE_ATTR = "_eets_shingle_cache"
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark, sf_dir)
-    hit = _SHINGLE_CACHE.get(key)
+    per: dict[str, DataFrame] | None = getattr(spark, _SHINGLE_CACHE_ATTR, None)
+    if per is None:
+        per = {}
+        setattr(spark, _SHINGLE_CACHE_ATTR, per)
+    hit = per.get(sf_dir)
     if hit is None:
         docs = load_table(spark, sf_dir, "documents")
         hit = OPT.word_shingles(docs).cache()
-        _SHINGLE_CACHE[key] = hit
+        per[sf_dir] = hit
     return hit
 
 
@@ -495,8 +505,9 @@ SELECT doc_id AS asset_id,
        sha256(lower(hex(from_hex('feed' || lpad(to_hex(doc_id % 256), 4, '0')) || encode(text)))) AS checksum
 FROM documents
 """,
-    doc="multimodal binary column plumbing: synth payloads → mapInPandas feature extraction "
-    "(decode stubbed; the synth header + byte-level features are deterministic, hence oracle-checked)",
+    doc="multimodal binary column plumbing: synth payloads → native-column byte features "
+    "(JVM-only; the mapInPandas decoder seam is pytest-pinned equal — decode stubbed; "
+    "the synth header + byte-level features are deterministic, hence oracle-checked)",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, synth_assets

@@ -74,23 +74,42 @@ def curate_batch(batch_df: DataFrame) -> DataFrame:
     )
 
 
+def _corpus_exists(spark: SparkSession, corpus_dir: str) -> bool:
+    """Hadoop-FS existence probe for the corpus root — works for any
+    filesystem Spark can address (local, HDFS, object store), unlike an
+    os.path check."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def append_curated(spark: SparkSession, corpus_dir: str, batch_df: DataFrame) -> None:
     """Cross-batch guard + append: drop rows whose content hash already
     lives in the corpus (prefix-pruned, hash-column-only read), then
-    append the survivors partitioned by hash prefix."""
+    append the survivors partitioned by hash prefix.
+
+    The guard FAILS LOUD: only a genuinely absent corpus directory (the
+    first batch) skips the anti-join.  Any read failure on an existing
+    corpus — corrupt footer, permission error, transient FS fault —
+    propagates, failing the micro-batch so the stream retries, instead of
+    silently degrading to no-dedup and appending duplicates (which would
+    break the exactly-once guarantee with no error surfaced)."""
     cur = curate_batch(batch_df)
     prefixes = [r.hash_prefix for r in cur.select("hash_prefix").distinct().collect()]
     if not prefixes:
         return
-    try:
+    if _corpus_exists(spark, corpus_dir):
+        # explicit schema: no footer-based inference, so an existing-but-
+        # empty corpus reads as zero rows rather than erroring, while a
+        # corrupt data file still fails at scan time (loud, as intended)
         existing = (
-            spark.read.parquet(corpus_dir)
+            spark.read.schema("content_hash string, hash_prefix string")
+            .parquet(corpus_dir)
             .where(F.col("hash_prefix").isin(prefixes))
             .select("hash_prefix", "content_hash")
         )
         cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
-    except Exception:  # first batch: corpus directory does not exist yet
-        pass
     (
         cur.write.mode("append")
         .partitionBy("hash_prefix")

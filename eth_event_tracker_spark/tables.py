@@ -59,9 +59,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # logs — the event-log fact table (schema: postgresql_store.go:208-217)
 # ---------------------------------------------------------------------------
 
-# keyed by the session OBJECT (not id(spark): ids are reused after GC,
-# which could hand a DataFrame of a dead session to a new one)
-_DERIVED_LOGS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+# The per-session cache dict lives as an attribute ON the session object,
+# so it is garbage-collected exactly when the session is — no module-level
+# registry pinning dead sessions (and their executor-cached DataFrames)
+# for the life of the process.  A WeakKeyDictionary would not work here:
+# cached DataFrames strongly reference their session (df.sparkSession),
+# so the dict's values would keep its weak keys alive forever.
+_DERIVED_LOGS_CACHE_ATTR = "_eets_derived_logs_cache"
 
 
 def derived_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,12 +75,15 @@ def derived_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The result is memoized + Spark-cached per (session, sf_dir): a dozen
     registry queries start from this table, and the sha-256 derivation
     only needs to run once per session."""
-    key = (spark, sf_dir)
-    hit = _DERIVED_LOGS_CACHE.get(key)
+    per: dict[str, DataFrame] | None = getattr(spark, _DERIVED_LOGS_CACHE_ATTR, None)
+    if per is None:
+        per = {}
+        setattr(spark, _DERIVED_LOGS_CACHE_ATTR, per)
+    hit = per.get(sf_dir)
     if hit is not None:
         return hit
     df = _derived_logs_uncached(spark, sf_dir).cache()
-    _DERIVED_LOGS_CACHE[key] = df
+    per[sf_dir] = df
     return df
 
 

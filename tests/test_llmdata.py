@@ -36,6 +36,21 @@ def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
     assert recall >= 0.9, f"minhash-lsh recall {recall:.2f}"
 
 
+def test_minhash_lsh_leaves_cache_manager_flat(spark):
+    """minhash_lsh_dedup's internal intermediates must not accumulate
+    CacheManager entries across invocations (they are localCheckpointed,
+    not cache()d — repeated curate() calls in one session would otherwise
+    leak executor storage for the session's lifetime)."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 4}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    for _ in range(3):
+        OPD.minhash_lsh_dedup(docs, threshold=0.8).collect()
+        assert cm.isEmpty(), "minhash_lsh_dedup left CacheManager entries behind"
+
+
 def test_cosine_fast_matches_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
@@ -89,6 +104,20 @@ def test_multimodal_plumbing(spark, sf_dir):
     frames = OPM.frame_sample_stub(assets, every_n=10)
     vids = assets.where(F.col("modality") == "video").count()
     assert frames.select("asset_id").distinct().count() == vids
+
+
+def test_decoder_seam_matches_native_features(spark, sf_dir):
+    """The mapInPandas decoder seam must emit exactly what the native
+    column path emits — swapping in a real decoder changes only the seam
+    body, and this pin is what licenses the native path to be the
+    registered/hot one."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    assets = OPM.synth_assets(docs)
+    native = {tuple(r) for r in OPM.extract_features(assets).collect()}
+    seam = {tuple(r) for r in OPM.decode_features(assets).collect()}
+    assert native == seam
+
+
 
 
 def test_decode_stub_gated():

@@ -169,3 +169,14 @@ def test_doc_pipeline_packing_is_shard_windowed(spark, sf_dir):
     plan = plan_of(REGISTRY["doc_pipeline"].fn(spark, sf_dir))
     assert "hashpartitioning(shard" in plan, "packing window must partition by shard"
     assert "Exchange SinglePartition" not in plan
+
+
+def test_multimodal_features_plan_is_jvm_only(spark, sf_dir):
+    """The registered multimodal feature path is native column expressions
+    (length/substring/sha2 on binary) — no Python evaluation operator and
+    no shuffle anywhere in its physical plan.  The mapInPandas decoder
+    seam (decode_features) is a separate, pytest-pinned function."""
+    plan = plan_of(REGISTRY["multimodal_features"].fn(spark, sf_dir))
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python operator {marker} in multimodal_features plan"
+    assert "Exchange" not in plan, "feature extraction must not shuffle"

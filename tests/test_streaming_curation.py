@@ -94,3 +94,44 @@ def test_streaming_curation_dedup_and_replay(spark, tmp_path):
     hashes = {r.content_hash for r in got.select("content_hash").collect()}
     # "p" guard keeps partition values string-typed under hive inference
     assert prefixes == {"p" + h[:2] for h in hashes}
+
+
+def test_corrupted_corpus_fails_loud(spark, tmp_path):
+    """A corpus that EXISTS but cannot be read must fail the batch, not
+    silently skip the anti-join and append duplicates (the exactly-once
+    guarantee would otherwise fail open)."""
+    import pytest
+
+    from eth_event_tracker_spark.streaming.curation import append_curated, curate_batch
+
+    corpus = tmp_path / "corpus"
+    batch = spark.createDataFrame(
+        [(1, LONG + "gamma", "en", "s0")], SCHEMA
+    )
+    # plant garbage bytes inside the exact hash-prefix partition this
+    # batch will probe — prefix pruning must not hide the corruption
+    prefix = curate_batch(batch).select("hash_prefix").collect()[0][0]
+    part = corpus / f"hash_prefix={prefix}"
+    part.mkdir(parents=True)
+    (part / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as ei:
+        append_curated(spark, str(corpus), batch)
+    # the failure is the corpus read surfacing, not a swallowed no-op
+    assert "parquet" in str(ei.value).lower() or "footer" in str(ei.value).lower()
+    # and nothing was appended: the only parquet under the corpus is still
+    # the garbage file itself
+    files = list(corpus.rglob("*.parquet"))
+    assert files == [part / "part-00000.parquet"]
+
+
+def test_empty_existing_corpus_dir_is_first_batch(spark, tmp_path):
+    """An existing-but-empty corpus directory (e.g. created by an external
+    orchestrator) behaves like the first batch: zero existing hashes, no
+    inference error."""
+    from eth_event_tracker_spark.streaming.curation import append_curated, corpus_view
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    batch = spark.createDataFrame([(1, LONG + "delta", "en", "s0")], SCHEMA)
+    append_curated(spark, str(corpus), batch)
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).select("doc_id").collect()} == {1}
