@@ -1,3 +1,12 @@
+from .inmem_store import InMemEntry, InMemStore
 from .parquet_store import ParquetEntry, ParquetStore
+from .sql_store import SqlEntry, SqlStore
 
-__all__ = ["ParquetStore", "ParquetEntry"]
+__all__ = [
+    "InMemEntry",
+    "InMemStore",
+    "ParquetEntry",
+    "ParquetStore",
+    "SqlEntry",
+    "SqlStore",
+]

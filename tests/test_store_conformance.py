@@ -8,16 +8,19 @@ from __future__ import annotations
 import pytest
 
 from eth_event_tracker_spark.sources.mock_chain import mock
-from eth_event_tracker_spark.store import ParquetStore
+from eth_event_tracker_spark.store import ParquetStore, SqlStore
 from eth_event_tracker_spark.store.inmem_store import InMemStore
 
 
-@pytest.fixture(params=["parquet", "inmem"])
+@pytest.fixture(params=["parquet", "inmem", "sqlite"])
 def make_store(request, tmp_path):
     """Backend-agnostic store factory — the reference runs one suite
-    against every backend (store/testing.go); so do we."""
+    against every backend (store/testing.go, against inmem/bolt/pg); so
+    do we, against parquet/inmem/sqlite."""
     if request.param == "parquet":
         return lambda: ParquetStore(tmp_path)
+    if request.param == "sqlite":
+        return lambda s=SqlStore(tmp_path / "store.db"): s  # same db per test
     return lambda s=InMemStore(): s  # same instance per test
 
 
@@ -214,3 +217,91 @@ def test_scan_tail_stops_at_boundary(tmp_path):
     assert [r["indx"] for r in got] == [3, 4, 5, 6, 7, 8, 9]
     # a hash set matching only non-tail rows yields nothing (walk stops)
     assert e.scan_tail({mock(0x1).num(1).hash}) == []
+
+
+# ---------------------------------------------------------------------------
+# SQL backend specifics (postgresql_store.go parity)
+# ---------------------------------------------------------------------------
+def test_sql_kv_persistence(tmp_path):
+    """Durability across store reopen — the property the reference's pg
+    users rely on."""
+    db = tmp_path / "store.db"
+    s = SqlStore(db)
+    s.set("k", "v")
+    s.close()
+    assert SqlStore(db).get("k") == "v"
+
+
+def test_sql_entry_reopen_recovers_index(tmp_path):
+    db = tmp_path / "store.db"
+    s = SqlStore(db)
+    s.entry("f1").store_logs(_logs(0x1, 5, 1))
+    s.close()
+    e = SqlStore(db).entry("f1")
+    assert e.last_index() == 5
+    e.store_logs(_logs(0x2, 2, 2))
+    assert [r["indx"] for r in e.all_logs()] == list(range(7))
+
+
+def test_sql_row_roundtrip_native_types(tmp_path):
+    """topics/data use the reference's stringly encoding in the table
+    (comma-joined, 0x-hex — postgresql_store.go:124-141) but must come
+    back as native list/bytes, identical to the other backends."""
+    e = SqlStore(tmp_path / "s.db").entry("f1")
+    [orig] = _logs(0x7, 1, 1)
+    e.store_logs([dict(orig)])
+    got = e.get_log(0)
+    assert got["topics"] == orig["topics"]
+    assert got["data"] == orig["data"]
+    assert isinstance(got["data"], bytes)
+    # raw stored form is the reference's encoding
+    raw = e._conn.execute(f"SELECT topics, data FROM {e.table}").fetchone()
+    assert raw[0] == ",".join(orig["topics"])
+    assert raw[1] == "0x" + orig["data"].hex()
+
+
+def test_sql_filter_hash_must_be_identifier(tmp_path):
+    import pytest as _pytest
+
+    s = SqlStore(tmp_path / "s.db")
+    with _pytest.raises(ValueError):
+        s.entry("bad-hash; DROP TABLE kv")
+
+
+def test_tracker_runs_on_sql_backend(tmp_path):
+    """Full sync + live reorg on the SQL backend (the reference's
+    TestStore-over-pg scenario, tracker-side)."""
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+    from eth_event_tracker_spark.streaming import Tracker
+
+    prov = MockProvider()
+    prov.advance(25, logs_per_block=1)
+    t = Tracker(prov, SqlStore(tmp_path / "store.db"), FilterConfig())
+    t.sync()
+    assert t.entry.last_index() == 25
+    prov.fork(3, logs_per_block=2)
+    events = t.poll()
+    assert sum(len(e.removed) for e in events) == 3
+    assert sum(len(e.added) for e in events) == 6
+    chain = [lg["tx_hash"] for b in prov.canonical for lg in b.logs()]
+    assert [r["tx_hash"] for r in t.entry.all_logs()] == chain
+
+
+def test_sql_append_df_matches_store_logs(tmp_path, spark):
+    """The distributed-indx bulk path lands the same rows as the
+    driver-side path."""
+    from eth_event_tracker_spark.schemas import RAW_LOG_SCHEMA
+
+    logs = [lg for b in range(1, 9) for lg in _logs(b, 3, b)]
+    e1 = SqlStore(tmp_path / "a.db").entry("f1")
+    e1.store_logs(logs)
+    e2 = SqlStore(tmp_path / "b.db").entry("f1")
+    cols = [f.name for f in RAW_LOG_SCHEMA.fields]
+    df = spark.createDataFrame([tuple(lg[c] for c in cols) for lg in logs], RAW_LOG_SCHEMA)
+    n = e2.append_df(df)
+    assert n == len(logs)
+    assert e2.last_index() == e1.last_index()
+    assert e2.all_logs() == e1.all_logs()
+    # spark-side view agrees
+    assert e2.df(spark).count() == len(logs)
