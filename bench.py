@@ -1,6 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "runs": {...}, "sf": ...}
+
+Variance control (round-3 verdict item 6): every timed item executes
+$SPARK_GRAFT_BENCH_RUNS times (default 3); "queries" holds the BEST
+per-item time (the scheduler-noise-free estimate on a shared host),
+"value" is the sum of bests, and "runs" holds the raw per-run arrays so
+sub-second jitter is auditable instead of reading as plan regressions.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from eth_event_tracker_spark.queries import REGISTRY, _load
     from eth_event_tracker_spark.session import get_spark
@@ -37,13 +45,18 @@ def main() -> None:
     _doc_shingles(spark, sf_dir).count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    def timed(name, fn) -> None:
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            n = fn()
+            runs.setdefault(name, []).append(round(time.perf_counter() - t0, 4))
+        best = min(runs[name])
+        print(f"# {name}: best={best:.3f}s of {runs[name]} rows={n}", file=sys.stderr)
+
     for name, q in REGISTRY.items():
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        timed(name, lambda q=q: q.fn(spark, sf_dir).count())
 
     # throughput tiers that are pytest-pinned to their exact twins (not in
     # the oracle registry) still get benchmarked
@@ -53,10 +66,7 @@ def main() -> None:
     )
 
     for extra in (embedding_cosine_topk_fast, embedding_near_dup_lsh):
-        t0 = time.perf_counter()
-        n = extra(spark, sf_dir).count()
-        timings[extra.__name__] = round(time.perf_counter() - t0, 4)
-        print(f"# {extra.__name__}: {timings[extra.__name__]:.3f}s rows={n}", file=sys.stderr)
+        timed(extra.__name__, lambda extra=extra: extra(spark, sf_dir).count())
 
     # tracker pipeline throughput: full sync of a 2000-block mock chain
     # (4000 logs) incl. a live 5-block reorg — the reference's own implied
@@ -68,23 +78,27 @@ def main() -> None:
     from eth_event_tracker_spark.store import ParquetStore
     from eth_event_tracker_spark.streaming import Tracker
 
-    prov = MockProvider()
-    prov.advance(2000, logs_per_block=2)
-    with tempfile.TemporaryDirectory() as tmp:
-        t0 = time.perf_counter()
-        tr = Tracker(prov, ParquetStore(tmp), FilterConfig(batch_size=200))
-        tr.sync()
-        prov.fork(5, logs_per_block=2)
-        tr.poll()
-        timings["tracker_sync_2k_blocks"] = round(time.perf_counter() - t0, 4)
-        assert tr.entry.last_index() == 4000  # 2000*2 logs, reorg net-neutral
-    print(f"# tracker_sync_2k_blocks: {timings['tracker_sync_2k_blocks']:.3f}s", file=sys.stderr)
+    def tracker_run() -> int:
+        prov = MockProvider()
+        prov.advance(2000, logs_per_block=2)
+        with tempfile.TemporaryDirectory() as tmp:
+            tr = Tracker(prov, ParquetStore(tmp), FilterConfig(batch_size=200))
+            tr.sync()
+            prov.fork(5, logs_per_block=2)
+            tr.poll()
+            assert tr.entry.last_index() == 4000  # 2000*2 logs, reorg net-neutral
+            return 4000
 
+    timed("tracker_sync_2k_blocks", tracker_run)
+
+    best = {name: min(vals) for name, vals in runs.items()}
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(best.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": best,
+        "runs": runs,
+        "n_runs": n_runs,
         "sf": sf,
     }
     print(json.dumps(out))

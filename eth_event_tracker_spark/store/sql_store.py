@@ -73,14 +73,20 @@ def _encode(lg: dict, indx: int) -> tuple:
         lg.get("block_num"),
         lg.get("block_hash"),
         lg.get("address"),
-        ",".join(topics) if topics else None,
+        # empty list encodes as "" (decoded back to []); NULL is reserved
+        # for a true None — anonymous events legally carry topics=[] and
+        # must round-trip identically to the parquet/inmem backends (the
+        # reference's own pg codec is ambiguous here, postgresql_store.go:179-190;
+        # our conformance bar is backend agreement, not bug parity)
+        None if topics is None else ",".join(topics),
         "0x" + bytes(data).hex() if data is not None else None,
     )
 
 
 def _decode(row: tuple) -> dict:
     d = dict(zip(_COLUMNS, row))
-    d["topics"] = d["topics"].split(",") if d["topics"] else None
+    raw_topics = d["topics"]
+    d["topics"] = None if raw_topics is None else ([] if raw_topics == "" else raw_topics.split(","))
     d["data"] = bytes.fromhex(d["data"][2:]) if d["data"] else None
     return d
 

@@ -40,14 +40,34 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType (LTZ).
+
+    The fixture stores ts as TIMESTAMP(NANOS, isAdjustedToUTC=false); Spark
+    has no nanos timestamp, and runtimes differ in how they surface it:
+      - PySpark <=3.5 honors ``spark.sql.legacy.parquet.nanosAsLong`` →
+        ts arrives as bigint nanoseconds;
+      - PySpark 4.x ignores the legacy conf → ts arrives as TIMESTAMP_NTZ
+        (nanos truncated to micros).
+    Both become TimestampType here: ``withWatermark`` and every time-based
+    streaming operator require LTZ.  The session timezone is pinned to UTC
+    (session.py), so the NTZ→LTZ cast is wall-clock value-preserving and
+    oracle hashes are unaffected (verified vs DuckDB in
+    tests/test_environment.py)."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk; Spark has no nanos timestamp.
-        # Read it as a long of nanoseconds and convert to micros ourselves.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

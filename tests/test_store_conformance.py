@@ -90,6 +90,23 @@ def test_entry_truncate_then_reappend(make_store):
     assert e.all_logs() == []
 
 
+def test_entry_zero_topics_roundtrip(make_store):
+    """Anonymous events (legal: zero indexed params) carry topics=[] —
+    all backends must round-trip the empty list identically, not collapse
+    it to None.  The reference's pg codec is ambiguous here
+    (postgresql_store.go:179-190 splits '' into ['']); our conformance
+    bar is backend agreement on the native representation."""
+    e = make_store().entry("f1")
+    [anon] = _logs(0x5, 1, 1)
+    anon = {**anon, "topics": []}
+    [named] = _logs(0x6, 1, 2)
+    e.store_logs([anon, named])
+    got_anon, got_named = e.get_log(0), e.get_log(1)
+    assert got_anon["topics"] == []
+    assert got_named["topics"] == named["topics"]
+    assert [r["topics"] for r in e.all_logs()] == [[], named["topics"]]
+
+
 def test_entry_point_lookup(make_store):
     e = make_store().entry("f1", bucket_size=4)
     e.store_logs(_logs(0x1, 9, 1))

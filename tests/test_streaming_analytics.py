@@ -6,21 +6,34 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth_event_tracker_spark.streaming.analytics import (
     stateful_running_counts,
     tumbling_counts,
 )
-from eth_event_tracker_spark.tables import load_table
+from eth_event_tracker_spark.tables import load_table, normalize_event_ts
 
 
-def _staged_files(spark, sf_dir, tmp_path, n_files=4):
+def _staged_files(spark, sf_dir, tmp_path, n_files=4, encoding="ltz"):
     """Write events as n time-ranged files with increasing mtimes so the
-    file stream processes them as ordered micro-batches."""
+    file stream processes them as ordered micro-batches.
+
+    ``encoding`` controls the on-disk ts type, mirroring what different
+    runtimes hand the loader (test_environment.py): "ltz" = TimestampType
+    (the normalized form), "ntz" = TIMESTAMP_NTZ (PySpark 4.x raw read),
+    "nanos_long" = bigint nanoseconds (PySpark <=3.5 raw read).  Streams
+    staged as ntz/nanos_long must pass through normalize_event_ts before
+    any watermark — exactly the production read path."""
     ev = load_table(spark, sf_dir, "events")
+    staged = ev
+    if encoding == "ntz":
+        staged = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    elif encoding == "nanos_long":
+        staged = ev.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
     d = tmp_path / "staged"
-    ev.repartitionByRange(n_files, "ts").write.parquet(str(d))
+    staged.repartitionByRange(n_files, "ts").write.parquet(str(d))
     files = sorted(
         (p for p in d.glob("part-*.parquet")),
         key=lambda p: spark.read.parquet(str(p)).agg(F.min("ts")).first()[0],
@@ -57,9 +70,12 @@ def test_stream_complete_mode_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
-def test_stream_watermark_finalizes_closed_windows(spark, sf_dir, tmp_path):
-    d, ev = _staged_files(spark, sf_dir, tmp_path)
-    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+@pytest.mark.parametrize("encoding", ["ltz", "ntz", "nanos_long"])
+def test_stream_watermark_finalizes_closed_windows(spark, sf_dir, tmp_path, encoding):
+    d, ev = _staged_files(spark, sf_dir, tmp_path, encoding=encoding)
+    staged_schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(staged_schema).option("maxFilesPerTrigger", 1).parquet(d)
+    stream = normalize_event_ts(stream)
     q = (
         tumbling_counts(stream, watermark="30 minutes")
         .writeStream.format("memory")
@@ -89,9 +105,12 @@ def test_stream_watermark_finalizes_closed_windows(spark, sf_dir, tmp_path):
         assert ws + datetime.timedelta(minutes=10) > horizon
 
 
-def test_stateful_running_counts(spark, sf_dir, tmp_path):
-    d, ev = _staged_files(spark, sf_dir, tmp_path)
-    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+@pytest.mark.parametrize("encoding", ["ltz", "ntz"])
+def test_stateful_running_counts(spark, sf_dir, tmp_path, encoding):
+    d, ev = _staged_files(spark, sf_dir, tmp_path, encoding=encoding)
+    staged_schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(staged_schema).option("maxFilesPerTrigger", 1).parquet(d)
+    stream = normalize_event_ts(stream)
     q = (
         stateful_running_counts(stream)
         .writeStream.format("memory")
