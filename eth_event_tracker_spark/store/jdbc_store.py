@@ -1,0 +1,314 @@
+"""JDBC Store/Entry backend — the *distributed* SQL path that completes
+parity with the reference's server-side PostgreSQL store
+(/root/reference/store/postgresql/postgresql_store.go:110-150: executors
+write straight to the database, nothing funnels through the driver).
+
+Where ``sql_store.SqlStore`` is the embedded twin (SQLite file, bulk path
+honestly documented as toLocalIterator-bounded), this backend takes any
+JDBC URL and runs the bulk append as ``df.write.jdbc`` — every partition
+task opens its own connection and inserts its rows — and exposes the
+entry as a ``spark.read.jdbc`` scan.  Driver-side point operations (KV
+get/set, point lookup, tail scan, truncate) go through
+``java.sql.DriverManager`` on the session JVM: O(1)/O(reorg-depth) row
+traffic, the same envelopes as the reference's driver-side pg calls.
+
+The sandbox ships no database server; the conformance suite runs against
+**Apache Derby embedded** (already on Spark's classpath for the Hive
+metastore) via ``jdbc:derby:<dir>;create=true`` — a single-JVM database,
+which ``local[*]`` is.  Against a real server the same code takes
+``jdbc:postgresql://host/db`` plus the driver jar; nothing here is
+Derby-specific except the idempotent-DDL error code.
+
+Row codec: identical stringly encoding to the reference and sql_store
+(topics comma-joined with '' ⇄ [] and NULL ⇄ None; data 0x-hex), applied
+JVM-side (concat_ws/hex expressions) on the bulk path so the distributed
+writes stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from .sql_store import _COLUMNS, _decode, _encode, _table_name
+
+_BIGINT_COLS = {"indx", "log_index", "tx_index", "block_num"}
+_COL_LIST = ", ".join(f'"{c}"' for c in _COLUMNS)
+
+
+class JdbcStore:
+    """Store over a JDBC database (tested against embedded Derby)."""
+
+    def __init__(self, spark, url: str, driver: str | None = None) -> None:
+        self.spark = spark
+        self.url = url
+        self.driver = driver
+        jvm = spark._jvm
+        # keep Derby's log out of the cwd (it writes derby.log on boot)
+        jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        self._jvm = jvm
+        self._conn = jvm.java.sql.DriverManager.getConnection(url)
+        # kvSQLSchema twin (postgresql_store.go:222-227).  "key" is a
+        # reserved word in Derby; quoted lowercase identifiers throughout —
+        # they also match the column names Spark's JDBC writer quotes.
+        self._ddl('CREATE TABLE kv ("key" VARCHAR(512) PRIMARY KEY, "val" VARCHAR(31500))')
+        self._entries: dict[str, JdbcEntry] = {}
+
+    def _ddl(self, sql: str) -> None:
+        st = self._conn.createStatement()
+        try:
+            st.execute(sql)
+        except Exception as e:  # noqa: BLE001 — py4j surfaces SQLException
+            state = getattr(getattr(e, "java_exception", None), "getSQLState", lambda: "")()
+            if state != "X0Y32" and "already exists" not in str(e):  # idempotent create
+                raise
+        finally:
+            st.close()
+
+    def close(self) -> None:
+        self._conn.close()
+        if self.url.startswith("jdbc:derby:"):
+            # embedded Derby: deboot the database so the files release
+            # cleanly (shutdown signals success via SQLException 08006)
+            try:
+                self._jvm.java.sql.DriverManager.getConnection(
+                    self.url.split(";")[0] + ";shutdown=true"
+                )
+            except Exception:  # noqa: BLE001 — expected on success
+                pass
+
+    # -- KV (Get/Set/ListPrefix, postgresql_store.go:49-77) -----------------
+    def get(self, key: str) -> str | None:
+        ps = self._conn.prepareStatement('SELECT "val" FROM kv WHERE "key" = ?')
+        try:
+            ps.setString(1, key)
+            rs = ps.executeQuery()
+            return rs.getString(1) if rs.next() else None
+        finally:
+            ps.close()
+
+    def set(self, key: str, val: str) -> None:
+        # upsert (postgresql_store.go:71-76 ON CONFLICT): portable
+        # update-then-insert — single driver connection, no race
+        ps = self._conn.prepareStatement('UPDATE kv SET "val" = ? WHERE "key" = ?')
+        try:
+            ps.setString(1, val)
+            ps.setString(2, key)
+            n = ps.executeUpdate()
+        finally:
+            ps.close()
+        if n == 0:
+            ps = self._conn.prepareStatement('INSERT INTO kv ("key", "val") VALUES (?, ?)')
+            try:
+                ps.setString(1, key)
+                ps.setString(2, val)
+                ps.executeUpdate()
+            finally:
+                ps.close()
+
+    def list_prefix(self, prefix: str) -> list[tuple[str, str]]:
+        esc = prefix.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        ps = self._conn.prepareStatement(
+            "SELECT \"key\", \"val\" FROM kv WHERE \"key\" LIKE ? ESCAPE '\\' ORDER BY \"key\""
+        )
+        try:
+            ps.setString(1, esc + "%")
+            rs = ps.executeQuery()
+            out: list[tuple[str, str]] = []
+            while rs.next():
+                out.append((rs.getString(1), rs.getString(2)))
+            return out
+        finally:
+            ps.close()
+
+    # -- entries (GetEntry, postgresql_store.go:79-88) ----------------------
+    def entry(self, filter_hash: str, bucket_size: int = 10_000, schema=None) -> "JdbcEntry":
+        if filter_hash not in self._entries:
+            self._entries[filter_hash] = JdbcEntry(self, _table_name(filter_hash))
+        return self._entries[filter_hash]
+
+    def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "JdbcEntry":
+        return self.entry("changelog_" + filter_hash)
+
+
+class JdbcEntry:
+    """Ordered, append-only, tail-truncatable log table over JDBC
+    (postgresql_store.go:91-205 semantics; distributed bulk path)."""
+
+    def __init__(self, store: JdbcStore, table: str) -> None:
+        self._store = store
+        self._conn = store._conn
+        self._jvm = store._jvm
+        self.table = table
+        # string columns are CLOB: Spark's Derby dialect maps StringType →
+        # CLOB on the distributed write path, and Derby refuses CLOB
+        # parameters against VARCHAR columns (ERROR 22005)
+        cols = ", ".join(
+            f'"{c}" BIGINT PRIMARY KEY'
+            if c == "indx"
+            else (f'"{c}" BIGINT' if c in _BIGINT_COLS else f'"{c}" CLOB')
+            for c in _COLUMNS
+        )
+        # table name deliberately unquoted (normalized to upper case) so the
+        # unquoted name Spark's JDBC writer emits resolves to the same table
+        store._ddl(f"CREATE TABLE {table} ({cols})")
+
+    def _jdbc_props(self) -> dict:
+        return {"driver": self._store.driver} if self._store.driver else {}
+
+    # -- LastIndex (:98-108) -------------------------------------------------
+    def last_index(self) -> int:
+        st = self._conn.createStatement()
+        try:
+            rs = st.executeQuery(f'SELECT MAX("indx") FROM {self.table}')
+            rs.next()
+            mx = rs.getLong(1)
+            return 0 if rs.wasNull() else mx + 1
+        finally:
+            st.close()
+
+    # -- StoreLogs (:111-150) — driver-side head path (O(head batch)) --------
+    def store_logs(self, logs: list[dict]) -> list[dict]:
+        if not logs:
+            return []
+        base = self.last_index()
+        types = self._jvm.java.sql.Types
+        ps = self._conn.prepareStatement(
+            f"INSERT INTO {self.table} ({_COL_LIST}) VALUES ({', '.join('?' * len(_COLUMNS))})"
+        )
+        try:
+            for i, lg in enumerate(logs):
+                for j, (c, v) in enumerate(zip(_COLUMNS, _encode(lg, base + i)), start=1):
+                    if v is None:
+                        ps.setNull(j, types.BIGINT if c in _BIGINT_COLS else types.VARCHAR)
+                    elif c in _BIGINT_COLS:
+                        ps.setLong(j, int(v))
+                    else:
+                        ps.setString(j, v)
+                ps.addBatch()
+            ps.executeBatch()
+        finally:
+            ps.close()
+        return [{**dict(lg), "indx": base + i} for i, lg in enumerate(logs)]
+
+    # -- RemoveLogs (:153-158) -----------------------------------------------
+    def remove_logs(self, indx: int) -> None:
+        ps = self._conn.prepareStatement(f'DELETE FROM {self.table} WHERE "indx" >= ?')
+        try:
+            ps.setLong(1, int(indx))
+            ps.executeUpdate()
+        finally:
+            ps.close()
+
+    # -- GetLog (:161-205) ---------------------------------------------------
+    def _row(self, rs) -> tuple:
+        # typed getters: getObject on a CLOB yields a java.sql.Clob proxy,
+        # not a str; getString materializes it (values here are <100 chars)
+        out = []
+        for j, c in enumerate(_COLUMNS, start=1):
+            if c in _BIGINT_COLS:
+                v = rs.getLong(j)
+                out.append(None if rs.wasNull() else v)
+            else:
+                out.append(rs.getString(j))
+        return tuple(out)
+
+    def get_log(self, indx: int) -> dict | None:
+        ps = self._conn.prepareStatement(
+            f'SELECT {_COL_LIST} FROM {self.table} WHERE "indx" = ?'
+        )
+        try:
+            ps.setLong(1, int(indx))
+            rs = ps.executeQuery()
+            return _decode(self._row(rs)) if rs.next() else None
+        finally:
+            ps.close()
+
+    def all_logs(self) -> list[dict]:
+        st = self._conn.createStatement()
+        try:
+            rs = st.executeQuery(f'SELECT {_COL_LIST} FROM {self.table} ORDER BY "indx"')
+            out: list[dict] = []
+            while rs.next():
+                out.append(_decode(self._row(rs)))
+            return out
+        finally:
+            st.close()
+
+    def scan_tail(self, block_hashes: set[str]) -> list[dict]:
+        """Reverse tail walk (tracker.go:717-754): indx-descending index
+        scan that stops at the first keeper — O(reorg depth) rows fetched,
+        the cursor never materializes the table."""
+        st = self._conn.createStatement()
+        try:
+            rs = st.executeQuery(f'SELECT {_COL_LIST} FROM {self.table} ORDER BY "indx" DESC')
+            victims: list[dict] = []
+            while rs.next():
+                row = self._row(rs)
+                if row[5] in block_hashes:  # block_hash position in _COLUMNS
+                    victims.append(_decode(row))
+                else:
+                    break
+            victims.reverse()
+            return victims
+        finally:
+            st.close()
+
+    def compact(self, bucket: int | None = None) -> int:
+        return 0  # nothing to compact: SQL storage is not file-bucketed
+
+    # -- Spark integration: the DISTRIBUTED paths ----------------------------
+    def append_df(self, df) -> int:
+        """Bulk path, fully distributed: two-phase indx assignment
+        (operators/indexing.py) then ``df.write.jdbc`` — each partition
+        task inserts its own rows over its own connection
+        (postgresql_store.go:110-150 server-side semantics).  The stringly
+        row codec runs as JVM column expressions; no row ever crosses the
+        driver (guarded by tests/test_store_conformance.py)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.indexing import assign_indx_scalable
+
+        base = self.last_index()
+        indexed = assign_indx_scalable(df, base=base)
+        enc = indexed.select(
+            *[F.col(c) for c in _COLUMNS if c not in ("topics", "data")],
+            F.when(F.col("topics").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join(F.col("topics"), ","))
+            .alias("topics"),
+            F.when(F.col("data").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("0x"), F.lower(F.hex(F.col("data")))))
+            .alias("data"),
+        ).select(*_COLUMNS)
+        enc.write.jdbc(self.url_for_write(), self.table, mode="append", properties=self._jdbc_props())
+        return self.last_index() - base
+
+    def url_for_write(self) -> str:
+        return self._store.url
+
+    def df(self, spark):
+        """The entry as a DataFrame — ``spark.read.jdbc``: a distributed
+        scan with predicate pushdown on ``indx`` available to Catalyst
+        (vs sql_store.df()'s documented driver materialization)."""
+        from pyspark.sql import functions as F
+
+        raw = spark.read.jdbc(self._store.url, self.table, properties=self._jdbc_props())
+        t, d = F.col("topics"), F.col("data")
+        return raw.select(
+            F.col("indx").cast("long").alias("indx"),
+            F.col("log_index").cast("long").alias("log_index"),
+            F.col("tx_index").cast("long").alias("tx_index"),
+            "tx_hash",
+            F.col("block_num").cast("long").alias("block_num"),
+            "block_hash",
+            "address",
+            F.when(t.isNull(), F.lit(None).cast("array<string>"))
+            .otherwise(
+                F.when(t == "", F.expr("CAST(array() AS array<string>)")).otherwise(
+                    F.split(t, ",")
+                )
+            )
+            .alias("topics"),
+            F.when(d.isNull(), F.lit(None).cast("binary"))
+            .otherwise(F.unhex(F.expr("substring(data, 3)")))
+            .alias("data"),
+        ).orderBy("indx")

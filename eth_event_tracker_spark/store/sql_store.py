@@ -26,11 +26,10 @@ driver the same way).  The driver-side paths here (store_logs,
 scan_tail) are O(head batch) / O(reorg depth) — identical envelopes to
 the parquet backend.  ``append_df`` streams partitions off the cluster
 via toLocalIterator, which is the honest limit of an embedded file
-database: a production JDBC target would instead run
-``df.write.jdbc(...)`` after the same two-phase indx assignment, keeping
-the bulk path fully distributed.  ``df()`` materializes through the
-driver for the same reason; with a JDBC jar it would be
-``spark.read.jdbc`` with predicate pushdown on ``indx``.
+database the Python sqlite3 driver owns.  The fully distributed form —
+``df.write.jdbc`` after the same two-phase indx assignment, plus a
+``spark.read.jdbc`` scan — is implemented in ``jdbc_store.JdbcStore``
+(conformance-tested against embedded Derby; takes any JDBC URL).
 """
 
 from __future__ import annotations
