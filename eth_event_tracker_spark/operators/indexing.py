@@ -71,6 +71,34 @@ def assign_indx_scalable(df: DataFrame, base: int = 0) -> DataFrame:
     )
 
 
+def point_lookup_seq(df: DataFrame, indx: int, base: int = 0) -> DataFrame:
+    """S-7 GetLog(indx) over the *derived* sequence (no physical indx
+    column) without numbering the whole table.
+
+    assign_indx_scalable + filter is semantically right but touches every
+    row with a join + full window shuffle to keep one.  Since indx is
+    cumulative in block order, the block containing ``indx`` is decidable
+    from the per-block offsets alone (tiny table): find the last block
+    whose start offset <= indx, broadcast that single row back, and
+    number only that block's logs.  The fact table is touched by one
+    map-side-combine count agg and one broadcast-pruned pass — at 100 TB
+    the window sorts one block, not the corpus."""
+    blk, *within = ORDER_COLS
+    per_block = df.groupBy(blk).agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy(blk).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_block.select(
+        blk, F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    target = offsets.where(F.col("_off") <= F.lit(indx - base)).orderBy(F.col(blk).desc()).limit(1)
+    w_in = Window.partitionBy(blk).orderBy(*[F.col(c) for c in within])
+    return (
+        df.join(F.broadcast(target), blk)
+        .withColumn("indx", (F.row_number().over(w_in) - 1 + F.col("_off") + F.lit(base)).cast("long"))
+        .where(F.col("indx") == F.lit(indx))
+        .drop("_off")
+    )
+
+
 def last_index(df: DataFrame) -> DataFrame:
     """S-8 — LastIndex() = 1 + max(indx); the reference implements it as a
     reverse cursor / ORDER BY indx DESC LIMIT 1 (bolt_store.go:132-144,

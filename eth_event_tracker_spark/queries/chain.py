@@ -146,11 +146,15 @@ FROM numbered CROSS JOIN li WHERE indx = 123
     doc="S-7 GetLog(123) + S-8 LastIndex (single-row crossJoin)",
 )
 def logs_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    logs = OPI.assign_indx_scalable(derived_logs(spark, sf_dir))
-    point = OPI.point_lookup(logs, 123).select(
+    logs = derived_logs(spark, sf_dir)
+    # offset-pruned lookup: numbers only the block containing indx 123
+    # instead of the whole table (point_lookup_seq docstring has the plan)
+    point = OPI.point_lookup_seq(logs, 123).select(
         "indx", "block_num", "tx_index", "log_index", "tx_hash", "address"
     )
-    return point.crossJoin(OPI.last_index(logs))
+    # S-8 LastIndex = 1 + max(indx) ≡ COUNT(*) on the gapless derived
+    # sequence — a map-side-combine agg, no numbering pass needed
+    return point.crossJoin(logs.agg(F.count("*").alias("last_index")))
 
 
 # ---------------------------------------------------------------------------

@@ -181,8 +181,32 @@ def block_hash_of(num: int) -> str:
 
 FORK_DEPTH = 4
 
+_DERIVED_BLOCKS_CACHE_ATTR = "_eets_derived_blocks_cache"
+
 
 def derived_blocks(spark: SparkSession, sf_dir: str, fork: bool = False) -> DataFrame:
+    """Deterministic blocks dimension derived from ``events`` — memoized +
+    Spark-cached per (session, sf_dir, fork) exactly like derived_logs:
+    it is a small dimension (~#blocks rows) that several chain queries
+    rebuild 2-3 times each (canon + fork + validation), and each rebuild
+    costs an events scan + distinct shuffle.  Same session-attribute
+    lifecycle as derived_logs (dies with the session, no module-level
+    registry)."""
+    per: dict[tuple[str, bool], DataFrame] | None = getattr(
+        spark, _DERIVED_BLOCKS_CACHE_ATTR, None
+    )
+    if per is None:
+        per = {}
+        setattr(spark, _DERIVED_BLOCKS_CACHE_ATTR, per)
+    hit = per.get((sf_dir, fork))
+    if hit is not None:
+        return hit
+    df = _derived_blocks_uncached(spark, sf_dir, fork).cache()
+    per[(sf_dir, fork)] = df
+    return df
+
+
+def _derived_blocks_uncached(spark: SparkSession, sf_dir: str, fork: bool) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     nums = ev.select(F.expr("event_id DIV 5").alias("block_num")).distinct()
     # scalar head via agg + broadcast cross join — not a single-partition

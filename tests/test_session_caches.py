@@ -43,6 +43,20 @@ def test_derived_logs_cache_dies_with_session(spark, sf_dir):
     assert ref() is None, "session (and its cached DataFrames) must be collectable"
 
 
+def test_derived_blocks_cache_dies_with_session(spark, sf_dir):
+    s2 = spark.newSession()
+    df = tables.derived_blocks(s2, sf_dir, fork=True)
+    assert df.count() > 0
+    # memoized per (sf_dir, fork): same object back, fork flag keyed
+    assert tables.derived_blocks(s2, sf_dir, fork=True) is df
+    assert tables.derived_blocks(s2, sf_dir, fork=False) is not df
+    ref = weakref.ref(s2)
+    del df, s2
+    _displace_rdd_todf_pin(spark)
+    gc.collect()
+    assert ref() is None, "session (and its cached blocks dim) must be collectable"
+
+
 def test_shingle_cache_dies_with_session(spark, sf_dir):
     s2 = spark.newSession()
     sh = llmdata._doc_shingles(s2, sf_dir)
