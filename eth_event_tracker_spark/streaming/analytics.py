@@ -78,3 +78,49 @@ def stateful_running_counts(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_running_counts_tws(stream_df: DataFrame) -> DataFrame:
+    """Same operator on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState (typed state handles, timers,
+    schema evolution; runs on the RocksDB state store, which is the
+    provider a 100 TB deployment uses anyway for state larger than
+    executor heap).  Kept as a twin of ``stateful_running_counts`` and
+    pytest-pinned equal so the engine carries both the widest-compat and
+    the current-API form.  Runtime requirements beyond the API itself:
+    the ``google-protobuf`` package (the TWS Python state-server protocol
+    is protobuf-based) — the pin test skips with a named reason where it
+    is absent."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counts", RUNNING_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last_us = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+            self._state.update((n, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "last_ts": [pd.Timestamp(last_us * 1000)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCounts(),
+        outputStructType=RUNNING_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -137,6 +137,60 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path, encoding):
         assert (r.n_events, r.last_ts) == want[uid]
 
 
+def test_stateful_running_counts_tws_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin (Spark 4 API, RocksDB state store)
+    produces the same final per-user totals as the batch aggregate and
+    hence as the applyInPandasWithState form."""
+    from eth_event_tracker_spark.streaming.analytics import stateful_running_counts_tws
+
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        pytest.skip("runtime lacks transformWithStateInPandas")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (its Python "
+            "state-server protocol); not installed in this environment"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d, ev = _staged_files(spark, sf_dir, tmp_path)
+        stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        q = (
+            stateful_running_counts_tws(stream)
+            .writeStream.format("memory")
+            .queryName("running_tws")
+            .outputMode("update")
+            .start()
+        )
+        from .test_web3_source import _drain
+
+        _drain(q)
+        final = {}
+        for r in spark.table("running_tws").collect():
+            final[r.user_id] = r  # memory sink appends in batch order
+        want = {
+            r.user_id: (r.n, r.mx)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("mx"))
+            .collect()
+        }
+        assert len(final) == len(want)
+        for uid, r in final.items():
+            assert (r.n_events, r.last_ts) == want[uid]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
     """session_window in a stream (complete mode) equals the batch twin —
     the gaps-and-islands semantics already oracle-checked in
