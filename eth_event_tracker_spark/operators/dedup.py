@@ -236,15 +236,23 @@ def simhash64(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """63-bit SimHash over word shingles: bit b of the signature is the
-    majority vote of bit b across all shingle hashes (two 60-bit portable
-    hashes supply the bits: 0..59 of seed 0 plus 60..62 from seed 1; bit
-    63 is left clear to stay inside a signed int64)."""
+    majority vote of bit b across all shingle hashes.  All 63 bits come
+    from ONE sha256 digest per shingle (a sha256 has 256 bits and this
+    needs 63 — two digests was pure waste, and sha dominates the
+    signature cost): bits 0..59 from the first 15 hex chars (the
+    portable hash60 encoding), bits 60..62 from the 16th hex char.  Bit
+    63 is left clear to stay inside a signed int64.  The DuckDB oracle
+    derives the bits identically (queries/llmdata.py dedup_simhash)."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
-    # materialize the two sha-hashes ONCE per shingle; the 64 bit-vote
+    # materialize the sha digest ONCE per shingle; the 63 bit-vote
     # columns then read cheap integer ops off h0/h1 instead of re-running
     # sha256 per bit (a 60x expression-duplication trap)
     hashed = sh.select(
-        id_col, hash60(F.col("shingle"), 0).alias("h0"), hash60(F.col("shingle"), 1).alias("h1")
+        id_col, F.sha2(F.concat(F.lit("0:"), F.col("shingle")), 256).alias("dg")
+    ).select(
+        id_col,
+        F.conv(F.substring("dg", 1, 15), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring("dg", 16, 1), 16, 10).cast("long").alias("h1"),
     )
     h0, h1 = F.col("h0"), F.col("h1")
     bits = [F.when(h0.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1).alias(f"b{b}") for b in range(60)]

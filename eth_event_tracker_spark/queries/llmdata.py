@@ -385,8 +385,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     f"""
 WITH {_SHINGLES_CTE},
-hx AS (SELECT doc_id, {duck_sha15_expr("shingle", "0")} AS x0, {duck_sha15_expr("shingle", "1")} AS x1 FROM sh),
-hv AS (SELECT doc_id, {duck_digitsum_expr("x0")} AS h0, {duck_digitsum_expr("x1")} AS h1 FROM hx),
+hx AS (SELECT doc_id, sha256('0' || ':' || shingle) AS dg FROM sh),
+hv AS (SELECT doc_id, {duck_digitsum_expr("substr(dg, 1, 15)")} AS h0,
+              CAST(strpos('0123456789abcdef', substr(dg, 16, 1)) - 1 AS BIGINT) AS h1 FROM hx),
 votes AS (
   SELECT doc_id, bt.bit_pos,
          SUM(CASE WHEN (((CASE WHEN bt.bit_pos < 60 THEN h0 ELSE h1 END)
