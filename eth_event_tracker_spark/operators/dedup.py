@@ -82,6 +82,28 @@ def jaccard_pairs(
     )
 
 
+# MinHash permutation family: one portable sha-based hash per shingle,
+# then k affine permutations over its two 30-bit halves,
+#   m_i = (A_i*h_hi + B_i*h_lo + C_i) mod P,   P = 2^31 - 1 (prime).
+# All operands < 2^31 and h_hi/h_lo < 2^30, so every product stays under
+# 2^61 — exact in int64 on BOTH engines (DuckDB raises on BIGINT
+# overflow; Spark wraps silently — neither can happen here).  Constants
+# are fixed multiplicative-hash-style values shared verbatim with the
+# DuckDB oracle (queries/llmdata.py builds its CTE from this list).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_consts(k: int = 16) -> list[tuple[int, int, int]]:
+    return [
+        (
+            (2_654_435_761 * (i + 1) + 1) % MINHASH_P,
+            (2_246_822_519 * (i + 1) + 3) % MINHASH_P,
+            (3_266_489_917 * (i + 1) + 7) % MINHASH_P,
+        )
+        for i in range(k)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 16,
@@ -90,14 +112,40 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) for k portable hash permutations."""
+    """(doc_id, seed, minhash) for k portable hash permutations.
+
+    Scale shape: ONE sha256 per shingle (not k — the prior form exploded
+    every shingle row k times and hashed each copy, a k× blowup of both
+    CPU and shuffle input) and the k minima run as k min-aggregates over
+    the un-exploded shingle table with map-side combine; the tiny
+    (#docs × k) unpivot happens after aggregation."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
-    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(k)])))
-    return (
-        seeded.withColumn("hv", hash60(F.col("shingle"), F.col("seed")))
-        .groupBy(id_col, "seed")
-        .agg(F.min("hv").alias("minhash"))
+    h = hash60(F.col("shingle"), 0)
+    halves = sh.select(
+        id_col,
+        F.shiftright(h, 30).alias("hhi"),
+        h.bitwiseAND(F.lit((1 << 30) - 1)).alias("hlo"),
     )
+    perms = minhash_perm_consts(k)
+    mins = halves.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("hhi") + F.lit(b) * F.col("hlo") + F.lit(c)) % F.lit(MINHASH_P)
+            ).alias(f"m{i}")
+            for i, (a, b, c) in enumerate(perms)
+        ]
+    )
+    return mins.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).cast("int").alias("seed"), F.col(f"m{i}").alias("minhash"))
+                    for i in range(k)
+                ]
+            )
+        ).alias("sm"),
+    ).select(id_col, "sm.seed", "sm.minhash")
 
 
 def lsh_candidates(

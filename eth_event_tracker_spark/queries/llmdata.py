@@ -326,11 +326,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPD.jaccard_pairs(docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir))
 
 
+# twin of operators/dedup.py minhash_signatures: one portable hash per
+# shingle, k affine permutations over its 30-bit halves as k
+# min-aggregates (constants come from the same Python list, so the two
+# engines can never drift)
+_PERMS = OPD.minhash_perm_consts(16)
 _MINHASH_CAND_CTE = f"""
-seeded AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh),
-hashed2 AS (SELECT doc_id, seed, {duck_sha15_expr("shingle", "seed")} AS h FROM seeded),
-vals2 AS (SELECT doc_id, seed, {duck_digitsum_expr("h")} AS hv FROM hashed2),
-sigs AS (SELECT doc_id, seed, MIN(hv) AS minhash FROM vals2 GROUP BY doc_id, seed),
+mh AS (SELECT doc_id, {duck_hash60_inline("shingle", "0")} AS h FROM sh),
+mhsplit AS (SELECT doc_id, h // 1073741824 AS hhi, h % 1073741824 AS hlo FROM mh),
+sigw AS (SELECT doc_id,
+  {', '.join(f'MIN(({a}*hhi + {b}*hlo + {c}) % {OPD.MINHASH_P}) AS m{i}' for i, (a, b, c) in enumerate(_PERMS))}
+  FROM mhsplit GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, s.seed,
+         CASE s.seed {' '.join(f'WHEN {i} THEN m{i}' for i in range(16))} END AS minhash
+  FROM sigw CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+),
 bands AS (
   SELECT doc_id, seed // 4 AS band,
          string_agg(CAST(minhash AS STRING), ',' ORDER BY seed) AS band_key
