@@ -436,19 +436,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
-_COSINE_ORACLE = """
+# twin of operators/similarity.py _dbl_dot: a strict left-to-right double
+# fold over the element products (0.0-prepended so the fold sequence is
+# identical to Spark's F.aggregate with a 0.0 init) — bit-identical
+# across engines because IEEE double multiply/add are exactly specified
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), "
+        "(p, q) -> p + q)"
+    )
+
+
+_COSINE_ORACLE = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
-qi AS (SELECT q_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM q),
-qe AS (SELECT q_id, pos, CAST(embedding[pos] AS DOUBLE) AS qx FROM qi),
-ci AS (SELECT c_id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM c),
-ce AS (SELECT c_id, pos, CAST(embedding[pos] AS DOUBLE) AS cx FROM ci),
 dots AS (
-  SELECT q_id, c_id, CAST(SUM(CAST(qx * cx AS DECIMAL(38,18))) AS DOUBLE) AS dot
-  FROM qe JOIN ce USING (pos) GROUP BY q_id, c_id
+  SELECT q_id, c_id, {_duck_dot("q.embedding", "c.embedding")} AS dot
+  FROM c CROSS JOIN q
 ),
-qn AS (SELECT q_id, sqrt(CAST(SUM(CAST(qx * qx AS DECIMAL(38,18))) AS DOUBLE)) AS qn FROM qe GROUP BY q_id),
-cn AS (SELECT c_id, sqrt(CAST(SUM(CAST(cx * cx AS DECIMAL(38,18))) AS DOUBLE)) AS cn FROM ce GROUP BY c_id),
+qn AS (SELECT q_id, sqrt({_duck_dot("embedding", "embedding")}) AS qn FROM q),
+cn AS (SELECT c_id, sqrt({_duck_dot("embedding", "embedding")}) AS cn FROM c),
 scored AS (
   SELECT d.q_id, d.c_id, d.dot / (qn.qn * cn.cn) AS cosine
   FROM dots d JOIN qn ON qn.q_id = d.q_id JOIN cn ON cn.c_id = d.c_id
@@ -465,7 +473,7 @@ SELECT q_id, c_id, rank, round(cosine, 9) AS cosine FROM ranked WHERE rank <= 5
 @register(
     "embedding_cosine_topk",
     _COSINE_ORACLE,
-    doc="brute-force cosine top-5 (bit-deterministic decimal dot products) — correctness baseline",
+    doc="brute-force cosine top-5 (bit-deterministic ordered-fold dot products) — correctness baseline",
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -676,20 +684,14 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding near-dup pairs — exact tier on a bounded subset (oracle), LSH
 # tier unbounded (rows-only)
 # ---------------------------------------------------------------------------
-_NEAR_DUP_ORACLE = """
+_NEAR_DUP_ORACLE = f"""
 WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
-ei AS (SELECT vec_id AS id, embedding, unnest(generate_series(1, len(embedding))) AS pos FROM sub),
-ee AS (SELECT id, pos, CAST(embedding[pos] AS DOUBLE) AS x FROM ei),
 dots AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
-  FROM ee a JOIN ee b ON a.pos = b.pos AND a.id < b.id
-  GROUP BY a.id, b.id
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_duck_dot("a.embedding", "b.embedding")} AS dot
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
 ),
-norms AS (
-  SELECT id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
-  FROM ee GROUP BY id
-)
+norms AS (SELECT vec_id AS id, sqrt({_duck_dot("embedding", "embedding")}) AS nrm FROM sub)
 SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 9) AS cosine
 FROM dots d JOIN norms na ON na.id = d.id_a JOIN norms nb ON nb.id = d.id_b
 WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.3
@@ -699,7 +701,7 @@ WHERE round(d.dot / (na.nrm * nb.nrm), 9) >= 0.3
 @register(
     "embedding_near_dup",
     _NEAR_DUP_ORACLE,
-    doc="embedding-cosine near-dup pairs, exact decimal tier on a bounded subset",
+    doc="embedding-cosine near-dup pairs, exact ordered-fold tier on a bounded subset",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
