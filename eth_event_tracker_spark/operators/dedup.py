@@ -165,7 +165,8 @@ def lsh_candidates(
                 ",",
             ).alias("band_key")
         )
-    )
+    ).localCheckpoint(eager=False)  # both sides of the self-join below —
+    # without the lineage cut the whole signature pipeline runs twice
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -323,7 +324,9 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     pigeonhole principle: split the signature into max_hamming+1 chunks;
     any qualifying pair matches exactly on ≥1 chunk."""
     id_col = kw.get("id_col", "doc_id")
-    sigs = simhash64(df, **kw)
+    # both sides of the chunk self-join read sigs — cut lineage so the
+    # shingle-hash + 63-vote pipeline runs once, not twice
+    sigs = simhash64(df, **kw).localCheckpoint(eager=False)
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunks = sigs.select(

@@ -363,7 +363,9 @@ def cosine_near_dup_pairs_lsh(
 ) -> DataFrame:
     """Scale path: LSH-bucketed candidate pairs, exact cosine verify —
     same no-cross-join shape as MinHash dedup."""
-    tagged = lsh_bucket(df, n_planes, id_col, vec_col)
+    # both join sides read the bucketed table — cut lineage so the
+    # pandas-UDF bucketing runs once, not twice
+    tagged = lsh_bucket(df, n_planes, id_col, vec_col).localCheckpoint(eager=False)
     a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     if multiprobe >= 1:
         probes = F.array(
