@@ -59,13 +59,17 @@ def jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    pairs = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        # prune pair rows BEFORE the aggregation — the whole point of LSH
-        # is that the quadratic step never aggregates non-candidates (at
-        # larger scale, additionally semi-join each shingle side on the
-        # candidate member set to keep the pair join itself bounded)
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # candidate-DRIVEN verification: start from the (small) candidate
+        # pair set and pull in each side's shingles, so the intersection
+        # count touches only candidate docs' shingles — the full shingle
+        # self-join (which materializes every co-shingle pair in the
+        # corpus before pruning) never happens.  This is the shape that
+        # survives 100 TB: work is O(candidates × shingles-per-doc), not
+        # O(sum of shingle-bucket²).
+        pairs = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+    else:
+        pairs = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
