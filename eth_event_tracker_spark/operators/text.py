@@ -235,7 +235,9 @@ def ngram_decontaminate(
     map + broadcast left-semi join + per-doc groupBy.  The 100 TB fact
     table never shuffles on the gram key.  Rows: (id_col, n_grams, n_hit,
     contamination)."""
-    tg = word_shingles(train, text_col, n, id_col)
+    # totals and hits both read the train grams — cut lineage so the
+    # tokenize + explode runs once, not twice
+    tg = word_shingles(train, text_col, n, id_col).localCheckpoint(eager=False)
     eg = word_shingles(eval_df, text_col, n, id_col).select("shingle").distinct()
     totals = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     hits = (
