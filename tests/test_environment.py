@@ -76,6 +76,22 @@ def test_normalize_event_ts_both_encodings(spark, encoding):
     assert got == rows_us
 
 
+def test_load_table_pins_utc_on_foreign_tz_session(spark, sf_dir, duck):
+    """The grading driver builds a vanilla session; on a non-UTC host its
+    default TZ would shift the NTZ cast and every date function off the
+    oracle.  load_table must pin UTC on the calling session."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        s = ev.agg(F.sum(F.unix_micros("ts")).alias("s")).first().s
+        d = duck.execute("SELECT sum(epoch_us(ts)) FROM events").fetchone()[0]
+        assert s == d
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_normalized_ts_matches_duckdb_oracle(spark, sf_dir, duck):
     """Value-level pin: the loader's normalized instants equal DuckDB's
     read of the same parquet — the driver's hash compare depends on this."""
