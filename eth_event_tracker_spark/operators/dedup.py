@@ -244,11 +244,14 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
     # Initialization fuses the first propagation round: every node appears
     # as a dst (edges are symmetric), so comp₀ = min(self, neighbors) is
     # one groupBy — near-clique components are already converged here.
+    # lazy checkpoints throughout: the convergence-sum action is what
+    # materializes (and persists) each round's labels, so every round
+    # costs ONE job, not a checkpoint job plus a sum job
     labels = (
         edges.groupBy("dst")
         .agg(F.min("src").alias("nmin"))
         .select(F.col("dst").alias("id"), F.least(F.col("dst"), F.col("nmin")).alias("comp"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -266,7 +269,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
