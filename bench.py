@@ -58,14 +58,21 @@ def main() -> None:
     for name, q in REGISTRY.items():
         timed(name, lambda q=q: q.fn(spark, sf_dir).count())
 
-    # throughput tiers that are pytest-pinned to their exact twins (not in
-    # the oracle registry) still get benchmarked
+    # throughput tiers and approximate ops that are pytest-pinned (not in
+    # the oracle registry — they cannot hash-match) still get benchmarked
     from eth_event_tracker_spark.queries.llmdata import (
+        embedding_ann,
         embedding_cosine_topk_fast,
         embedding_near_dup_lsh,
     )
+    from eth_event_tracker_spark.queries.relational import approx_distinct_parts
 
-    for extra in (embedding_cosine_topk_fast, embedding_near_dup_lsh):
+    for extra in (
+        embedding_cosine_topk_fast,
+        embedding_near_dup_lsh,
+        embedding_ann,
+        approx_distinct_parts,
+    ):
         timed(extra.__name__, lambda extra=extra: extra(spark, sf_dir).count())
 
     # tracker pipeline throughput: full sync of a 2000-block mock chain

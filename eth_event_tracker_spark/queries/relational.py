@@ -332,13 +332,12 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Approx distinct (HLL) — the 100 TB path for address cardinality; no SQL
-# oracle (approx), driver records rows-only
+# NOT registered: HLL output is approximate by construction, so no SQL
+# oracle can hash-match it — the driver's 50-entry window is reserved for
+# the 50 hash-checkable queries.  pytest pins the estimate within rsd
+# against the exact count (test_relational / test_registry extras check),
+# and bench.py times it as an extra entry.
 # ---------------------------------------------------------------------------
-@register(
-    "approx_distinct_parts",
-    None,
-    doc="approx_count_distinct (HyperLogLog++) — constant memory at any scale",
-)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
@@ -374,6 +373,50 @@ def pivot_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
         F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot: wide per-nation stats → long (measure, value) rows — the
+# inverse of pivot_orderstatus.  Spark: stack(); SQL: UNION ALL (the
+# engine-portable UNPIVOT).  stack is a generator expression: one pass
+# over the aggregated (tiny) wide table, no shuffle beyond the agg.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_unpivot",
+    """
+WITH s AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal,
+         round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 9) AS avg_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, 'n_customers' AS measure, n_customers AS value FROM s
+UNION ALL SELECT n_name, 'total_acctbal', total_acctbal FROM s
+UNION ALL SELECT n_name, 'avg_acctbal', avg_acctbal FROM s
+""",
+    doc="unpivot (stack) of per-nation customer stats to (measure, value) rows — "
+    "the inverse of pivot_orderstatus; decimal-exact sums per the float convention",
+)
+def stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dec_sum = F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+    wide = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            dec_sum.alias("total_acctbal"),
+            F.round(dec_sum / F.count("*"), 9).alias("avg_acctbal"),
+        )
+    )
+    return wide.selectExpr(
+        "n_name",
+        "stack(3, 'n_customers', n_customers, 'total_acctbal', total_acctbal, "
+        "'avg_acctbal', avg_acctbal) AS (measure, value)",
     )
 
 

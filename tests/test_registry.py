@@ -38,3 +38,28 @@ def test_oracle_queries_precede_rows_only():
 def test_every_oracle_names_match_registry():
     qs = queries.all_queries()
     assert set(queries.all_oracles()) <= set(qs)
+
+
+def test_every_registered_query_is_hash_checkable():
+    """Approximate ops live OUTSIDE the registry (they cannot hash-match
+    a SQL oracle); every registered entry must carry an oracle so all 50
+    driver rows are full hash checks."""
+    qs = queries.all_queries()
+    oracles = queries.all_oracles()
+    assert set(qs) == set(oracles)
+    assert len(qs) == DRIVER_WINDOW
+
+
+def test_unregistered_extras_still_verified(spark, sf_dir):
+    """The demoted approximate ops keep working and stay within their
+    pinned bounds (the evidence that replaced their rows-only driver
+    rows)."""
+    from eth_event_tracker_spark.queries.llmdata import embedding_ann
+    from eth_event_tracker_spark.queries.relational import approx_distinct_parts
+
+    r = approx_distinct_parts(spark, sf_dir).first()
+    assert abs(r.approx_n_parts - r.exact_n_parts) <= max(3 * 0.02 * r.exact_n_parts, 2.0)
+    ann = embedding_ann(spark, sf_dir)
+    rows = ann.collect()
+    assert {r.method for r in rows} == {"lsh", "ivf"}
+    assert all(1 <= r.rank <= 5 for r in rows)
