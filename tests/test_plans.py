@@ -180,3 +180,28 @@ def test_multimodal_features_plan_is_jvm_only(spark, sf_dir):
     for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert marker not in plan, f"Python operator {marker} in multimodal_features plan"
     assert "Exchange" not in plan, "feature extraction must not shuffle"
+
+
+def test_stats_unpivot_broadcasts_dim_and_generates(spark, sf_dir):
+    """The unpivot query: nation dim reaches customer via broadcast (no
+    SortMergeJoin) and stack() compiles to a Generate over the tiny
+    aggregated table — never over the fact table."""
+    plan = plan_of(REGISTRY["stats_unpivot"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_dedup_spans_agg_shuffles_topk(spark, sf_dir):
+    """Span dedup: explode → the standard two-phase exact count-distinct
+    (partial on (chunk, doc_id), merge, final on chunk — at most 3
+    exchanges, all partial-aggregated) → TakeOrdered top-25 (no global
+    sort, no join)."""
+    plan = plan_of(REGISTRY["dedup_spans"].fn(spark, sf_dir))
+    assert "TakeOrdered" in plan, "top-25 must be TakeOrdered, not Sort+Limit"
+    assert "Join" not in plan
+    # formatted explain lists every node twice (tree + detail section)
+    assert plan.count("(") and plan.count("Exchange") <= 6, (
+        "count-distinct needs at most 3 exchanges (2 agg phases + distinct), none extra"
+    )
+    assert "partial_count" in plan, "aggregation must have a map-side partial phase"
