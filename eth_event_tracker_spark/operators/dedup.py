@@ -284,6 +284,38 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+def select_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keeper per near-dup cluster: instead of the
+    canonical min-id keeper (``cluster_id`` itself), keep the member
+    with the highest ``score_col`` (ties → lowest id, so the choice is
+    total and deterministic).  The standard refinement real curation
+    pipelines apply on top of connected components — near-dup groups
+    should surrender their *worst* members, not their newest.
+
+    Shape: clusters ⋈ scores on id (both keyed tables), one window
+    partitioned by cluster_id — each partition is one near-dup group
+    (small by construction), so the sort is per-group, never global.
+    Rows: (cluster_id, keeper_id, keeper_score)."""
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.join(scores, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keeper_id"),
+            F.col(score_col).alias("keeper_score"),
+        )
+    )
+
+
 def simhash64(
     df: DataFrame,
     n: int = 3,

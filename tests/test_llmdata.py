@@ -12,6 +12,22 @@ from eth_event_tracker_spark.operators import similarity as OPS
 from eth_event_tracker_spark.tables import load_table
 
 
+def test_select_keepers_quality_aware(spark):
+    """Keeper = highest-quality member per cluster, ties to lowest id;
+    every cluster yields exactly one keeper."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.1)], "doc_id long, quality double"
+    )
+    got = {
+        r.cluster_id: (r.keeper_id, r.keeper_score)
+        for r in OPD.select_keepers(clusters, scores).collect()
+    }
+    assert got == {1: (2, 0.9), 10: (10, 0.5)}  # tie 2-vs-3 → lowest id
+
+
 def test_simhash_recall_vs_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     truth = {
