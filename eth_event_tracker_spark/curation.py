@@ -75,13 +75,20 @@ def curate(
     overlap: int = 8,
     budget_words: int = 64,
     n_shards: int = 32,
+    keeper: str = "min_id",
 ) -> CurationResult:
     """Run the full curation pipeline over ``docs`` (needs doc_id, text;
     ``stratum_col`` only if ``mix_rates`` is given).
 
     ``eval_df`` enables the decontamination stage; ``mix_rates`` enables
     the mixture-sampling stage — both skip cleanly when omitted.
+    ``keeper`` picks the near-dup survivor per cluster: ``"min_id"``
+    (the canonical component label) or ``"quality"`` (highest
+    quality-score member via :func:`operators.dedup.select_keepers` —
+    near-dup groups surrender their worst members, not their newest).
     """
+    if keeper not in ("min_id", "quality"):
+        raise ValueError(f"keeper must be 'min_id' or 'quality', got {keeper!r}")
     stages: list[str] = []
     ledgers: list[DataFrame] = []
 
@@ -139,7 +146,18 @@ def curate(
         eager=False
     )
     clusters = OPD.dup_clusters(pairs)
-    losers = clusters.where(F.col("doc_id") != F.col("cluster_id"))
+    if keeper == "quality":
+        # near-dup variants usually differ by truncation/boilerplate;
+        # keep the longest member (word count as the quality proxy)
+        scores = OPT.quality_scores(cur).select(
+            "doc_id", F.col("n_words").cast("double").alias("quality")
+        )
+        keepers = OPD.select_keepers(clusters, scores)
+        losers = clusters.join(
+            keepers.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_anti"
+        )
+    else:
+        losers = clusters.where(F.col("doc_id") != F.col("cluster_id"))
     ledgers.append(_ledger(losers, "near_dup_cluster", F.lit("near_duplicate")))
     dup_pairs = pairs.join(clusters, pairs["doc_a"] == clusters["doc_id"]).select(
         "doc_a", "doc_b", "jaccard", "cluster_id"

@@ -83,3 +83,54 @@ def test_curate_end_to_end(spark, sf_dir):
 
     # redaction happened before chunking: no raw email survives in chunks
     assert packed.where(F.col("chunk").rlike(r"[\w.]+@[\w.]+\.\w+")).count() == 0
+
+
+def test_curate_quality_keeper(spark, sf_dir):
+    """keeper="quality": each near-dup cluster keeps its longest member
+    (ties to lowest id); cluster count and survivor-per-cluster
+    invariants match the min-id run, only the chosen survivor differs
+    when lengths do."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # plant near-dups: every 10th doc re-appears TRUNCATED under a higher
+    # id — min-id keeps the long original; quality must as well, even if
+    # the long one had the higher id
+    near = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    # and the reverse case: a LONGER variant under the higher id
+    longer = (
+        docs.where(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" "), F.col("text")))
+    )
+    corpus = docs.unionByName(near).unionByName(longer)
+
+    res_min = curate(corpus, keeper="min_id")
+    res_q = curate(corpus, keeper="quality")
+
+    kept_min = {r.doc_id for r in res_min.kept.select("doc_id").collect()}
+    kept_q = {r.doc_id for r in res_q.kept.select("doc_id").collect()}
+    assert len(kept_min) == len(kept_q), "same number of survivors per cluster"
+
+    # Global invariant: within every near-dup cluster the quality keeper
+    # maximizes word count, and all other stages are identical — so the
+    # total word mass kept can only go UP vs the arbitrary min-id choice.
+    # (The fixture also contains intrinsic near-dups, so survivors may
+    # legitimately differ in original-doc clusters too.)
+    def total_words(kept):
+        return kept.select(
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("w")
+        ).first().w
+
+    assert total_words(res_q.kept) >= total_words(res_min.kept)
+    # the planted doubled-text clusters guarantee at least one swap
+    assert kept_q != kept_min
+
+
+def test_curate_rejects_unknown_keeper(spark, sf_dir):
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with _pytest.raises(ValueError):
+        curate(docs, keeper="newest")
