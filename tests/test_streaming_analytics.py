@@ -220,6 +220,58 @@ def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_session_window_watermark_append(spark, sf_dir, tmp_path):
+    """session_window WITH a watermark in append mode — the production
+    shape (bounded state, emit-on-close).  Every emitted session must
+    match the batch twin exactly; only sessions not yet closed by the
+    final watermark may be missing."""
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    def sessions(df, wm=None):
+        if wm:
+            df = df.withWatermark("ts", wm)
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    q = (
+        sessions(stream, wm="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_wm")
+        .outputMode("append")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("sess_wm").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in sessions(ev).collect()
+    }
+    assert got, "watermark should have closed most sessions"
+    for k, v in got.items():
+        assert want[k] == v, f"closed session {k} must match batch"
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    for k in set(want) - set(got):
+        # only sessions still open at the final watermark may be missing
+        assert want[k][0] > horizon, f"closed session {k} missing from append output"
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     """dropDuplicatesWithinWatermark: duplicated events collapse to one
     row each while state stays bounded by the watermark."""
