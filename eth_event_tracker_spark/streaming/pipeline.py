@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import FilterConfig
-from ..store import ParquetEntry, ParquetStore
 from .tracker import ChangelogEvent
 
 # deterministic natural key of a log row (unique per chain position)
@@ -37,11 +36,15 @@ NATURAL_KEY = ("block_hash", "tx_index", "log_index")
 def start_finalized_ingest(
     spark: SparkSession,
     chain_dir: str,
-    store: ParquetStore,
+    store,
     config: FilterConfig,
     checkpoint_dir: str,
 ):
-    """Streaming query: web3logs → idempotent entry append."""
+    """Streaming query: web3logs → idempotent entry append.
+
+    ``store`` is any Store backend whose entries implement ``append_df``
+    and ``tail_df`` (parquet and JDBC both do) — the ingest and its
+    replay guard are backend-agnostic."""
     from ..sources.web3_source import register
 
     register(spark)
@@ -67,7 +70,7 @@ def start_finalized_ingest(
     )
 
 
-def dedup_against_tail(spark: SparkSession, entry: ParquetEntry, batch_df: DataFrame) -> DataFrame:
+def dedup_against_tail(spark: SparkSession, entry, batch_df: DataFrame) -> DataFrame:
     """Replay guard (exactly-once upgrade of the reference's at-least-once
     commit order, tracker.go:369-382): drop batch rows whose natural key is
     already stored.  Appends are sequential, so a re-delivered micro-batch
@@ -84,7 +87,7 @@ def dedup_against_tail(spark: SparkSession, entry: ParquetEntry, batch_df: DataF
     )
 
 
-def append_changelog(entry: ParquetEntry, event: ChangelogEvent) -> None:
+def append_changelog(entry, event: ChangelogEvent) -> None:
     """Persist one tracker event as tagged changelog rows (the durable
     twin of EventCh, tracker.go:841-846). The changelog itself is
     append-only — retractions are *rows*, never deletes, so consumers can

@@ -17,6 +17,34 @@ from eth_event_tracker_spark.streaming.pipeline import (
 from .test_web3_source import _drain
 
 
+def test_finalized_ingest_on_jdbc_backend(spark, tmp_path):
+    """The streaming ingest (source → foreachBatch append + replay
+    guard) is backend-agnostic: same exactly-once behavior landing in
+    the JDBC store's distributed bulk path."""
+    from .test_store_conformance import _derby_store
+
+    prov = MockProvider()
+    prov.advance(30, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+    store = _derby_store(spark, tmp_path)
+    try:
+        cfg = FilterConfig(batch_size=15, max_block_backlog=10)
+        q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"))
+        _drain(q)
+        rows = store.entry(cfg.filter_hash).all_logs()
+        assert max(r["block_num"] for r in rows) == 20  # head 30 − backlog 10
+        assert [r["indx"] for r in rows] == list(range(len(rows)))
+        # restart from the same checkpoint: replay guard must hold on JDBC too
+        q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"))
+        _drain(q)
+        rows2 = store.entry(cfg.filter_hash).all_logs()
+        keys = [(r["block_hash"], r["tx_index"], r["log_index"]) for r in rows2]
+        assert len(keys) == len(set(keys)) == len(rows)
+    finally:
+        store.close()
+
+
 def test_finalized_ingest_exactly_once(spark, tmp_path):
     prov = MockProvider()
     prov.advance(40, logs_per_block=2)
