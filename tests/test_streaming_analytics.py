@@ -191,6 +191,34 @@ def test_stateful_running_counts_tws_matches_batch(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+def test_stream_sliding_window_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding window (30 min, 10 min slide) in a stream (complete mode)
+    equals the batch twin — each event lands in 3 overlapping windows."""
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    def sliding(df):
+        return (
+            df.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+
+    q = (
+        sliding(stream)
+        .writeStream.format("memory")
+        .queryName("slide")
+        .outputMode("complete")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {(r.window_start, r.event_type): r.n_events for r in spark.table("slide").collect()}
+    want = {(r.window_start, r.event_type): r.n_events for r in sliding(ev).collect()}
+    assert got == want
+
+
 def test_stream_session_window_matches_batch(spark, sf_dir, tmp_path):
     """session_window in a stream (complete mode) equals the batch twin —
     the gaps-and-islands semantics already oracle-checked in
