@@ -108,3 +108,23 @@ def test_sqlite_store_matches_inmem_model(ops):
             return s, s.entry("f1")
 
         _run_ops(ops, lambda: SqlStore(db), reopen)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ops=_OPS)
+def test_jdbc_store_matches_inmem_model(ops, spark):
+    """Same model-based fuzz over the JDBC backend (driver-side ops —
+    the distributed append path has its own parity test).  Fewer
+    examples: each one boots and deboots an embedded Derby database."""
+    from .test_store_conformance import _derby_store
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = _derby_store(spark, Path(tmp))
+        try:
+
+            def reopen(old):
+                return old, old.entry("f1")  # embedded db stays booted
+
+            _run_ops(ops, lambda: store, reopen)
+        finally:
+            store.close()
