@@ -111,3 +111,28 @@ def current_view(changelog: DataFrame) -> DataFrame:
         .where((F.col("_rn") == 1) & (F.col("change_type") == "add"))
         .drop("_rn", "change_type")
     )
+
+
+def prune_changelog(changelog: DataFrame, finalized_below: int) -> DataFrame:
+    """Retention for the append-only changelog — the 100 TB lifecycle
+    concern the reference sidesteps (its EventCh is ephemeral;
+    tracker.go:841-846): a durable changelog accumulates every reorged
+    add/remove forever.
+
+    Blocks below ``finalized_below`` can never be reorged again (O-5
+    depth-based finality), so for keys entirely below the horizon a
+    retraction is final: drop every fully-retracted key's rows (its
+    latest change is a 'remove') and keep only the WINNING 'add' row of
+    surviving keys — superseded add/remove churn below the horizon is
+    history nobody can act on.  Rows at or above the horizon are kept
+    verbatim, replay included.
+
+    Invariant (pinned in tests): ``current_view(pruned)`` ==
+    ``current_view(full)``.  One window shuffle on the natural key —
+    the same shape current_view itself costs; at scale this runs as a
+    partition rewrite of finalized history during compaction."""
+    w = Window.partitionBy(*NATURAL_KEY).orderBy(F.desc("indx"))
+    ranked = changelog.withColumn("_rn", F.row_number().over(w))
+    below = F.col("block_num") < F.lit(finalized_below)
+    keep = (~below) | ((F.col("_rn") == 1) & (F.col("change_type") == "add"))
+    return ranked.where(keep).drop("_rn")

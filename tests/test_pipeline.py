@@ -133,3 +133,57 @@ def test_changelog_current_view(spark, tmp_path):
         (r["block_hash"], r["tx_index"], r["log_index"]) for r in t.entry.all_logs()
     }
     assert live_keys == store_keys
+
+
+def test_prune_changelog_preserves_current_view(spark, tmp_path):
+    """Retention below the finality horizon: fully-retracted keys vanish,
+    surviving keys keep one winning add — and current_view is EXACTLY
+    unchanged, both below and above the horizon."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import prune_changelog
+
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    store = ParquetStore(tmp_path / "store")
+    t = Tracker(prov, store, FilterConfig())
+    clog = store.changelog_entry(t.config.filter_hash)
+    for e in t.sync():
+        append_changelog(clog, e)
+    prov.fork(3, logs_per_block=1)  # retractions at heights 18-20
+    for e in t.poll():
+        append_changelog(clog, e)
+
+    cdf = clog.df(spark)
+    full_view = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in current_view(cdf).collect()
+    }
+
+    # horizon above the reorg: all retracted churn is prunable
+    pruned = prune_changelog(cdf, finalized_below=25)
+    pruned_view = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in current_view(pruned).collect()
+    }
+    assert pruned_view == full_view
+    assert pruned.where("change_type = 'remove'").count() == 0, (
+        "below-horizon retractions must be dropped"
+    )
+    # exactly one row per surviving key below the horizon
+    per_key = pruned.groupBy("block_hash", "tx_index", "log_index").count()
+    assert per_key.where("count > 1").count() == 0
+
+    # horizon below the reorg: everything above is kept verbatim
+    partial = prune_changelog(cdf, finalized_below=10)
+    partial_view = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in current_view(partial).collect()
+    }
+    assert partial_view == full_view
+    assert partial.where("change_type = 'remove'").count() == 3, (
+        "above-horizon retraction history must be preserved for replay"
+    )
+    assert partial.where(F.col("block_num") >= 10).count() == cdf.where(
+        F.col("block_num") >= 10
+    ).count()
