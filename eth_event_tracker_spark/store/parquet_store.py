@@ -111,6 +111,15 @@ class ParquetEntry:
         self.path.mkdir(parents=True, exist_ok=True)
         self._meta_path = self.path / "meta.json"
         self._seq = 0  # next file sequence number, per-process
+        staging = self.path / self._CC_STAGING
+        if staging.exists():
+            if (staging / "_COMMIT").exists():
+                # crash mid-swap of a committed changelog compaction:
+                # finish it (idempotent — see compact_changelog)
+                self._cc_finish_swap(staging)
+            else:
+                # crash mid-staging: originals untouched, discard the stage
+                shutil.rmtree(staging)
         if self._meta_path.exists():
             meta_obj = json.loads(self._meta_path.read_text())
             meta = meta_obj["last_index"]
@@ -373,6 +382,112 @@ class ParquetEntry:
             os.replace(tmp, self.path / f"bucket={k}" / f"part-compacted-{k:06d}.parquet")
             merged_count += len(files)
         return merged_count
+
+    # -- changelog retention compaction --------------------------------------
+    _CC_STAGING = "_cc_staging"
+
+    def compact_changelog(self, spark, finalized_below: int) -> dict:
+        """Store-level changelog retention: rewrite the bucket(s) holding
+        finalized history so the on-disk changelog shrinks to
+        O(live + recent), applying exactly the ``prune_changelog``
+        semantics (streaming/pipeline.py): below the depth-finality
+        horizon (the reference's immutability boundary at
+        head − MaxBlockBacklog, tracker.go:33-35,313) fully-retracted
+        keys vanish and surviving keys keep only their winning 'add' row;
+        rows at/above the horizon are kept verbatim.
+
+        Distributed: affected buckets are read as one DataFrame, pruned,
+        repartitioned by bucket and staged by Spark; the driver then swaps
+        bucket directories.  Only buckets that actually contain
+        below-horizon rows are touched — at 100 TB each periodic run
+        rewrites the few buckets newly crossing the horizon, never the
+        finalized ocean behind them.
+
+        Crash-safe (stage → commit-marker → swap): a crash before the
+        ``_COMMIT`` marker discards the partial staging on next open; a
+        crash after it finishes the per-bucket swap, which is idempotent
+        because a staged bucket directory disappears exactly when its
+        swap completes.  ``current_view`` over the entry is bit-identical
+        before and after (pinned in tests/test_pipeline.py).
+
+        Returns stats: buckets_rewritten/dropped, files and rows
+        before/after over the affected buckets."""
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from ..streaming.pipeline import prune_changelog
+
+        affected: list[int] = []
+        files_before = rows_before = 0
+        for k in self._buckets():
+            fs = self._bucket_files(k)
+            mn = None
+            for f in fs:
+                t = pq.read_table(f, columns=["block_num"])
+                if t.num_rows:
+                    fmn = pa.compute.min(t.column("block_num")).as_py()
+                    mn = fmn if mn is None else min(mn, fmn)
+            if mn is not None and mn < finalized_below:
+                affected.append(k)
+                files_before += len(fs)
+                rows_before += sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+        if not affected:
+            return {
+                "buckets_rewritten": 0,
+                "buckets_dropped": 0,
+                "files_before": 0,
+                "files_after": 0,
+                "rows_before": 0,
+                "rows_after": 0,
+            }
+
+        staging = self.path / self._CC_STAGING
+        if staging.exists():
+            shutil.rmtree(staging)  # stale pre-commit leftovers
+        src = [str(f) for k in affected for f in self._bucket_files(k)]
+        pruned = prune_changelog(spark.read.parquet(*src), finalized_below)
+        (
+            pruned.select(*self.columns)
+            .withColumn("bucket", (F.col("indx") / self.bucket_size).cast("long"))
+            .repartition("bucket")  # one file per rewritten bucket
+            .write.partitionBy("bucket")
+            .parquet(str(staging))
+        )
+        staged = {
+            int(p.name.split("=", 1)[1])
+            for p in staging.iterdir()
+            if p.is_dir() and p.name.startswith("bucket=")
+        }
+        # buckets whose every row was pruned: semantically dead, safe to
+        # drop any time (current_view never sees them) — before the marker
+        for k in affected:
+            if k not in staged and (self.path / f"bucket={k}").exists():
+                shutil.rmtree(self.path / f"bucket={k}")
+        (staging / "_COMMIT").touch()
+        self._cc_finish_swap(staging)
+        files_after = rows_after = 0
+        for k in staged:
+            fs = self._bucket_files(k)
+            files_after += len(fs)
+            rows_after += sum(pq.ParquetFile(f).metadata.num_rows for f in fs)
+        return {
+            "buckets_rewritten": len(staged),
+            "buckets_dropped": len(affected) - len(staged),
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+        }
+
+    def _cc_finish_swap(self, staging: Path) -> None:
+        """Swap staged bucket dirs into place, then clear staging.
+        Idempotent resume point for post-_COMMIT crash recovery."""
+        for p in sorted(staging.iterdir()):
+            if p.is_dir() and p.name.startswith("bucket="):
+                target = self.path / p.name
+                if target.exists():
+                    shutil.rmtree(target)
+                os.rename(p, target)
+        shutil.rmtree(staging)
 
     def all_logs(self) -> list[dict]:
         """Driver-side full read, ordered by indx (test/verification helper)."""

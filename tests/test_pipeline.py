@@ -187,3 +187,128 @@ def test_prune_changelog_preserves_current_view(spark, tmp_path):
     assert partial.where(F.col("block_num") >= 10).count() == cdf.where(
         F.col("block_num") >= 10
     ).count()
+
+
+def _churned_changelog(spark, tmp_path, bucket_size=8):
+    """A changelog entry with planted reorg churn spread over several
+    store buckets: sync 30 blocks, then three fork+advance cycles."""
+    prov = MockProvider()
+    prov.advance(30, logs_per_block=1)
+    store = ParquetStore(tmp_path / "store")
+    t = Tracker(prov, store, FilterConfig())
+    clog = store.changelog_entry(t.config.filter_hash, bucket_size=bucket_size)
+    for e in t.sync():
+        append_changelog(clog, e)
+    for _ in range(3):
+        prov.fork(3, logs_per_block=1)
+        for e in t.poll():
+            append_changelog(clog, e)
+        prov.advance(2, logs_per_block=1)
+        for e in t.poll():
+            append_changelog(clog, e)
+    return store, t, clog, prov.canonical[-1].block_number
+
+
+def _view_rows(spark, clog):
+    return sorted(map(tuple, current_view(clog.df(spark)).collect()))
+
+
+def test_compact_changelog_shrinks_store_preserves_view(spark, tmp_path):
+    """VERDICT r4 #1: store-level retention. After reorg churn, compacting
+    below the finality horizon shrinks on-disk rows AND files while
+    current_view over the store stays bit-identical."""
+    store, t, clog, head = _churned_changelog(spark, tmp_path)
+    before_view = _view_rows(spark, clog)
+    before_rows = len(clog.all_logs())
+    before_files = sum(len(clog._bucket_files(k)) for k in clog._buckets())
+    before_last = clog.last_index()
+    assert clog.df(spark).where("change_type = 'remove'").count() == 9
+
+    horizon = head + 1  # everything finalized
+    stats = clog.compact_changelog(spark, finalized_below=horizon)
+
+    after_rows = len(clog.all_logs())
+    after_files = sum(len(clog._bucket_files(k)) for k in clog._buckets())
+    assert stats["rows_after"] < stats["rows_before"]
+    assert after_rows < before_rows
+    assert after_files < before_files
+    # all retracted churn below the horizon is gone; one row per live key
+    assert clog.df(spark).where("change_type = 'remove'").count() == 0
+    per_key = clog.df(spark).groupBy("block_hash", "tx_index", "log_index").count()
+    assert per_key.where("count > 1").count() == 0
+    # the reconstructed live view is EXACTLY unchanged
+    assert _view_rows(spark, clog) == before_view
+    # and still matches the authoritative entry store
+    live_keys = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in current_view(clog.df(spark)).collect()
+    }
+    store_keys = {
+        (r["block_hash"], r["tx_index"], r["log_index"]) for r in t.entry.all_logs()
+    }
+    assert live_keys == store_keys
+    # reopening preserves the append counter (meta survives compaction)
+    reopened = store.changelog_entry(t.config.filter_hash, bucket_size=8)
+    assert reopened.last_index() == before_last
+    # a second compaction at the same horizon is a no-op
+    stats2 = clog.compact_changelog(spark, finalized_below=horizon)
+    assert stats2["rows_after"] == stats2["rows_before"]
+    assert _view_rows(spark, clog) == before_view
+
+
+def test_compact_changelog_partial_horizon(spark, tmp_path):
+    """Horizon in the middle: below-horizon churn collapses, above-horizon
+    rows (replay history included) survive verbatim."""
+    from pyspark.sql import functions as F
+
+    store, t, clog, head = _churned_changelog(spark, tmp_path)
+    before_view = _view_rows(spark, clog)
+    cdf = clog.df(spark)
+    horizon = 20
+    above_before = sorted(
+        map(tuple, cdf.where(F.col("block_num") >= horizon).collect())
+    )
+    clog.compact_changelog(spark, finalized_below=horizon)
+    cdf2 = clog.df(spark)
+    assert _view_rows(spark, clog) == before_view
+    assert (
+        sorted(map(tuple, cdf2.where(F.col("block_num") >= horizon).collect()))
+        == above_before
+    )
+    assert cdf2.where(
+        (F.col("block_num") < horizon) & (F.col("change_type") == "remove")
+    ).count() == 0
+
+
+def test_compact_changelog_crash_recovery(spark, tmp_path, monkeypatch):
+    """Crash choreography: a crash after the _COMMIT marker is finished on
+    reopen (idempotent swap); a pre-commit staging leftover is discarded."""
+    from eth_event_tracker_spark.store.parquet_store import ParquetEntry
+
+    store, t, clog, head = _churned_changelog(spark, tmp_path)
+    before_view = _view_rows(spark, clog)
+    before_last = clog.last_index()
+    horizon = head + 1
+
+    # simulate a crash immediately after the commit marker lands
+    monkeypatch.setattr(
+        ParquetEntry, "_cc_finish_swap", lambda self, staging: None
+    )
+    clog.compact_changelog(spark, finalized_below=horizon)
+    monkeypatch.undo()
+    assert (clog.path / ParquetEntry._CC_STAGING / "_COMMIT").exists()
+
+    # reopen = recovery: swap completes, view identical, counter intact
+    recovered = store.changelog_entry(t.config.filter_hash, bucket_size=8)
+    assert not (recovered.path / ParquetEntry._CC_STAGING).exists()
+    assert _view_rows(spark, recovered) == before_view
+    assert recovered.df(spark).where("change_type = 'remove'").count() == 0
+    assert recovered.last_index() == before_last
+
+    # pre-commit leftover (no marker): discarded on open, data untouched
+    stale = recovered.path / ParquetEntry._CC_STAGING
+    (stale / "bucket=0").mkdir(parents=True)
+    (stale / "bucket=0" / "junk.parquet").write_bytes(b"not parquet")
+    reopened = store.changelog_entry(t.config.filter_hash, bucket_size=8)
+    assert not stale.exists()
+    assert _view_rows(spark, reopened) == before_view
