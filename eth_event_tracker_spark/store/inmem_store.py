@@ -24,36 +24,46 @@ class InMemStore:
         return sorted((k, v) for k, v in self._kv.items() if k.startswith(prefix))
 
     # -- entries ------------------------------------------------------------
-    def entry(self, filter_hash: str, bucket_size: int = 10_000, schema=None) -> "InMemEntry":
+    def entry(
+        self, filter_hash: str, bucket_size: int = 10_000, schema=None, changelog: bool = False
+    ) -> "InMemEntry":
         if filter_hash not in self._entries:
-            self._entries[filter_hash] = InMemEntry()
+            self._entries[filter_hash] = InMemEntry(changelog=changelog)
         return self._entries[filter_hash]
 
     def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "InMemEntry":
-        return self.entry("changelog_" + filter_hash)
+        return self.entry("changelog_" + filter_hash, changelog=True)
 
 
 class InMemEntry:
     """Ordered, append-only, tail-truncatable log list
     (inmem_store.go:96-117 semantics)."""
 
-    def __init__(self) -> None:
+    def __init__(self, changelog: bool = False) -> None:
         self._rows: list[dict] = []
+        self.changelog = changelog  # rows carry a change_type tag
+        # explicit counter: after changelog compaction, list positions no
+        # longer equal indx values (pruned history leaves gaps)
+        self._next = 0
 
     def last_index(self) -> int:
-        return len(self._rows)
+        return self._next
 
     def store_logs(self, logs: list[dict]) -> list[dict]:
-        base = len(self._rows)
+        base = self._next
         rows = [{**dict(lg), "indx": base + i} for i, lg in enumerate(logs)]
         self._rows.extend(rows)
+        self._next = base + len(rows)
         return rows
 
     def remove_logs(self, indx: int) -> None:
-        del self._rows[indx:]
+        if indx >= self._next:
+            return
+        self._rows = [r for r in self._rows if r["indx"] < indx]
+        self._next = indx
 
     def get_log(self, indx: int) -> dict | None:
-        return self._rows[indx] if 0 <= indx < len(self._rows) else None
+        return next((r for r in self._rows if r["indx"] == indx), None)
 
     def all_logs(self) -> list[dict]:
         return list(self._rows)
@@ -71,10 +81,33 @@ class InMemEntry:
     def compact(self, bucket: int | None = None) -> int:
         return 0  # nothing to compact in memory
 
-    def df(self, spark):
-        from ..schemas import LOG_SCHEMA
+    def compact_changelog(self, spark, finalized_below: int) -> dict:
+        """Changelog retention, prune_changelog semantics (the in-memory
+        twin of ParquetEntry.compact_changelog): below the finality
+        horizon drop fully-retracted keys and superseded churn, keep the
+        winning 'add' per surviving key; at/above the horizon keep rows
+        verbatim.  ``spark`` unused (interface parity)."""
+        before = len(self._rows)
+        latest: dict[tuple, int] = {}  # key -> max indx
+        for r in self._rows:
+            k = (r["block_hash"], r["tx_index"], r["log_index"])
+            latest[k] = max(latest.get(k, -1), r["indx"])
+        self._rows = [
+            r
+            for r in self._rows
+            if r["block_num"] >= finalized_below
+            or (
+                r["indx"] == latest[(r["block_hash"], r["tx_index"], r["log_index"])]
+                and r.get("change_type") == "add"
+            )
+        ]
+        return {"rows_before": before, "rows_after": len(self._rows)}
 
-        cols = [f.name for f in LOG_SCHEMA.fields]
+    def df(self, spark):
+        from ..schemas import CHANGELOG_SCHEMA, LOG_SCHEMA
+
+        schema = CHANGELOG_SCHEMA if self.changelog else LOG_SCHEMA
+        cols = [f.name for f in schema.fields]
         return spark.createDataFrame(
-            [tuple(r.get(c) for c in cols) for r in self._rows], LOG_SCHEMA
+            [tuple(r.get(c) for c in cols) for r in self._rows], schema
         )

@@ -30,19 +30,43 @@ from __future__ import annotations
 from .sql_store import _COLUMNS, _decode, _encode, _table_name
 
 _BIGINT_COLS = {"indx", "log_index", "tx_index", "block_num"}
-_COL_LIST = ", ".join(f'"{c}"' for c in _COLUMNS)
 
 
 class JdbcStore:
-    """Store over a JDBC database (tested against embedded Derby)."""
+    """Store over a JDBC database (tested against embedded Derby).
+
+    Writer topology: bulk log appends (``JdbcEntry.append_df``) are
+    distributed and safe under concurrent executors (plain INSERTs of
+    pre-assigned disjoint indx ranges).  The *driver-side* operations —
+    KV set, store_logs, remove_logs — assume a SINGLE tracker driver per
+    store, exactly the reference's deployment shape (one Tracker owns one
+    filter's entry; tracker.go has no cross-process coordination either).
+    KV ``set`` is nevertheless an atomic server-side upsert (MERGE /
+    ON CONFLICT) on Derby and PostgreSQL, so even racing drivers cannot
+    interleave lost updates there; only the ``generic`` dialect falls
+    back to update-then-insert, which is last-writer-wins only under a
+    single connection."""
+
+    # SQLStates meaning "object already exists" — Derby (X0Y32) and
+    # PostgreSQL (42P07 duplicate_table).  Deliberately NO message-text
+    # fallback: an unrelated failure must not be masked as idempotence.
+    _DUP_OBJECT_SQLSTATES = {"X0Y32", "42P07"}
 
     def __init__(self, spark, url: str, driver: str | None = None) -> None:
         self.spark = spark
         self.url = url
         self.driver = driver
+        self.dialect = (
+            "derby"
+            if url.startswith("jdbc:derby:")
+            else "postgresql"
+            if url.startswith("jdbc:postgresql:")
+            else "generic"
+        )
         jvm = spark._jvm
-        # keep Derby's log out of the cwd (it writes derby.log on boot)
-        jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+        if self.dialect == "derby":
+            # keep Derby's log out of the cwd (it writes derby.log on boot)
+            jvm.java.lang.System.setProperty("derby.stream.error.file", "/tmp/derby.log")
         if driver:
             jvm.java.lang.Class.forName(driver)
         self._jvm = jvm
@@ -50,7 +74,11 @@ class JdbcStore:
         # kvSQLSchema twin (postgresql_store.go:222-227).  "key" is a
         # reserved word in Derby; quoted lowercase identifiers throughout —
         # they also match the column names Spark's JDBC writer quotes.
-        self._ddl('CREATE TABLE kv ("key" VARCHAR(512) PRIMARY KEY, "val" VARCHAR(31500))')
+        # Derby has no TEXT type (VARCHAR caps at 32672 and errors rather
+        # than truncate on overflow — documented bound); elsewhere use an
+        # unbounded TEXT val.
+        val_type = "VARCHAR(31500)" if self.dialect == "derby" else "TEXT"
+        self._ddl(f'CREATE TABLE kv ("key" VARCHAR(512) PRIMARY KEY, "val" {val_type})')
         self._entries: dict[str, JdbcEntry] = {}
 
     def _ddl(self, sql: str) -> None:
@@ -59,7 +87,7 @@ class JdbcStore:
             st.execute(sql)
         except Exception as e:  # noqa: BLE001 — py4j surfaces SQLException
             state = getattr(getattr(e, "java_exception", None), "getSQLState", lambda: "")()
-            if state != "X0Y32" and "already exists" not in str(e):  # idempotent create
+            if state not in self._DUP_OBJECT_SQLSTATES:  # idempotent create only
                 raise
         finally:
             st.close()
@@ -87,8 +115,38 @@ class JdbcStore:
             ps.close()
 
     def set(self, key: str, val: str) -> None:
-        # upsert (postgresql_store.go:71-76 ON CONFLICT): portable
-        # update-then-insert — single driver connection, no race
+        """Upsert (postgresql_store.go:71-76 ON CONFLICT): a single atomic
+        server-side statement on the dialects that have one — the
+        reference's exact semantics on PostgreSQL, MERGE on Derby."""
+        if self.dialect == "postgresql":
+            ps = self._conn.prepareStatement(
+                'INSERT INTO kv ("key", "val") VALUES (?, ?) '
+                'ON CONFLICT ("key") DO UPDATE SET "val" = EXCLUDED."val"'
+            )
+            try:
+                ps.setString(1, key)
+                ps.setString(2, val)
+                ps.executeUpdate()
+            finally:
+                ps.close()
+            return
+        if self.dialect == "derby":
+            ps = self._conn.prepareStatement(
+                "MERGE INTO kv USING SYSIBM.SYSDUMMY1 ON kv.\"key\" = ? "
+                'WHEN MATCHED THEN UPDATE SET "val" = ? '
+                'WHEN NOT MATCHED THEN INSERT ("key", "val") VALUES (?, ?)'
+            )
+            try:
+                ps.setString(1, key)
+                ps.setString(2, val)
+                ps.setString(3, key)
+                ps.setString(4, val)
+                ps.executeUpdate()
+            finally:
+                ps.close()
+            return
+        # generic fallback: portable update-then-insert — race-free only
+        # on a single driver connection (see class docstring)
         ps = self._conn.prepareStatement('UPDATE kv SET "val" = ? WHERE "key" = ?')
         try:
             ps.setString(1, val)
@@ -121,32 +179,46 @@ class JdbcStore:
             ps.close()
 
     # -- entries (GetEntry, postgresql_store.go:79-88) ----------------------
-    def entry(self, filter_hash: str, bucket_size: int = 10_000, schema=None) -> "JdbcEntry":
+    def entry(
+        self, filter_hash: str, bucket_size: int = 10_000, schema=None, changelog: bool = False
+    ) -> "JdbcEntry":
         if filter_hash not in self._entries:
-            self._entries[filter_hash] = JdbcEntry(self, _table_name(filter_hash))
+            self._entries[filter_hash] = JdbcEntry(
+                self, _table_name(filter_hash), changelog=changelog
+            )
         return self._entries[filter_hash]
 
     def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "JdbcEntry":
-        return self.entry("changelog_" + filter_hash)
+        return self.entry("changelog_" + filter_hash, changelog=True)
 
 
 class JdbcEntry:
     """Ordered, append-only, tail-truncatable log table over JDBC
     (postgresql_store.go:91-205 semantics; distributed bulk path)."""
 
-    def __init__(self, store: JdbcStore, table: str) -> None:
+    def __init__(self, store: JdbcStore, table: str, changelog: bool = False) -> None:
         self._store = store
         self._conn = store._conn
         self._jvm = store._jvm
         self.table = table
+        self.changelog = changelog
+        self.columns = _COLUMNS + (("change_type",) if changelog else ())
+        self._col_list = ", ".join(f'"{c}"' for c in self.columns)
         # string columns are CLOB: Spark's Derby dialect maps StringType →
         # CLOB on the distributed write path, and Derby refuses CLOB
-        # parameters against VARCHAR columns (ERROR 22005)
+        # parameters against VARCHAR columns (ERROR 22005).  change_type is
+        # VARCHAR: it is only ever written driver-side (store_logs) and the
+        # compaction DELETE needs an equality predicate on it, which Derby
+        # does not allow on CLOB.
         cols = ", ".join(
             f'"{c}" BIGINT PRIMARY KEY'
             if c == "indx"
-            else (f'"{c}" BIGINT' if c in _BIGINT_COLS else f'"{c}" CLOB')
-            for c in _COLUMNS
+            else f'"{c}" BIGINT'
+            if c in _BIGINT_COLS
+            else f'"{c}" VARCHAR(16)'
+            if c == "change_type"
+            else f'"{c}" CLOB'
+            for c in self.columns
         )
         # table name deliberately unquoted (normalized to upper case) so the
         # unquoted name Spark's JDBC writer emits resolves to the same table
@@ -173,11 +245,15 @@ class JdbcEntry:
         base = self.last_index()
         types = self._jvm.java.sql.Types
         ps = self._conn.prepareStatement(
-            f"INSERT INTO {self.table} ({_COL_LIST}) VALUES ({', '.join('?' * len(_COLUMNS))})"
+            f"INSERT INTO {self.table} ({self._col_list}) "
+            f"VALUES ({', '.join('?' * len(self.columns))})"
         )
         try:
             for i, lg in enumerate(logs):
-                for j, (c, v) in enumerate(zip(_COLUMNS, _encode(lg, base + i)), start=1):
+                enc = _encode(lg, base + i) + (
+                    (lg.get("change_type"),) if self.changelog else ()
+                )
+                for j, (c, v) in enumerate(zip(self.columns, enc), start=1):
                     if v is None:
                         ps.setNull(j, types.BIGINT if c in _BIGINT_COLS else types.VARCHAR)
                     elif c in _BIGINT_COLS:
@@ -204,7 +280,7 @@ class JdbcEntry:
         # typed getters: getObject on a CLOB yields a java.sql.Clob proxy,
         # not a str; getString materializes it (values here are <100 chars)
         out = []
-        for j, c in enumerate(_COLUMNS, start=1):
+        for j, c in enumerate(self.columns, start=1):
             if c in _BIGINT_COLS:
                 v = rs.getLong(j)
                 out.append(None if rs.wasNull() else v)
@@ -214,22 +290,22 @@ class JdbcEntry:
 
     def get_log(self, indx: int) -> dict | None:
         ps = self._conn.prepareStatement(
-            f'SELECT {_COL_LIST} FROM {self.table} WHERE "indx" = ?'
+            f'SELECT {self._col_list} FROM {self.table} WHERE "indx" = ?'
         )
         try:
             ps.setLong(1, int(indx))
             rs = ps.executeQuery()
-            return _decode(self._row(rs)) if rs.next() else None
+            return _decode(self._row(rs), self.columns) if rs.next() else None
         finally:
             ps.close()
 
     def all_logs(self) -> list[dict]:
         st = self._conn.createStatement()
         try:
-            rs = st.executeQuery(f'SELECT {_COL_LIST} FROM {self.table} ORDER BY "indx"')
+            rs = st.executeQuery(f'SELECT {self._col_list} FROM {self.table} ORDER BY "indx"')
             out: list[dict] = []
             while rs.next():
-                out.append(_decode(self._row(rs)))
+                out.append(_decode(self._row(rs), self.columns))
             return out
         finally:
             st.close()
@@ -240,12 +316,14 @@ class JdbcEntry:
         the cursor never materializes the table."""
         st = self._conn.createStatement()
         try:
-            rs = st.executeQuery(f'SELECT {_COL_LIST} FROM {self.table} ORDER BY "indx" DESC')
+            rs = st.executeQuery(
+                f'SELECT {self._col_list} FROM {self.table} ORDER BY "indx" DESC'
+            )
             victims: list[dict] = []
             while rs.next():
                 row = self._row(rs)
                 if row[5] in block_hashes:  # block_hash position in _COLUMNS
-                    victims.append(_decode(row))
+                    victims.append(_decode(row, self.columns))
                 else:
                     break
             victims.reverse()
@@ -255,6 +333,43 @@ class JdbcEntry:
 
     def compact(self, bucket: int | None = None) -> int:
         return 0  # nothing to compact: SQL storage is not file-bucketed
+
+    def compact_changelog(self, spark, finalized_below: int) -> dict:
+        """Changelog retention as ONE server-side DELETE (the JDBC twin of
+        ParquetEntry.compact_changelog; see SqlEntry.compact_changelog for
+        the semantics and the uncorrelated-IN rationale).  The database
+        does the O(finalized) work; no row crosses the driver.  The
+        global max-indx row is exempt so last_index never regresses."""
+
+        def _count() -> int:
+            st = self._conn.createStatement()
+            try:
+                rs = st.executeQuery(f"SELECT COUNT(*) FROM {self.table}")
+                rs.next()
+                return rs.getLong(1)
+            finally:
+                st.close()
+
+        before = _count()
+        t = self.table
+        # CAST the CLOB block_hash for the equality predicate (Derby
+        # disallows comparisons on CLOB; hashes are 66 chars)
+        bh = 'CAST({0}."block_hash" AS VARCHAR(80))'
+        ps = self._conn.prepareStatement(
+            f'DELETE FROM {t} WHERE "indx" IN ('
+            f'  SELECT r."indx" FROM {t} r WHERE r."block_num" < ? '
+            f'  AND r."indx" < (SELECT MAX("indx") FROM {t}) '
+            f"  AND (r.\"change_type\" = 'remove' OR EXISTS ("
+            f'    SELECT 1 FROM {t} s WHERE {bh.format("s")} = {bh.format("r")} '
+            f'    AND s."tx_index" = r."tx_index" AND s."log_index" = r."log_index" '
+            f'    AND s."indx" > r."indx")))'
+        )
+        try:
+            ps.setLong(1, int(finalized_below))
+            ps.executeUpdate()
+        finally:
+            ps.close()
+        return {"rows_before": before, "rows_after": _count()}
 
     # -- Spark integration: the DISTRIBUTED paths ----------------------------
     def append_df(self, df) -> int:
@@ -305,7 +420,7 @@ class JdbcEntry:
 
         raw = spark.read.jdbc(self._store.url, self.table, properties=self._jdbc_props())
         t, d = F.col("topics"), F.col("data")
-        return raw.select(
+        decoded = raw.select(
             F.col("indx").cast("long").alias("indx"),
             F.col("log_index").cast("long").alias("log_index"),
             F.col("tx_index").cast("long").alias("tx_index"),
@@ -323,4 +438,6 @@ class JdbcEntry:
             F.when(d.isNull(), F.lit(None).cast("binary"))
             .otherwise(F.unhex(F.expr("substring(data, 3)")))
             .alias("data"),
-        ).orderBy("indx")
+            *(["change_type"] if self.changelog else []),
+        )
+        return decoded.orderBy("indx")

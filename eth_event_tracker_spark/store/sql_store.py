@@ -82,8 +82,8 @@ def _encode(lg: dict, indx: int) -> tuple:
     )
 
 
-def _decode(row: tuple) -> dict:
-    d = dict(zip(_COLUMNS, row))
+def _decode(row: tuple, columns: tuple = _COLUMNS) -> dict:
+    d = dict(zip(columns, row))
     raw_topics = d["topics"]
     d["topics"] = None if raw_topics is None else ([] if raw_topics == "" else raw_topics.split(","))
     d["data"] = bytes.fromhex(d["data"][2:]) if d["data"] else None
@@ -130,22 +130,29 @@ class SqlStore:
         return [(k, v) for k, v in rows]
 
     # -- entries (GetEntry, postgresql_store.go:79-88) ----------------------
-    def entry(self, filter_hash: str, bucket_size: int = 10_000, schema=None) -> "SqlEntry":
+    def entry(
+        self, filter_hash: str, bucket_size: int = 10_000, schema=None, changelog: bool = False
+    ) -> "SqlEntry":
         if filter_hash not in self._entries:
-            self._entries[filter_hash] = SqlEntry(self._conn, _table_name(filter_hash))
+            self._entries[filter_hash] = SqlEntry(
+                self._conn, _table_name(filter_hash), changelog=changelog
+            )
         return self._entries[filter_hash]
 
     def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "SqlEntry":
-        return self.entry("changelog_" + filter_hash)
+        return self.entry("changelog_" + filter_hash, changelog=True)
 
 
 class SqlEntry:
     """Ordered, append-only, tail-truncatable log table
     (postgresql_store.go:91-205 semantics)."""
 
-    def __init__(self, conn: sqlite3.Connection, table: str) -> None:
+    def __init__(self, conn: sqlite3.Connection, table: str, changelog: bool = False) -> None:
         self._conn = conn
         self.table = table
+        self.changelog = changelog
+        self.columns = _COLUMNS + (("change_type",) if changelog else ())
+        self._col_list = ",".join(self.columns)
         with conn:
             # logSQLSchema twin (:229-239) + log_index, with native integer
             # affinity and a primary key on indx (the reference's numeric
@@ -155,7 +162,9 @@ class SqlEntry:
                 f"CREATE TABLE IF NOT EXISTS {table} ("
                 "indx INTEGER PRIMARY KEY, log_index INTEGER, tx_index INTEGER, "
                 "tx_hash TEXT, block_num INTEGER, block_hash TEXT, "
-                "address TEXT, topics TEXT, data TEXT)"
+                "address TEXT, topics TEXT, data TEXT"
+                + (", change_type TEXT" if changelog else "")
+                + ")"
             )
 
     # -- LastIndex (:98-108) -------------------------------------------------
@@ -168,11 +177,15 @@ class SqlEntry:
         if not logs:
             return []
         base = self.last_index()
-        encoded = [_encode(lg, base + i) for i, lg in enumerate(logs)]
+        encoded = [
+            _encode(lg, base + i)
+            + ((lg.get("change_type"),) if self.changelog else ())
+            for i, lg in enumerate(logs)
+        ]
         with self._conn:
             self._conn.executemany(
-                f"INSERT INTO {self.table} ({','.join(_COLUMNS)}) "
-                f"VALUES ({','.join('?' * len(_COLUMNS))})",
+                f"INSERT INTO {self.table} ({self._col_list}) "
+                f"VALUES ({','.join('?' * len(self.columns))})",
                 encoded,
             )
         return [{**dict(lg), "indx": base + i} for i, lg in enumerate(logs)]
@@ -185,15 +198,15 @@ class SqlEntry:
     # -- GetLog (:161-205) ---------------------------------------------------
     def get_log(self, indx: int) -> dict | None:
         row = self._conn.execute(
-            f"SELECT {','.join(_COLUMNS)} FROM {self.table} WHERE indx = ?", (indx,)
+            f"SELECT {self._col_list} FROM {self.table} WHERE indx = ?", (indx,)
         ).fetchone()
-        return _decode(row) if row else None
+        return _decode(row, self.columns) if row else None
 
     def all_logs(self) -> list[dict]:
         rows = self._conn.execute(
-            f"SELECT {','.join(_COLUMNS)} FROM {self.table} ORDER BY indx"
+            f"SELECT {self._col_list} FROM {self.table} ORDER BY indx"
         ).fetchall()
-        return [_decode(r) for r in rows]
+        return [_decode(r, self.columns) for r in rows]
 
     def scan_tail(self, block_hashes: set[str]) -> list[dict]:
         """Reverse tail walk (tracker.go:717-754): victims are the maximal
@@ -201,11 +214,11 @@ class SqlEntry:
         scan is an index walk that stops at the first keeper — O(depth)."""
         victims: list[dict] = []
         cur = self._conn.execute(
-            f"SELECT {','.join(_COLUMNS)} FROM {self.table} ORDER BY indx DESC"
+            f"SELECT {self._col_list} FROM {self.table} ORDER BY indx DESC"
         )
         for row in cur:
             if row[5] in block_hashes:  # block_hash position in _COLUMNS
-                victims.append(_decode(row))
+                victims.append(_decode(row, self.columns))
             else:
                 break
         cur.close()
@@ -214,6 +227,34 @@ class SqlEntry:
 
     def compact(self, bucket: int | None = None) -> int:
         return 0  # nothing to compact: SQL storage is not file-bucketed
+
+    def compact_changelog(self, spark, finalized_below: int) -> dict:
+        """Changelog retention as ONE server-side DELETE — the SQL twin of
+        ParquetEntry.compact_changelog (prune_changelog semantics): below
+        the finality horizon, drop every row superseded by a later row of
+        the same natural key, and every fully-retracted key's final
+        'remove'.  The entry's global max-indx row is exempt so
+        ``last_index`` (MAX+1) never regresses and appends stay monotonic.
+        ``spark`` unused (interface parity); no row crosses the driver."""
+        before = self._conn.execute(f"SELECT COUNT(*) FROM {self.table}").fetchone()[0]
+        t = self.table
+        with self._conn:
+            # the doomed set is an uncorrelated IN-subquery, materialized
+            # BEFORE any row is removed: a correlated DELETE could evaluate
+            # a row's EXISTS after its superseding row was already deleted
+            # and wrongly resurrect a fully-retracted key
+            self._conn.execute(
+                f"DELETE FROM {t} WHERE indx IN ("
+                f"  SELECT r.indx FROM {t} r WHERE r.block_num < ? "
+                f"  AND r.indx < (SELECT MAX(indx) FROM {t}) "
+                f"  AND (r.change_type = 'remove' OR EXISTS ("
+                f"    SELECT 1 FROM {t} s WHERE s.block_hash = r.block_hash "
+                f"    AND s.tx_index = r.tx_index AND s.log_index = r.log_index "
+                f"    AND s.indx > r.indx)))",
+                (finalized_below,),
+            )
+        after = self._conn.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+        return {"rows_before": before or 0, "rows_after": after}
 
     # -- Spark integration ---------------------------------------------------
     def append_df(self, df) -> int:
@@ -252,9 +293,10 @@ class SqlEntry:
         """The entry as a DataFrame.  Driver-side materialization (see
         module docstring — spark.read.jdbc with an indx predicate is the
         server-database form of this)."""
-        from ..schemas import LOG_SCHEMA
+        from ..schemas import CHANGELOG_SCHEMA, LOG_SCHEMA
 
-        cols = [f.name for f in LOG_SCHEMA.fields]
+        schema = CHANGELOG_SCHEMA if self.changelog else LOG_SCHEMA
+        cols = [f.name for f in schema.fields]
         return spark.createDataFrame(
-            [tuple(r.get(c) for c in cols) for r in self.all_logs()], LOG_SCHEMA
+            [tuple(r.get(c) for c in cols) for r in self.all_logs()], schema
         )

@@ -406,3 +406,41 @@ def test_sql_append_df_matches_store_logs(tmp_path, spark):
     assert e2.all_logs() == e1.all_logs()
     # spark-side view agrees
     assert e2.df(spark).count() == len(logs)
+
+
+def test_changelog_roundtrip_and_compaction(make_store, spark):
+    """Round 5: the changelog model is backend-agnostic.  change_type
+    rows round-trip on every backend (previously the SQL codecs silently
+    dropped the tag), current_view reconstructs the live set from the
+    backend's df(), and compact_changelog collapses finalized churn
+    server-side while the live view stays bit-identical — the
+    prune_changelog semantics, now enforced x4 backends."""
+    from eth_event_tracker_spark.streaming.pipeline import current_view
+
+    clog = make_store().changelog_entry("cl")
+    adds1 = _logs(0x1, 2, 1)  # block 1: survives
+    adds2 = _logs(0x2, 2, 2)  # block 2: reorged out below the horizon
+    clog.store_logs([{**r, "change_type": "add"} for r in adds1 + adds2])
+    clog.store_logs([{**r, "change_type": "remove"} for r in reversed(adds2)])
+    adds2b = _logs(0x3, 2, 2)  # block 2': the replacement branch
+    clog.store_logs([{**r, "change_type": "add"} for r in adds2b])
+
+    # round-trip: the tag survives storage on this backend
+    assert [r.get("change_type") for r in clog.all_logs()] == (
+        ["add"] * 4 + ["remove"] * 2 + ["add"] * 2
+    )
+
+    live = current_view(clog.df(spark))
+    want = {(r["block_hash"], r["tx_index"], r["log_index"]) for r in adds1 + adds2b}
+    got = {(r.block_hash, r.tx_index, r.log_index) for r in live.collect()}
+    assert got == want
+
+    before = sorted(map(tuple, live.collect()))
+    last = clog.last_index()
+    stats = clog.compact_changelog(spark, finalized_below=100)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert [r for r in clog.all_logs() if r.get("change_type") == "remove"] == []
+    # exactly one winning 'add' row per live key; live view identical
+    assert len(clog.all_logs()) == len(want)
+    assert sorted(map(tuple, current_view(clog.df(spark)).collect())) == before
+    assert clog.last_index() == last  # append counter never regresses
