@@ -1,13 +1,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "runs": {...}, "sf": ...}
+ "sf": ...}
 
 Variance control (round-3 verdict item 6): every timed item executes
 $SPARK_GRAFT_BENCH_RUNS times (default 3); "queries" holds the BEST
-per-item time (the scheduler-noise-free estimate on a shared host),
-"value" is the sum of bests, and "runs" holds the raw per-run arrays so
-sub-second jitter is auditable instead of reading as plan regressions.
+per-item time (the scheduler-noise-free estimate on a shared host) and
+"value" is the sum of bests.  NOTE (metric semantics, round-4 advice):
+"value" switched from sum-of-single-runs to sum-of-bests in round 4 —
+"value_median"/sum-of-medians is emitted alongside as the
+single-run-comparable figure for cross-round reads.
+
+Tail-capture proofing (round-4 verdict item 2): the stdout line carries
+only the per-query scalars — the raw per-run arrays that made the r04
+line overflow the driver's capture window now go to a side file,
+``bench_runs.json`` next to this script, so jitter stays auditable
+without bloating the one-line summary.
 """
 
 from __future__ import annotations
@@ -55,25 +63,12 @@ def main() -> None:
         best = min(runs[name])
         print(f"# {name}: best={best:.3f}s of {runs[name]} rows={n}", file=sys.stderr)
 
+    # the registry includes the rows-only approximate extras (HLL, ANN,
+    # numpy/LSH tiers) after the 50 oracle-bearing entries — same keys as
+    # the pre-round-5 explicit extras loop, so round-over-round per-query
+    # comparisons stay aligned
     for name, q in REGISTRY.items():
         timed(name, lambda q=q: q.fn(spark, sf_dir).count())
-
-    # throughput tiers and approximate ops that are pytest-pinned (not in
-    # the oracle registry — they cannot hash-match) still get benchmarked
-    from eth_event_tracker_spark.queries.llmdata import (
-        embedding_ann,
-        embedding_cosine_topk_fast,
-        embedding_near_dup_lsh,
-    )
-    from eth_event_tracker_spark.queries.relational import approx_distinct_parts
-
-    for extra in (
-        embedding_cosine_topk_fast,
-        embedding_near_dup_lsh,
-        embedding_ann,
-        approx_distinct_parts,
-    ):
-        timed(extra.__name__, lambda extra=extra: extra(spark, sf_dir).count())
 
     # tracker pipeline throughput: full sync of a 2000-block mock chain
     # (4000 logs) incl. a live 5-block reorg — the reference's own implied
@@ -98,16 +93,26 @@ def main() -> None:
 
     timed("tracker_sync_2k_blocks", tracker_run)
 
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     best = {name: min(vals) for name, vals in runs.items()}
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(best.values()), 4),
+        "value_median": round(sum(median(v) for v in runs.values()), 4),
         "unit": "sec",
         "queries": best,
-        "runs": runs,
         "n_runs": n_runs,
         "sf": sf,
     }
+    # raw per-run arrays to a side file — auditable, but off the one-line
+    # summary so the driver's tail capture can never truncate the queries
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
+    with open(side, "w") as fh:
+        json.dump({"runs": runs, "n_runs": n_runs, "sf": sf}, fh, sort_keys=True)
     print(json.dumps(out))
 
 
