@@ -80,23 +80,22 @@ def stateful_running_counts(stream_df: DataFrame) -> DataFrame:
     )
 
 
-def stateful_running_counts_tws(stream_df: DataFrame) -> DataFrame:
-    """Same operator on Spark 4's transformWithStateInPandas — the
-    successor API to applyInPandasWithState (typed state handles, timers,
-    schema evolution; runs on the RocksDB state store, which is the
-    provider a 100 TB deployment uses anyway for state larger than
-    executor heap).  Kept as a twin of ``stateful_running_counts`` and
-    pytest-pinned equal so the engine carries both the widest-compat and
-    the current-API form.  Runtime requirements beyond the API itself:
-    the ``google-protobuf`` package (the TWS Python state-server protocol
-    is protobuf-based) — the pin test skips with a named reason where it
-    is absent."""
+def _make_running_counts_processor():
+    """Build the TWS processor class.  Module-importable without the TWS
+    runtime deps: the ``stateful_processor`` API module imports cleanly —
+    only the state-server wire protocol needs google-protobuf — so the
+    accumulate logic is unit-testable against a stub handle
+    (tests/test_streaming_analytics.py) even where the runtime skips."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    class _RunningCounts(StatefulProcessor):
+    class RunningCountsProcessor(StatefulProcessor):
+        """Accumulate step shared verbatim with ``_running_count_fn`` —
+        the two APIs differ only in how state is handed in (GroupState
+        properties vs ValueState methods)."""
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("counts", RUNNING_STATE)
 
@@ -118,8 +117,23 @@ def stateful_running_counts_tws(stream_df: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningCountsProcessor
+
+
+def stateful_running_counts_tws(stream_df: DataFrame) -> DataFrame:
+    """Same operator on Spark 4's transformWithStateInPandas — the
+    successor API to applyInPandasWithState (typed state handles, timers,
+    schema evolution; runs on the RocksDB state store, which is the
+    provider a 100 TB deployment uses anyway for state larger than
+    executor heap).  Kept as a twin of ``stateful_running_counts`` and
+    pytest-pinned equal so the engine carries both the widest-compat and
+    the current-API form.  Runtime requirements beyond the API itself:
+    the ``google-protobuf`` package (the TWS Python state-server protocol
+    is protobuf-based) — the runtime pin test skips with a named reason
+    where it is absent; the accumulate logic itself is pinned by a
+    protobuf-free unit test either way."""
     return stream_df.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_RunningCounts(),
+        statefulProcessor=_make_running_counts_processor()(),
         outputStructType=RUNNING_OUTPUT,
         outputMode="Update",
         timeMode="None",
