@@ -82,6 +82,44 @@ def test_address_filter_is_source_predicate(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_jdbc_indx_pushdown_into_scan(spark, tmp_path):
+    """VERDICT r4 #4: JdbcEntry.df/tail_df claim indx-range pushdown into
+    the JDBC scan — assert it from the physical plan, Derby-backed: the
+    predicate appears as a *-handled PushedFilter AND inside the generated
+    external WHERE clause, so the database walks its primary-key index
+    instead of shipping the table."""
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+
+    from .test_store_conformance import _derby_store
+
+    store = _derby_store(spark, tmp_path)
+    try:
+        e = store.entry("plans")
+        prov = MockProvider()
+        prov.advance(30, logs_per_block=1)
+        e.store_logs([lg for b in prov.canonical for lg in b.logs()])
+
+        # tail_df: the O(tail) range predicate is source-handled
+        tail = e.tail_df(spark, max_rows=5)
+        plan = plan_of(tail)
+        assert "*GreaterThanOrEqual(indx,25)" in plan, (
+            "tail_df's indx range must be fully handled by the JDBC source"
+        )
+        assert 'WHERE ("indx" IS NOT NULL) AND ("indx" >= 25)' in plan, (
+            "the generated external query must carry the range WHERE"
+        )
+        assert tail.count() == 5
+
+        # df() + point predicate: equality pushes down the same way
+        pt = e.df(spark).where("indx = 7").select("indx", "block_num")
+        plan = plan_of(pt)
+        assert "*EqualTo(indx,7)" in plan
+        assert '"indx" = 7' in plan
+        assert pt.count() == 1
+    finally:
+        store.close()
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The union-window as-of join must cost exactly one exchange for the
     window (plus broadcast-free unions) — no range cross join."""
