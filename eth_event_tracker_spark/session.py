@@ -50,5 +50,11 @@ def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: 
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # local-mode runs the whole cluster (32 executor threads, block
+        # storage for localCheckpoints, broadcast builds) inside the one
+        # driver JVM — the 1g default heap starves broadcast construction
+        # at 10x-fixture volumes.  Applied only at JVM launch; a cluster
+        # deployment sizes driver/executor memory in its submit conf.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
