@@ -54,12 +54,19 @@ def jaccard_pairs(
     Pairs meet through a join on shingle (never a cross join). Pass
     ``candidates`` (doc_a, doc_b) to restrict verification to an LSH
     candidate set — the scale path — and ``shingles`` to reuse an
-    already-materialized shingle table instead of re-deriving it."""
+    already-materialized shingle table instead of re-deriving it.
+
+    ``candidates`` contract: unordered pairs, each represented once with
+    ``doc_a < doc_b``.  A defensive distinct below makes duplicate
+    candidate rows harmless (a duplicate would otherwise double-count
+    every co-shingle into n_inter); a row with doc_a > doc_b is the
+    caller's bug — it would report the pair in the swapped orientation."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     if candidates is not None:
+        candidates = candidates.select("doc_a", "doc_b").distinct()
         # candidate-DRIVEN verification: start from the (small) candidate
         # pair set and pull in each side's shingles, so the intersection
         # count touches only candidate docs' shingles — the full shingle

@@ -538,8 +538,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_topk_exact(queries, corpus, k=5)
 
 
-# NOT registered: float accumulation order differs from SQL — pytest pins it
-# to the exact tier (test_llmdata), and bench.py times it as an extra entry.
+# Registered ROWS-ONLY after the 50 oracle-bearing entries: float
+# accumulation order differs from SQL so it cannot hash-match — pytest pins
+# it to the exact tier (test_llmdata), and bench.py times it.
+@register("embedding_cosine_topk_fast", None, "numpy cosine top-k tier (rows-only extra)")
 def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy mapInPandas cosine top-5 — the throughput tier (corpus never shuffles)."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -548,10 +550,10 @@ def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_topk_pandas(queries, corpus, k=5)
 
 
-# NOT registered: ANN is approximate by design, so no SQL oracle can
-# hash-match it — the driver's 50-entry window is reserved for the 50
-# hash-checkable queries.  pytest pins recall ≥ 0.8 vs brute force for
-# both arms, and bench.py times it as an extra entry.
+# Registered ROWS-ONLY after the 50 oracle-bearing entries: ANN is
+# approximate by design, so no SQL oracle can hash-match it.  pytest pins
+# recall ≥ 0.8 vs brute force for both arms; bench.py times it.
+@register("embedding_ann", None, "ANN top-k, LSH + IVF arms (rows-only extra)")
 def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -761,8 +763,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_near_dup_pairs(emb, threshold=0.3)
 
 
-# NOT registered: approximate candidate set — pytest verifies it as a subset
-# of the exact tier, and bench.py times it as an extra entry.
+# Registered ROWS-ONLY after the 50 oracle-bearing entries: approximate
+# candidate set — pytest verifies it as a subset of the exact tier, and
+# bench.py times it.
+@register("embedding_near_dup_lsh", None, "embedding near-dup LSH tier (rows-only extra)")
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via LSH buckets + exact verify — the scale tier."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -13,12 +13,24 @@ from eth_event_tracker_spark import queries
 DRIVER_WINDOW = 50
 
 
-def test_registry_fits_driver_window():
-    qs = queries.all_queries()
-    assert len(qs) <= DRIVER_WINDOW, (
-        f"{len(qs)} registry entries: entries past position {DRIVER_WINDOW} "
-        "get NO driver correctness row — merge or demote before adding"
-    )
+# Approximate ops registered rows-only AFTER the driver window (their
+# outputs cannot hash-match a SQL oracle; pytest pins their bounds below)
+ROWS_ONLY_EXTRAS = {
+    "approx_distinct_parts",
+    "embedding_cosine_topk_fast",
+    "embedding_ann",
+    "embedding_near_dup_lsh",
+}
+
+
+def test_driver_window_is_all_hash_checkable():
+    """The first DRIVER_WINDOW entries must ALL be oracle-bearing: an
+    entry inside the window without an oracle wastes a hash-check slot;
+    an oracle-bearing entry outside it gets no driver row at all."""
+    qs = list(queries.all_queries())
+    oracles = set(queries.all_oracles())
+    assert len(oracles) == DRIVER_WINDOW
+    assert set(qs[:DRIVER_WINDOW]) == oracles
 
 
 def test_oracle_queries_precede_rows_only():
@@ -40,20 +52,19 @@ def test_every_oracle_names_match_registry():
     assert set(queries.all_oracles()) <= set(qs)
 
 
-def test_every_registered_query_is_hash_checkable():
-    """Approximate ops live OUTSIDE the registry (they cannot hash-match
-    a SQL oracle); every registered entry must carry an oracle so all 50
-    driver rows are full hash checks."""
+def test_rows_only_extras_are_exactly_the_approx_ops():
+    """Everything past the hash-checked window is a known approximate op,
+    registered rows-only — nothing hash-checkable hides back there and no
+    stray entry sneaks in."""
     qs = queries.all_queries()
     oracles = queries.all_oracles()
-    assert set(qs) == set(oracles)
-    assert len(qs) == DRIVER_WINDOW
+    assert set(qs) - set(oracles) == ROWS_ONLY_EXTRAS
+    assert len(qs) == DRIVER_WINDOW + len(ROWS_ONLY_EXTRAS)
 
 
-def test_unregistered_extras_still_verified(spark, sf_dir):
-    """The demoted approximate ops keep working and stay within their
-    pinned bounds (the evidence that replaced their rows-only driver
-    rows)."""
+def test_extras_still_verified(spark, sf_dir):
+    """The approximate ops keep working and stay within their pinned
+    bounds (the evidence standing in for their missing hash checks)."""
     from eth_event_tracker_spark.queries.llmdata import embedding_ann
     from eth_event_tracker_spark.queries.relational import approx_distinct_parts
 
