@@ -1,6 +1,7 @@
 from .pipeline import (
     append_changelog,
     current_view,
+    maintain_changelog,
     prune_changelog,
     start_finalized_ingest,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "resume_all",
     "append_changelog",
     "current_view",
+    "maintain_changelog",
     "prune_changelog",
     "start_finalized_ingest",
 ]

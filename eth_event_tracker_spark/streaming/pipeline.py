@@ -113,6 +113,27 @@ def current_view(changelog: DataFrame) -> DataFrame:
     )
 
 
+def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
+    """Periodic changelog retention, wired to the tracker's own finality
+    horizon: compact everything below ``checkpoint head − backlog`` — by
+    O-5 depth-bounded finality (tracker.go:33-35), nothing below that can
+    ever be retracted again, so the collapse is safe by construction.
+
+    Call it wherever the deployment already runs maintenance (after a
+    poll cycle, from a cron'd job): each run rewrites only the few
+    store buckets newly crossing the horizon.  ``entry`` is any backend's
+    changelog entry (all four implement ``compact_changelog``).  Returns
+    the backend's compaction stats; no-op dict when there is no
+    checkpoint yet."""
+    last = tracker.get_last_block()
+    if last is None:
+        return {"rows_before": 0, "rows_after": 0}
+    horizon = last.number - tracker.config.max_block_backlog
+    if horizon <= 0:
+        return {"rows_before": 0, "rows_after": 0}
+    return entry.compact_changelog(spark, finalized_below=horizon)
+
+
 def prune_changelog(changelog: DataFrame, finalized_below: int) -> DataFrame:
     """Retention for the append-only changelog — the 100 TB lifecycle
     concern the reference sidesteps (its EventCh is ephemeral;

@@ -280,6 +280,45 @@ def test_compact_changelog_partial_horizon(spark, tmp_path):
     ).count() == 0
 
 
+def test_maintain_changelog_uses_tracker_horizon(spark, tmp_path):
+    """maintain_changelog compacts below checkpoint head − backlog and
+    not a block further: finalized churn collapses, the mutable window's
+    history (still reorg-able) survives verbatim."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import maintain_changelog
+
+    store, t, clog, head = _churned_changelog(spark, tmp_path)
+    # advance past the churn so the finality horizon moves above it
+    t.provider.advance(15, logs_per_block=1)
+    for e in t.poll():
+        append_changelog(clog, e)
+    before_view = _view_rows(spark, clog)
+    horizon = t.get_last_block().number - t.config.max_block_backlog
+    assert horizon > head  # all planted churn is now finalized
+    in_window_before = sorted(
+        map(tuple, clog.df(spark).where(F.col("block_num") >= horizon).collect())
+    )
+    stats = maintain_changelog(spark, clog, t)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert _view_rows(spark, clog) == before_view
+    # nothing inside the mutable window was touched
+    assert (
+        sorted(map(tuple, clog.df(spark).where(F.col("block_num") >= horizon).collect()))
+        == in_window_before
+    )
+    # below the horizon: churn fully collapsed
+    assert clog.df(spark).where(
+        (F.col("block_num") < horizon) & (F.col("change_type") == "remove")
+    ).count() == 0
+
+    # no checkpoint → no-op (fresh tracker on an empty store)
+    fresh_store = ParquetStore(tmp_path / "fresh")
+    t2 = Tracker(MockProvider(), fresh_store, FilterConfig())
+    clog2 = fresh_store.changelog_entry(t2.config.filter_hash)
+    assert maintain_changelog(spark, clog2, t2) == {"rows_before": 0, "rows_after": 0}
+
+
 def test_compact_changelog_crash_recovery(spark, tmp_path, monkeypatch):
     """Crash choreography: a crash after the _COMMIT marker is finished on
     reopen (idempotent swap); a pre-commit staging leftover is discarded."""
