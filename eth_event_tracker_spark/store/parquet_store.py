@@ -87,15 +87,20 @@ class ParquetStore:
 
     # -- entries (GetEntry, store/store.go:16-20) ---------------------------
     def entry(
-        self, filter_hash: str, bucket_size: int = 10_000, schema: pa.Schema | None = None
+        self,
+        filter_hash: str,
+        bucket_size: int = 10_000,
+        schema: pa.Schema | None = None,
+        changelog: bool = False,
     ) -> "ParquetEntry":
+        if changelog and schema is None:
+            schema = ARROW_LOG_SCHEMA.append(pa.field("change_type", pa.string()))
         return ParquetEntry(self.root / "entries" / filter_hash, bucket_size, schema)
 
     def changelog_entry(self, filter_hash: str, bucket_size: int = 10_000) -> "ParquetEntry":
         """Entry extended with a change_type column — the durable changelog
         stream (Event{Added,Removed} rows, tracker.go:841-846)."""
-        schema = ARROW_LOG_SCHEMA.append(pa.field("change_type", pa.string()))
-        return self.entry("changelog_" + filter_hash, bucket_size, schema)
+        return self.entry("changelog_" + filter_hash, bucket_size, changelog=True)
 
 
 class ParquetEntry:

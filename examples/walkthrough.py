@@ -29,7 +29,11 @@ from eth_event_tracker_spark.sources.mock_chain import EVENT_SIGS, MockProvider
 from eth_event_tracker_spark.sql import register_store_views
 from eth_event_tracker_spark.store import ParquetStore
 from eth_event_tracker_spark.streaming import Tracker
-from eth_event_tracker_spark.streaming.pipeline import append_changelog, current_view
+from eth_event_tracker_spark.streaming.pipeline import (
+    append_changelog,
+    current_view,
+    maintain_changelog,
+)
 
 TARGET = "0x" + "aa" * 20  # the tracked contract (reference: -target flag)
 DEPOSIT_SIG = EVENT_SIGS[0]  # topic0 of the event we decode
@@ -99,8 +103,7 @@ def main() -> None:
     for ev in tracker.poll():
         append_changelog(clog, ev)
     before = current_view(clog.df(spark)).count()
-    head = provider.canonical[-1].block_number
-    stats = clog.compact_changelog(spark, finalized_below=head - cfg.max_block_backlog)
+    stats = maintain_changelog(spark, clog, tracker)  # horizon = head − backlog
     assert current_view(clog.df(spark)).count() == before
     print(f"compacted changelog: {stats['rows_before']} → {stats['rows_after']} rows on disk")
 
