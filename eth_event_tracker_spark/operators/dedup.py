@@ -159,12 +159,12 @@ def minhash_signatures(
     ).select(id_col, "sm.seed", "sm.minhash")
 
 
-def lsh_candidates(
-    sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id"
-) -> DataFrame:
-    """Band the signature (band key = joined minhashes of `band_rows`
-    consecutive seeds); docs sharing any band key are candidates."""
-    banded = (
+def band_keys(sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key): band key = joined minhashes of ``band_rows``
+    consecutive seeds.  Docs sharing any band key are LSH candidates —
+    the equality-join key for both the self-join (lsh_candidates) and the
+    corpus-vs-incoming join (minhash_filter_against)."""
+    return (
         sigs.withColumn("band", F.expr(f"seed DIV {band_rows}"))
         .groupBy(id_col, "band")
         .agg(
@@ -176,8 +176,16 @@ def lsh_candidates(
                 ",",
             ).alias("band_key")
         )
-    ).localCheckpoint(eager=False)  # both sides of the self-join below —
-    # without the lineage cut the whole signature pipeline runs twice
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature; docs sharing any band key are candidates."""
+    banded = band_keys(sigs, band_rows, id_col).localCheckpoint(eager=False)
+    # both sides of the self-join — without the lineage cut the whole
+    # signature pipeline runs twice
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -218,6 +226,94 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
     cands = lsh_candidates(sigs, band_rows, id_col).localCheckpoint(eager=False)
     return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
+
+
+def minhash_filter_against(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.8,
+    k: int = 16,
+    band_rows: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup filter: drop every ``incoming`` doc whose
+    word-n-gram Jaccard vs ANY ``corpus`` doc is ≥ threshold; return the
+    surviving incoming rows.  This is the corpus-extension shape — dedup
+    a new crawl against the existing training corpus — where the
+    symmetric pipeline (minhash_lsh_dedup) would re-pair the whole
+    corpus against itself for no reason.
+
+    Scale shape: candidates meet through a band-key EQUALITY join
+    between the incoming side's bands and the corpus side's; the corpus
+    never self-joins and its rows never shuffle beyond the per-doc
+    signature/shingle aggregates.  At 100 TB, ``corpus_bands`` and
+    ``corpus_shingles`` are persisted tables maintained incrementally as
+    batches are admitted (streaming/curation keeps exact-hash state the
+    same way) — pass them in and the corpus side costs one equality
+    join, zero recompute.  Verification is candidate-driven, identical
+    to jaccard_pairs: O(candidates × shingles/doc).
+
+    The two id spaces may overlap (they are different tables); pairs are
+    keyed (doc_new, doc_ref) and never compared for identity."""
+    sh_in = word_shingles(incoming, text_col, n, id_col).localCheckpoint(eager=False)
+    if corpus_shingles is None:
+        corpus_shingles = word_shingles(corpus, text_col, n, id_col).localCheckpoint(
+            eager=False
+        )
+    if corpus_bands is None:
+        corpus_bands = band_keys(
+            minhash_signatures(corpus, k, n, text_col, id_col, shingles=corpus_shingles),
+            band_rows,
+            id_col,
+        )
+    in_bands = band_keys(
+        minhash_signatures(incoming, k, n, text_col, id_col, shingles=sh_in),
+        band_rows,
+        id_col,
+    )
+    cand = (
+        in_bands.select(F.col(id_col).alias("doc_new"), "band", "band_key")
+        .join(
+            corpus_bands.select(F.col(id_col).alias("doc_ref"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .select("doc_new", "doc_ref")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # candidate-driven cross-side Jaccard (the two-table form of
+    # jaccard_pairs): intersection counts touch only candidate docs'
+    # shingles on each side
+    a = sh_in.select(F.col(id_col).alias("doc_new"), "shingle")
+    b = corpus_shingles.select(F.col(id_col).alias("doc_ref"), "shingle")
+    inter = (
+        cand.join(a, "doc_new")
+        .join(b, ["doc_ref", "shingle"])
+        .groupBy("doc_new", "doc_ref")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_in = sh_in.groupBy(id_col).agg(F.count("*").alias("n_new")).withColumnRenamed(
+        id_col, "doc_new"
+    )
+    sz_c = corpus_shingles.groupBy(id_col).agg(
+        F.count("*").alias("n_ref")
+    ).withColumnRenamed(id_col, "doc_ref")
+    doomed = (
+        inter.join(sz_in, "doc_new")
+        .join(sz_c, "doc_ref")
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("n_new") + F.col("n_ref") - F.col("n_inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("doc_new").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(doomed, id_col, "left_anti")
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 30) -> DataFrame:

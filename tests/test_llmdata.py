@@ -52,6 +52,58 @@ def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
     assert recall >= 0.9, f"minhash-lsh recall {recall:.2f}"
 
 
+def test_minhash_filter_against_corpus(spark, sf_dir):
+    """Asymmetric near-dup: incoming docs near-identical to a corpus doc
+    are dropped, genuinely new docs survive, and the decision agrees with
+    brute-force cross-side Jaccard (no false drops; recall ≥ 0.9 on
+    planted copies).  Id spaces deliberately overlap."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    # incoming: near-copies of corpus docs (one word appended — Jaccard
+    # stays ≥0.9 for fixture-length docs) + disjoint-vocabulary fresh docs,
+    # with ids RE-USED from the corpus range to prove spaces are separate
+    copies = corpus.where(F.col("doc_id") < 40).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" tail")).alias("text")
+    )
+    fresh = docs.where(F.col("doc_id") % 2 == 1).limit(20).select(
+        "doc_id", F.regexp_replace("text", r"(\S+)", "$1_new").alias("text")
+    )
+    incoming = copies.unionByName(fresh)
+
+    kept = OPD.minhash_filter_against(corpus, incoming, threshold=0.8)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    copy_ids = {r.doc_id for r in copies.select("doc_id").collect()}
+
+    # fresh docs share no shingles with the corpus: all must survive
+    assert fresh_ids <= kept_ids
+    # planted near-copies are dropped with LSH-recall-bounded misses
+    dropped = copy_ids - kept_ids
+    assert len(dropped) / len(copy_ids) >= 0.9, f"only dropped {dropped}"
+    # agreement with brute force: nothing kept has a true ≥0.8 match
+    sh_c = OPD.word_shingles(corpus).select(F.col("doc_id").alias("doc_ref"), "shingle")
+    sh_i = OPD.word_shingles(kept).select(F.col("doc_id").alias("doc_new"), "shingle")
+    n_ref = sh_c.groupBy("doc_ref").count().withColumnRenamed("count", "n_ref")
+    n_new = sh_i.groupBy("doc_new").count().withColumnRenamed("count", "n_new")
+    true_pairs = (
+        sh_i.join(sh_c, "shingle")
+        .groupBy("doc_new", "doc_ref")
+        .agg(F.count("*").alias("n_inter"))
+        .join(n_ref, "doc_ref")
+        .join(n_new, "doc_new")
+        .where(
+            F.col("n_inter") / (F.col("n_new") + F.col("n_ref") - F.col("n_inter")) >= 0.8
+        )
+    )
+    assert true_pairs.count() == 0, "kept an incoming doc with a true >=0.8 match"
+
+    # empty corpus: everything survives
+    empty = corpus.where(F.lit(False))
+    assert OPD.minhash_filter_against(empty, incoming).count() == incoming.count()
+
+
 def test_minhash_lsh_leaves_cache_manager_flat(spark):
     """minhash_lsh_dedup's internal intermediates must not accumulate
     CacheManager entries across invocations (they are localCheckpointed,
