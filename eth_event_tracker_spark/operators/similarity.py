@@ -353,6 +353,57 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_filter_against(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric embedding near-dup filter: drop every ``incoming``
+    vector whose cosine vs ANY ``corpus`` vector is >= threshold; return
+    the surviving incoming rows.  The embedding-modality twin of
+    dedup.minhash_filter_against - the corpus-extension shape.
+
+    Scale shape: candidates meet through a bucket EQUALITY join between
+    the incoming side's LSH buckets and the corpus's - at 100 TB
+    ``corpus_buckets`` is a persisted table maintained incrementally, so
+    the corpus side costs one equality join and zero recompute; the
+    corpus never self-joins.  Multiprobe expands the INCOMING side only
+    (the persisted corpus table is never exploded).  Exact copies are
+    dropped deterministically: an identical (or positively scaled)
+    vector lands in the identical bucket, so its candidate pair always
+    forms and exact verification sees cosine 1."""
+    if corpus_buckets is None:
+        corpus_buckets = lsh_bucket(corpus, n_planes, id_col, vec_col)
+    inc = lsh_bucket(incoming, n_planes, id_col, vec_col).localCheckpoint(eager=False)
+    a = inc.select(F.col(id_col).alias("id_new"), F.col(vec_col).alias("va"), "bucket")
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        )
+        a = a.withColumn("bucket", F.explode(probes))
+    b = corpus_buckets.select(F.col(id_col).alias("id_ref"), F.col(vec_col).alias("vb"), "bucket")
+    cand = a.join(b, "bucket").dropDuplicates(["id_new", "id_ref"])
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    doomed = (
+        cand.withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(doomed, id_col, "left_anti")
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,

@@ -225,6 +225,55 @@ def test_ivf_recall(spark):
     assert recall >= 0.8, f"ivf recall {recall:.2f}"
 
 
+def test_cosine_filter_against_corpus(spark, sf_dir):
+    """Asymmetric embedding filter: exact copies of corpus vectors are
+    dropped deterministically (identical bucket => candidate always
+    forms), every drop is justified by a true >=threshold match (no
+    false drops), and an empty corpus passes everything."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.operators import similarity as OPS
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    # incoming: positively-scaled copies (cosine 1, same bucket) with
+    # RE-USED ids + the odd half as candidate novel vectors
+    copies = corpus.where(F.col("vec_id") < 60).select(
+        "vec_id", F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding")
+    )
+    novel = emb.where(F.col("vec_id") % 2 == 1).limit(60)
+    incoming = copies.unionByName(novel)
+
+    thr = 0.5
+    kept = OPS.cosine_filter_against(corpus, incoming, threshold=thr, n_planes=6)
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    copy_ids = {r.vec_id for r in copies.select("vec_id").collect()}
+    assert not (copy_ids & kept_ids), "exact copies must always be dropped"
+
+    # no false drops: every dropped novel vector has a true match
+    dropped_novel = novel.join(kept, "vec_id", "left_anti")
+    a = dropped_novel.select(F.col("vec_id").alias("id_new"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_ref"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    best = (
+        a.crossJoin(F.broadcast(b))
+        .select("id_new", (dot / (na * nb)).alias("cos"))
+        .groupBy("id_new")
+        .agg(F.max("cos").alias("best"))
+    )
+    assert best.where(F.col("best") < thr).count() == 0, "false drop detected"
+
+    # empty corpus: identity
+    empty = corpus.where(F.lit(False))
+    assert OPS.cosine_filter_against(empty, incoming, threshold=thr).count() == incoming.count()
+
+
 def test_near_dup_lsh_subset_of_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     exact = {(r.id_a, r.id_b) for r in OPS.cosine_near_dup_pairs(emb, threshold=0.3).collect()}
