@@ -33,17 +33,43 @@ reference's tracker gets the same property from its checkpoint commit
 order, tracker.go:369-382; content-addressed data lets us get it from
 the data itself.)
 
-Near-dup clustering stays a periodic BATCH sweep (curation.curate) over
-the accumulated corpus — LSH banding needs global signatures, which is
-exactly what a streaming pass cannot see.
+Near-dup admission (optional, ``near_dup_threshold``): incoming docs are
+also filtered against the accumulated corpus by ESTIMATED MinHash
+Jaccard — matching minhash seeds / k ≥ threshold — using a persisted
+signature sidecar ``<corpus>/_minhash_sigs`` (k rows of
+(doc_id, seed, minhash) per admitted doc; the underscore prefix hides it
+from ``corpus_view`` reads).  Signature-only estimation is the
+production crawl pattern: the corpus text is never re-read, the match is
+one equality join on (seed, minhash) against an incrementally-appended
+table (at 100 TB: bucketed on those keys), and precision/recall is
+governed by k.  Within-batch near-dups are deliberately admitted —
+global near-dup CLUSTERING (keeper election across chains) stays the
+periodic batch sweep (curation.curate); this stage only stops the
+unbounded re-accumulation of near-copies of already-admitted content.
+
+Crash window: the corpus append commits before the sig append, so a
+crash in between leaves admitted docs without signatures — exact dedup
+and replay idempotency are unaffected (soft near-dup misses only), and
+``repair_sigs`` backfills the gap.  The opposite order would be worse:
+signatures for documents that do not exist would silently drop future
+incoming docs against ghosts.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import dedup as OPD
 from ..operators import text as OPT
+
+_SIG_SCHEMA = "doc_id long, seed int, minhash long"
+
+
+def _sigs_dir(corpus_dir: str) -> str:
+    return corpus_dir.rstrip("/") + "/_minhash_sigs"
 
 
 def curate_batch(batch_df: DataFrame) -> DataFrame:
@@ -84,10 +110,18 @@ def _corpus_exists(spark: SparkSession, corpus_dir: str) -> bool:
     return bool(fs.exists(path))
 
 
-def append_curated(spark: SparkSession, corpus_dir: str, batch_df: DataFrame) -> None:
+def append_curated(
+    spark: SparkSession,
+    corpus_dir: str,
+    batch_df: DataFrame,
+    near_dup_threshold: float | None = None,
+    minhash_k: int = 16,
+) -> None:
     """Cross-batch guard + append: drop rows whose content hash already
-    lives in the corpus (prefix-pruned, hash-column-only read), then
-    append the survivors partitioned by hash prefix.
+    lives in the corpus (prefix-pruned, hash-column-only read), then —
+    when ``near_dup_threshold`` is set — rows whose estimated MinHash
+    Jaccard vs any admitted doc clears the threshold (see module
+    docstring), then append the survivors partitioned by hash prefix.
 
     The guard FAILS LOUD: only a genuinely absent corpus directory (the
     first batch) skips the anti-join.  Any read failure on an existing
@@ -110,11 +144,62 @@ def append_curated(spark: SparkSession, corpus_dir: str, batch_df: DataFrame) ->
             .select("hash_prefix", "content_hash")
         )
         cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
+    if near_dup_threshold is None:
+        cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
+        return
+
+    # near-dup admission: estimated Jaccard = matching seeds / k, one
+    # equality join on (seed, minhash) vs the persisted signature table
+    sd = _sigs_dir(corpus_dir)
+    # the batch is read several times below (sig compute, filter, two
+    # writes) — cut lineage so gate/redact/joins run once
+    cur = cur.localCheckpoint(eager=False)
+    inc_sigs = OPD.minhash_signatures(cur, k=minhash_k)
+    if _corpus_exists(spark, sd):
+        ref = spark.read.schema(_SIG_SCHEMA).parquet(sd)
+        m_needed = math.ceil(minhash_k * near_dup_threshold)
+        doomed = (
+            inc_sigs.select(F.col("doc_id").alias("doc_new"), "seed", "minhash")
+            .join(
+                ref.select(F.col("doc_id").alias("doc_ref"), "seed", "minhash"),
+                ["seed", "minhash"],
+            )
+            .groupBy("doc_new", "doc_ref")
+            .agg(F.count("*").alias("m"))
+            .where(F.col("m") >= m_needed)
+            .select(F.col("doc_new").alias("doc_id"))
+            .distinct()
+        )
+        cur = cur.join(doomed, "doc_id", "left_anti").localCheckpoint(eager=False)
+    # corpus append FIRST, signatures second (crash-window rationale in
+    # the module docstring; repair_sigs closes the gap)
+    cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
     (
-        cur.write.mode("append")
-        .partitionBy("hash_prefix")
-        .parquet(corpus_dir)
+        inc_sigs.join(cur.select("doc_id"), "doc_id", "left_semi")
+        .write.mode("append")
+        .parquet(sd)
     )
+
+
+def repair_sigs(spark: SparkSession, corpus_dir: str, minhash_k: int = 16) -> int:
+    """Backfill the signature sidecar for corpus docs missing one (a
+    crash between the corpus append and the sig append — module
+    docstring).  Returns how many docs were backfilled.  Safe to run any
+    time; a consistent sidecar backfills nothing."""
+    if not _corpus_exists(spark, corpus_dir):
+        return 0
+    corpus = spark.read.parquet(corpus_dir)
+    sd = _sigs_dir(corpus_dir)
+    if _corpus_exists(spark, sd):
+        have = spark.read.schema(_SIG_SCHEMA).parquet(sd).select("doc_id").distinct()
+        missing = corpus.join(have, "doc_id", "left_anti")
+    else:
+        missing = corpus
+    missing = missing.localCheckpoint(eager=False)  # counted AND written
+    n = missing.count()
+    if n:
+        OPD.minhash_signatures(missing, k=minhash_k).write.mode("append").parquet(sd)
+    return n
 
 
 def start_corpus_ingest(
@@ -124,13 +209,22 @@ def start_corpus_ingest(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string",
     available_now: bool = False,
+    near_dup_threshold: float | None = None,
+    minhash_k: int = 16,
 ):
     """Streaming query: parquet file drops in ``input_dir`` → curated
-    append-only corpus in ``corpus_dir``."""
+    append-only corpus in ``corpus_dir``.  ``near_dup_threshold`` turns
+    on incremental near-dup admission (see module docstring)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        append_curated(spark, corpus_dir, batch_df)
+        append_curated(
+            spark,
+            corpus_dir,
+            batch_df,
+            near_dup_threshold=near_dup_threshold,
+            minhash_k=minhash_k,
+        )
 
     writer = stream.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint_dir

@@ -135,3 +135,69 @@ def test_empty_existing_corpus_dir_is_first_batch(spark, tmp_path):
     batch = spark.createDataFrame([(1, LONG + "delta", "en", "s0")], SCHEMA)
     append_curated(spark, str(corpus), batch)
     assert {r.doc_id for r in corpus_view(spark, str(corpus)).select("doc_id").collect()} == {1}
+
+
+def test_streaming_near_dup_admission_and_repair(spark, tmp_path):
+    """Round 5: incremental near-dup admission. A near-copy of an
+    already-admitted doc (different content hash, so the exact guard
+    passes it) is dropped by estimated MinHash Jaccard against the
+    persisted signature sidecar; disjoint-vocabulary docs survive; the
+    ingest stays idempotent under replay; repair_sigs backfills a
+    sidecar gap and is a no-op on a consistent one."""
+    from eth_event_tracker_spark.streaming.curation import (
+        _sigs_dir,
+        append_curated,
+        repair_sigs,
+    )
+
+    inp, corpus, ckpt = tmp_path / "in", tmp_path / "corpus", tmp_path / "ckpt"
+    inp.mkdir()
+    base = " ".join(f"word{i}" for i in range(40))
+    other = " ".join(f"item{i}" for i in range(40))
+
+    def run():
+        q = start_corpus_ingest(
+            spark, str(inp), str(corpus), str(ckpt),
+            available_now=True, near_dup_threshold=0.8,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    _drop_file(inp / "f1.parquet", [(1, base, "en", "s0"), (2, other, "en", "s0")])
+    run()
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == {1, 2}
+    sigs = spark.read.parquet(_sigs_dir(str(corpus)))
+    assert {r.doc_id for r in sigs.select("doc_id").distinct().collect()} == {1, 2}
+
+    # batch 2: near-copy of doc 1 (one appended word — J ≈ 0.975, above
+    # the 13/16-seed bar), plus a disjoint-vocabulary fresh doc
+    fresh = " ".join(f"thing{i}" for i in range(40))
+    _drop_file(
+        inp / "f2.parquet",
+        [(10, base + " extra", "en", "s1"), (11, fresh, "en", "s1")],
+    )
+    run()
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == {1, 2, 11}
+
+    # replay from a fresh checkpoint: all hashes already admitted → no
+    # growth of corpus OR sidecar (sig append is guarded by survival)
+    shutil.rmtree(ckpt)
+    run()
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == {1, 2, 11}
+    sigs = spark.read.parquet(_sigs_dir(str(corpus)))
+    assert sigs.count() == 3 * 16  # k rows per admitted doc, no dupes
+
+    # consistent sidecar → repair is a no-op
+    assert repair_sigs(spark, str(corpus)) == 0
+
+    # simulate the crash window: admit a doc with near-dup OFF (corpus
+    # grows, sidecar does not), then repair backfills exactly that doc
+    extra = " ".join(f"gadget{i}" for i in range(40))
+    extra_df = spark.createDataFrame([(20, extra, "en", "s2")], SCHEMA)
+    append_curated(spark, str(corpus), extra_df)  # no sigs written
+    assert repair_sigs(spark, str(corpus)) == 1
+    assert repair_sigs(spark, str(corpus)) == 0
+    # and the backfilled signature now blocks its near-copies
+    _drop_file(inp / "f3.parquet", [(21, extra + " tail", "en", "s3")])
+    run()
+    assert 21 not in {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
