@@ -82,6 +82,26 @@ def test_address_filter_is_source_predicate(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_asymmetric_filters_are_equality_joins(spark, sf_dir):
+    """The corpus-extension filters must form candidates through equality
+    joins only — no cross join, no nested-loop join — on both the text
+    (band-key) and embedding (LSH-bucket) paths."""
+    from eth_event_tracker_spark.operators import dedup as OPD
+    from eth_event_tracker_spark.operators import similarity as OPS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus, incoming = docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    plan = plan_of(OPD.minhash_filter_against(corpus, incoming, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ec, ei = emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    plan = plan_of(OPS.cosine_filter_against(ec, ei, threshold=0.5, n_planes=6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_jdbc_indx_pushdown_into_scan(spark, tmp_path):
     """VERDICT r4 #4: JdbcEntry.df/tail_df claim indx-range pushdown into
     the JDBC scan — assert it from the physical plan, Derby-backed: the
