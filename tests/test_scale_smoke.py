@@ -133,6 +133,37 @@ def _pipelines(docs, embs, n_planes):
 
 
 @pytest.mark.slow
+def test_tracker_sync_scales_linearly(spark, tmp_path):
+    """The ingest path at 10× block volume: syncing 20k mock blocks
+    (40k logs) plus a live reorg costs near-linearly more than 2k —
+    the per-batch work (fetch, indx assign, bucket append, checkpoint)
+    must not accumulate with chain length."""
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import MockProvider
+    from eth_event_tracker_spark.store import ParquetStore
+    from eth_event_tracker_spark.streaming import Tracker
+
+    def run(n_blocks, tag):
+        prov = MockProvider()
+        prov.advance(n_blocks, logs_per_block=2)
+        tr = Tracker(prov, ParquetStore(tmp_path / tag), FilterConfig(batch_size=200))
+        t0 = time.perf_counter()
+        tr.sync()
+        prov.fork(5, logs_per_block=2)
+        tr.poll()
+        dt = time.perf_counter() - t0
+        assert tr.entry.last_index() == 2 * n_blocks  # reorg net-neutral
+        return dt
+
+    t1 = run(2_000, "small")
+    t10 = run(20_000, "big")
+    ratio = t10 / max(t1, 0.5)
+    print(f"# tracker sync: 2k {t1:.2f}s | 20k {t10:.2f}s (ratio {ratio:.1f}x)",
+          file=sys.stderr)
+    assert ratio < MAX_RATIO, f"tracker sync 10x cost {ratio:.1f}x the 1x time"
+
+
+@pytest.mark.slow
 def test_scale_10x_no_quadratic_cliff(spark):
     spark.range(1000).count()  # JVM warm
     counts: dict[int, dict[str, int]] = {}
