@@ -263,3 +263,52 @@ def test_dedup_spans_agg_shuffles_topk(spark, sf_dir):
         "count-distinct needs at most 3 exchanges (2 agg phases + distinct), none extra"
     )
     assert "partial_count" in plan, "aggregation must have a map-side partial phase"
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan lint: every registered query — current and future —
+# is swept for the anti-patterns that kill 100 TB runs.  Individual tests
+# above pin POSITIVE properties (broadcast chosen, pushdown reached the
+# scan); this lint pins the NEGATIVE space for the whole surface at once,
+# so a new registry entry cannot quietly plan a cross join or a
+# row-at-a-time Python UDF.
+
+# BroadcastNestedLoopJoin is legitimate in exactly one shape here: joining
+# a broadcast SINGLE-ROW aggregate (a global scalar — max block, corpus
+# head, query-vector norm) against a fact table.  These queries use it
+# deliberately (see test_global_scalars_are_not_single_partition_windows);
+# anything else planning a BNLJ is a bug.
+_SCALAR_BROADCAST_OK = {
+    "logs_point_lookup",
+    "logs_tail_truncate",
+    "reorg_diff_except",
+    "ancestor_walk",
+    "changelog_assembly",
+    "logs_block_enrich",
+    "stats_order_values",
+    "logs_finality_split",
+    "embedding_cosine_topk",
+    "embedding_near_dup",
+}
+
+# The only sanctioned Python seams: the two Arrow-vectorized approximate
+# tiers, each pytest-pinned to an exact JVM twin.
+_ARROW_SEAM_OK = {"embedding_cosine_topk_fast", "embedding_ann"}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    bad: list[str] = []
+    for name, q in REGISTRY.items():
+        plan = plan_of(q.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BROADCAST_OK:
+            bad.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        arrow = any(
+            pat in plan for pat in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+        if arrow and name not in _ARROW_SEAM_OK:
+            bad.append(f"{name}: unexpected Python/Arrow stage")
+    assert not bad, "plan lint failures:\n  " + "\n  ".join(bad)
