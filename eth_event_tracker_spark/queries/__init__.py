@@ -69,6 +69,16 @@ _LATE = (
     "embedding_near_dup",
 )
 
+# Oracle-bearing entries added AFTER the window filled (round 5+): they
+# sort behind the graded 50 — keeping the externally-recorded composition
+# byte-stable — but ahead of the rows-only extras, so driver_sim (and any
+# wider driver window) still hash-checks them.
+_POST_WINDOW = (
+    "cap_per_stratum",
+    "split_leakage_safe",
+    "shuffle_shards",
+)
+
 
 def _load() -> None:
     global _LOADED
@@ -79,7 +89,7 @@ def _load() -> None:
     ordered = sorted(
         REGISTRY.items(),
         key=lambda kv: (
-            kv[1].oracle is None,
+            2 if kv[1].oracle is None else (1 if kv[0] in _POST_WINDOW else 0),
             _LATE.index(kv[0]) + 1 if kv[0] in _LATE else 0,
         ),
     )

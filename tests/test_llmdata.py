@@ -446,3 +446,127 @@ def test_dup_clusters_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Corpus partitioning (operators/splits.py)
+# ---------------------------------------------------------------------------
+def test_per_stratum_cap_exact_and_branches(spark, sf_dir):
+    """Kept count per stratum is exactly min(n, cap) with a cap that
+    exercises BOTH branches (under-cap strata bypass, over-cap strata
+    window); the kept set is the cap smallest hash60 values, so a rerun
+    under different partitioning is identical."""
+    from eth_event_tracker_spark.operators.splits import per_stratum_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cap = 100
+    assert min(n_by_lang.values()) <= cap < max(n_by_lang.values()), "cap must split branches"
+
+    kept = per_stratum_cap(docs, cap, stratum_col="lang")
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lang: min(n, cap) for lang, n in n_by_lang.items()}
+
+    # determinism: repartitioned input keeps the identical id set
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in per_stratum_cap(docs.repartition(13), cap, stratum_col="lang")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == ids2
+
+
+def test_per_stratum_cap_skew_prefilter_matches_exact(spark, sf_dir):
+    """The mega-stratum hash pre-filter (margin 4) must keep the cap
+    exact on the fixture — same ids as the unfiltered path."""
+    from eth_event_tracker_spark.operators.splits import per_stratum_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    for cap in (25, 100):
+        exact = {
+            r.doc_id
+            for r in per_stratum_cap(docs, cap, stratum_col="lang").select("doc_id").collect()
+        }
+        fast = {
+            r.doc_id
+            for r in per_stratum_cap(docs, cap, stratum_col="lang", skew_margin=4.0)
+            .select("doc_id")
+            .collect()
+        }
+        assert fast == exact
+
+
+def test_per_stratum_cap_counts_join_is_broadcast(spark, sf_dir):
+    from eth_event_tracker_spark.operators.splits import per_stratum_cap
+    from .test_plans import plan_of
+
+    plan = plan_of(per_stratum_cap(load_table(spark, sf_dir, "documents"), 100, "lang"))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_leakage_safe_split_coherence_and_weights(spark):
+    """Exact-dup coherence: equal texts always share a split; near-dup
+    cluster coherence: joining dup_clusters reps keeps every cluster on
+    one side of the train/eval boundary; band weights are honored on a
+    large uniform corpus."""
+    from eth_event_tracker_spark.operators.splits import leakage_safe_split
+
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text"), (F.col("id") % 500).cast("string")).alias("text"),
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(base, w, coherence_col="text")
+    # 8 copies of each distinct text -> each text in exactly one split
+    per_text = out.groupBy("text").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_text)
+    # weights honored over the 500 distinct coherence keys (binomial 3σ)
+    frac = {r.split: r.n / 500 for r in
+            out.select("text", "split").distinct().groupBy("split").agg(F.count("*").alias("n")).collect()}
+    for name, wgt in w.items():
+        sigma = (wgt * (1 - wgt) / 500) ** 0.5
+        assert abs(frac.get(name, 0.0) - wgt) < 4 * sigma + 0.01, (name, frac)
+
+    # near-dup cluster coherence: pairs (2i, 2i+1) are clusters; hash the rep
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(100).select(
+        (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+    )
+    clusters = OPD.dup_clusters(pairs)  # doc_id -> cluster_id (min member)
+    with_rep = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+    split = leakage_safe_split(with_rep, w, coherence_col="rep")
+    spans = (
+        split.join(clusters, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert spans == 0, "a near-dup cluster crossed the split boundary"
+
+
+def test_shuffle_shards_is_permutation(spark, sf_dir):
+    """(shard, seq) must be a reproducible bijection: every input row
+    appears once, seq is dense 1..n_s within each shard, shards are
+    hash-balanced, and a repartitioned rerun is identical."""
+    from eth_event_tracker_spark.operators.splits import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    out = shuffle_shards(docs, 8)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({(r.shard, r.seq) for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.seq)
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), f"shard {shard} seq not dense"
+    assert max(len(s) for s in by_shard.values()) < 2.5 * n / 8, "shards badly unbalanced"
+    again = {(r.doc_id, r.shard, r.seq) for r in shuffle_shards(docs.repartition(7), 8).collect()}
+    assert again == {(r.doc_id, r.shard, r.seq) for r in rows}

@@ -22,6 +22,16 @@ ROWS_ONLY_EXTRAS = {
     "embedding_near_dup_lsh",
 }
 
+# Oracle-bearing entries added after the window filled (round 5+): they
+# sort between the graded 50 and the rows-only extras so driver_sim (and
+# any wider driver window) still hash-checks them, while the externally
+# recorded 50-entry composition stays byte-stable round-over-round.
+POST_WINDOW_ORACLES = (
+    "cap_per_stratum",
+    "split_leakage_safe",
+    "shuffle_shards",
+)
+
 
 def test_driver_window_is_all_hash_checkable():
     """The first DRIVER_WINDOW entries must ALL be oracle-bearing: an
@@ -29,8 +39,12 @@ def test_driver_window_is_all_hash_checkable():
     an oracle-bearing entry outside it gets no driver row at all."""
     qs = list(queries.all_queries())
     oracles = set(queries.all_oracles())
-    assert len(oracles) == DRIVER_WINDOW
-    assert set(qs[:DRIVER_WINDOW]) == oracles
+    assert len(oracles) == DRIVER_WINDOW + len(POST_WINDOW_ORACLES)
+    assert set(qs[:DRIVER_WINDOW]) <= oracles
+    # the post-window oracle tier sits directly behind the graded 50
+    assert tuple(qs[DRIVER_WINDOW : DRIVER_WINDOW + len(POST_WINDOW_ORACLES)]) == (
+        POST_WINDOW_ORACLES
+    )
 
 
 def test_oracle_queries_precede_rows_only():
@@ -59,7 +73,7 @@ def test_rows_only_extras_are_exactly_the_approx_ops():
     qs = queries.all_queries()
     oracles = queries.all_oracles()
     assert set(qs) - set(oracles) == ROWS_ONLY_EXTRAS
-    assert len(qs) == DRIVER_WINDOW + len(ROWS_ONLY_EXTRAS)
+    assert len(qs) == DRIVER_WINDOW + len(POST_WINDOW_ORACLES) + len(ROWS_ONLY_EXTRAS)
 
 
 def test_extras_still_verified(spark, sf_dir):
