@@ -8,7 +8,11 @@ pre-training data pipeline actually runs them.
       → exact dedup           (dedup.exact_dedup — content-hash keep-min)
       → near-dup clustering   (dedup.minhash_lsh_dedup → dup_clusters,
                                keep each component's canonical doc)
+      → per-stratum cap       (splits.per_stratum_cap — bound mega-domains)
       → stratified sampling   (sampling.stratified_sample, mixture rates)
+      → split assignment      (splits.leakage_safe_split — train/val/test,
+                               text-coherent so any residual exact dups
+                               can never straddle the eval boundary)
       → chunk + pack          (text.chunk_documents → text.pack_sequences)
 
 Every stage is lazy DataFrame composition — one ``CurationResult`` holds
@@ -36,6 +40,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as OPD
 from .operators import text as OPT
 from .operators.sampling import stratified_sample
+from .operators.splits import leakage_safe_split, per_stratum_cap
 
 
 @dataclass
@@ -71,6 +76,9 @@ def curate(
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 0.0,
     stratum_col: str = "lang",
+    source_cap: int | None = None,
+    cap_stratum_col: str = "source",
+    split_weights: dict[str, float] | None = None,
     chunk_words: int = 32,
     overlap: int = 8,
     budget_words: int = 64,
@@ -81,7 +89,11 @@ def curate(
     ``stratum_col`` only if ``mix_rates`` is given).
 
     ``eval_df`` enables the decontamination stage; ``mix_rates`` enables
-    the mixture-sampling stage — both skip cleanly when omitted.
+    the mixture-sampling stage; ``source_cap`` enables the per-stratum
+    cap (at most that many docs per ``cap_stratum_col`` value);
+    ``split_weights`` (e.g. ``{"train": .9, "val": .05, "test": .05}``)
+    adds a text-coherent ``split`` column to ``kept`` — each skips
+    cleanly when omitted.
     ``keeper`` picks the near-dup survivor per cluster: ``"min_id"``
     (the canonical component label) or ``"quality"`` (highest
     quality-score member via :func:`operators.dedup.select_keepers` —
@@ -164,6 +176,19 @@ def curate(
     )
     cur = cur.join(losers.select("doc_id"), "doc_id", "left_anti")
 
+    # 5b. per-stratum cap: bound mega-domains before mixture math ----------
+    if source_cap is not None:
+        stages.append("stratum_cap")
+        capped = per_stratum_cap(cur, source_cap, stratum_col=cap_stratum_col)
+        ledgers.append(
+            _ledger(
+                cur.join(capped.select("doc_id"), "doc_id", "left_anti"),
+                "stratum_cap",
+                F.lit("over_cap"),
+            )
+        )
+        cur = capped
+
     # 6. stratified mixture sampling ---------------------------------------
     if mix_rates is not None:
         stages.append("mixture_sample")
@@ -178,6 +203,11 @@ def curate(
             )
         )
         cur = sampled
+
+    # 6b. split assignment (transforms, drops nothing) ---------------------
+    if split_weights is not None:
+        stages.append("split_assign")
+        cur = leakage_safe_split(cur, split_weights, coherence_col="text")
 
     # 7. chunk + pack ------------------------------------------------------
     stages.append("chunk_pack")

@@ -134,3 +134,28 @@ def test_curate_rejects_unknown_keeper(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(10)
     with _pytest.raises(ValueError):
         curate(docs, keeper="newest")
+
+
+def test_curate_cap_and_split_stages(spark, sf_dir):
+    """Optional per-stratum cap + split assignment stages: cap bounds
+    every source at the cap with an 'over_cap' ledger entry; the split
+    stage adds a total, weights-valued split column and drops nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = curate(
+        docs,
+        source_cap=15,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert "stratum_cap" in res.stages and "split_assign" in res.stages
+    per_source = res.kept.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 15 for r in per_source)
+    # ledger accounting: every input doc is either kept or in the ledger
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    dropped_ids = {r.doc_id for r in res.dropped.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids | dropped_ids == all_ids and not (kept_ids & dropped_ids)
+    assert res.dropped.where("stage = 'stratum_cap' AND reason <> 'over_cap'").count() == 0
+    assert res.dropped.where("stage = 'stratum_cap'").count() > 0
+    # split: total function into the weight names, nothing dropped by it
+    splits = {r.split for r in res.kept.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
