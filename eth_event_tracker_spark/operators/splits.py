@@ -131,3 +131,31 @@ def shuffle_shards(
         df.withColumn("shard", h % n_shards)
         .withColumn("seq", F.row_number().over(w).cast("long"))
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize :func:`shuffle_shards` as a dataloader-ready layout:
+    ``path/shard=K/`` holds ONE parquet file whose row order IS the
+    training order (``seq`` ascending).
+
+    One shuffle total: rows are hash-repartitioned on ``shard`` and
+    sorted ``(shard, seq)`` within partitions, so each shard's rows are
+    contiguous and ordered when the partitioned writer splits them into
+    per-shard directories — no per-shard job, no global sort.  Parquet
+    preserves row order, so a reader streaming ``shard=K`` sees exactly
+    the reproducible permutation order.
+    """
+    sharded = shuffle_shards(df, n_shards, key_col=key_col, seed=seed)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "seq")
+        .write.mode("error")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -570,3 +570,29 @@ def test_shuffle_shards_is_permutation(spark, sf_dir):
     assert max(len(s) for s in by_shard.values()) < 2.5 * n / 8, "shards badly unbalanced"
     again = {(r.doc_id, r.shard, r.seq) for r in shuffle_shards(docs.repartition(7), 8).collect()}
     assert again == {(r.doc_id, r.shard, r.seq) for r in rows}
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """On-disk contract: one file per shard directory, and the file's row
+    order IS the seq order (parquet preserves write order; the dataloader
+    streams it without sorting)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from eth_event_tracker_spark.operators.splits import shuffle_shards, write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=8)
+
+    expected = {}
+    for r in shuffle_shards(docs, 8).collect():
+        expected.setdefault(r.shard, []).append((r.seq, r.doc_id))
+    for shard, pairs in expected.items():
+        files = glob.glob(f"{path}/shard={shard}/*.parquet")
+        assert len(files) == 1, f"shard {shard}: expected one file, got {files}"
+        on_disk = pq.read_table(files[0]).to_pydict()
+        want_ids = [d for _, d in sorted(pairs)]
+        assert on_disk["doc_id"] == want_ids, f"shard {shard} not in training order"
+        assert on_disk["seq"] == sorted(s for s, _ in pairs)
