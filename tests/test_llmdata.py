@@ -596,3 +596,68 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         want_ids = [d for _, d in sorted(pairs)]
         assert on_disk["doc_id"] == want_ids, f"shard {shard} not in training order"
         assert on_disk["seq"] == sorted(s for s, _ in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Splits ops vs a pure-Python sha-256 model: hash60 is sha-based, so the
+# whole decision function is replicable driver-side — randomized tables
+# must agree exactly (the same cross-engine guarantee the DuckDB oracle
+# checks, exercised over adversarial shapes the fixture lacks: empty
+# strata, all-over-cap, single-row, colliding weights).
+# ---------------------------------------------------------------------------
+import hashlib as _hashlib
+
+from hypothesis import strategies as _st
+
+
+def _py_hash60(s: str, seed: int) -> int:
+    return int(_hashlib.sha256(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+
+_TABLES = _st.lists(
+    _st.tuples(_st.integers(0, 400), _st.sampled_from("abcd")),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_TABLES, cap=_st.integers(1, 6))
+def test_per_stratum_cap_matches_python_model(spark, rows, cap):
+    from eth_event_tracker_spark.operators.splits import per_stratum_cap
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    want = set()
+    by_s: dict[str, list[tuple[int, int]]] = {}
+    for k, s in rows:
+        by_s.setdefault(s, []).append((_py_hash60(str(k), 0), k))
+    for s, items in by_s.items():
+        want |= {k for _, k in sorted(items)[:cap]}
+    for margin in (None, 4.0):
+        got = {
+            r.doc_id
+            for r in per_stratum_cap(
+                df, cap, stratum_col="src", skew_margin=margin
+            ).collect()
+        }
+        assert got == want, f"margin={margin}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_TABLES, n_shards=_st.integers(1, 5))
+def test_shuffle_shards_matches_python_model(spark, rows, n_shards):
+    from eth_event_tracker_spark.operators.splits import shuffle_shards
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    got = {(r.doc_id, r.shard, r.seq) for r in shuffle_shards(df, n_shards).collect()}
+    by_shard: dict[int, list[tuple[int, int, int]]] = {}
+    for k, _ in rows:
+        by_shard.setdefault(_py_hash60(str(k), 0) % n_shards, []).append(
+            (_py_hash60(str(k), 1), k)
+        )
+    want = set()
+    for shard, items in by_shard.items():
+        for seq, (_, k) in enumerate(sorted(items), start=1):
+            want.add((k, shard, seq))
+    assert got == want
