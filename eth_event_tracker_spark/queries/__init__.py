@@ -77,6 +77,7 @@ _POST_WINDOW = (
     "cap_per_stratum",
     "split_leakage_safe",
     "shuffle_shards",
+    "table_profile_orders",
 )
 
 

@@ -853,3 +853,40 @@ def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_shards(docs, 8).select("doc_id", "shard", "seq")
+
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    mn = mx = "CAST(NULL AS DOUBLE)"
+    mns = mxs = "CAST(NULL AS VARCHAR)"
+    if kind == "num":
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+    else:
+        mns, mxs = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    return (
+        f"SELECT '{col}' AS \"column\", COUNT({col}) AS n_nonnull, "
+        f"COUNT(DISTINCT {col}) AS n_distinct, {mn} AS min_num, {mx} AS max_num, "
+        f"{mns} AS min_str, {mxs} AS max_str FROM orders"
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderpriority", "str"),
+]
+
+
+@register(
+    "table_profile_orders",
+    "\nUNION ALL\n".join(_profile_col_sql(c, k) for c, k in _PROFILE_COLS),
+    doc="single-pass SUMMARIZE-style table profile: per-column non-null count, "
+    "exact distinct count, min/max — one scan, map-side partial aggregation "
+    "(the at-scale variant flips approx=True for HLL distinct counts)",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import table_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(orders, [c for c, _ in _PROFILE_COLS], approx=False)

@@ -661,3 +661,39 @@ def test_shuffle_shards_matches_python_model(spark, rows, n_shards):
         for seq, (_, k) in enumerate(sorted(items), start=1):
             want.add((k, shard, seq))
     assert got == want
+
+
+def test_table_profile_general_types(spark):
+    """Profile handles nulls, timestamps, booleans, and complex types in
+    one pass: complex columns get counts only; approx distinct stays
+    within HLL bounds of exact."""
+    from datetime import datetime
+
+    from eth_event_tracker_spark.operators.profile import table_profile
+
+    rows = [
+        (1, 2.5, "a", datetime(2020, 1, 1), True, [1, 2]),
+        (2, None, "b", datetime(2021, 6, 1), False, [3]),
+        (3, 7.5, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, x double, s string, ts timestamp, b boolean, arr array<int>"
+    )
+    prof = {r.column: r for r in table_profile(df, approx=False).collect()}
+    assert set(prof) == {"k", "x", "s", "ts", "b", "arr"}
+    assert (prof["k"].n_nonnull, prof["k"].n_distinct) == (3, 3)
+    assert (prof["k"].min_num, prof["k"].max_num) == (1.0, 3.0)
+    assert (prof["x"].n_nonnull, prof["x"].min_num, prof["x"].max_num) == (2, 2.5, 7.5)
+    assert prof["x"].min_str is None
+    assert (prof["s"].n_nonnull, prof["s"].min_str, prof["s"].max_str) == (2, "a", "b")
+    assert prof["ts"].min_str.startswith("2020-01-01")
+    assert prof["b"].min_str == "false" and prof["b"].max_str == "true"
+    # complex type: counts only
+    assert prof["arr"].n_nonnull == 2
+    assert prof["arr"].min_num is None and prof["arr"].min_str is None
+    # approx tier: distinct within HLL rsd of exact
+    aprof = {r.column: r for r in table_profile(df).collect()}
+    for c in prof:
+        assert abs(aprof[c].n_distinct - prof[c].n_distinct) <= max(
+            1, int(0.15 * prof[c].n_distinct)
+        )

@@ -30,6 +30,7 @@ POST_WINDOW_ORACLES = (
     "cap_per_stratum",
     "split_leakage_safe",
     "shuffle_shards",
+    "table_profile_orders",
 )
 
 
