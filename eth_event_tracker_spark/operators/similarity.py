@@ -287,13 +287,28 @@ def ivf_topk(
     each query probe its ``n_probe`` nearest centroids and exact-rerank
     only those buckets. Candidates meet via an equality join on
     centroid_id — the same no-cross-join shape as LSH."""
-    from pyspark.sql.functions import pandas_udf
-
     cents = ivf_build_centroids(corpus, n_centroids, 2, id_col, vec_col)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
     corpus_tagged = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
+    return _ivf_probe_rerank(queries, cents, corpus_tagged, k, n_probe, id_col, vec_col)
+
+
+def _ivf_probe_rerank(
+    queries: DataFrame,
+    cents: "np.ndarray",
+    corpus_tagged: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe ``n_probe`` nearest centroids per query and exact-rerank the
+    probed buckets — shared by the build-inline and persisted-index
+    paths.  ``corpus_tagged`` carries (c_id, cv, centroid_id)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     @pandas_udf("array<int>")
     def probe_of(vecs: pd.Series) -> pd.Series:
@@ -322,6 +337,66 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "rank", "cosine")
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: train centroids once, write the tagged
+    corpus partitioned by ``centroid_id`` (one directory per inverted
+    list) plus the tiny k×d centroid table at ``<path>/centroids``.
+
+    This is the build-once/probe-many shape vector search actually runs
+    at 100 TB: the k-means and the full-corpus assignment pass are paid
+    once per index build, and every later query batch reads only the
+    centroid table (driver-sized) and the probed inverted lists — the
+    clustered layout means a probe's equality join touches ~n_probe/k of
+    the corpus bytes."""
+    cents = ivf_build_centroids(corpus, n_centroids, n_iters, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent_rows = [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))]
+    (
+        spark.createDataFrame(cent_rows, "centroid_id int, vector array<double>")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(f"{path}/centroids")
+    )
+    (
+        ivf_assign(corpus, cents, id_col, vec_col)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("error")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`ivf_write_index`).
+    Identical output contract to :func:`ivf_topk` over the same corpus
+    and parameters; the corpus is never re-trained or re-assigned."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.stack(
+        [
+            np.array(r.vector, dtype=np.float64)
+            for r in sorted(cent_rows, key=lambda r: r.centroid_id)
+        ]
+    )
+    tagged = spark.read.parquet(f"{path}/vectors")
+    return _ivf_probe_rerank(queries, cents, tagged, k, n_probe, id_col, vec_col)
 
 
 def cosine_near_dup_pairs(

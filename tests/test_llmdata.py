@@ -697,3 +697,33 @@ def test_table_profile_general_types(spark):
         assert abs(aprof[c].n_distinct - prof[c].n_distinct) <= max(
             1, int(0.15 * prof[c].n_distinct)
         )
+
+
+def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
+    """The persisted IVF index must return EXACTLY what the build-inline
+    path returns for the same corpus/params (same deterministic k-means,
+    same probe, same rerank), with one inverted-list directory per
+    centroid on disk; the index is built once and probed twice without
+    re-assignment."""
+    import glob
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 37 == 0)
+    c = emb.where(F.col("vec_id") % 37 != 0)
+
+    inline = {
+        (r.q_id, r.rank): (r.c_id, round(r.cosine, 9))
+        for r in OPS.ivf_topk(q, c, k=5, n_centroids=8, n_probe=3).collect()
+    }
+
+    path = str(tmp_path / "ivf")
+    OPS.ivf_write_index(c, path, n_centroids=8)
+    dirs = glob.glob(f"{path}/vectors/centroid_id=*")
+    assert 1 < len(dirs) <= 8, f"expected per-centroid inverted lists, got {dirs}"
+
+    for _ in range(2):  # probe twice: the index is reusable state
+        indexed = {
+            (r.q_id, r.rank): (r.c_id, round(r.cosine, 9))
+            for r in OPS.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()
+        }
+        assert indexed == inline
