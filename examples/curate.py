@@ -31,14 +31,30 @@ def main() -> None:
         eval_df,
         mix_rates={"en": 0.5, "de": 0.35, "es": 0.3, "fr": 0.3},
         mix_default_rate=0.1,
+        source_cap=20,  # bound any one source's share of the corpus
+        split_weights={"train": 0.9, "val": 0.05, "test": 0.05},
     )
     print("stages:", " → ".join(res.stages))
     for k, v in sorted(res.audit().items()):
         print(f"  {k}: {v}")
     print("near-dup pairs:", res.dup_pairs.count())
+    print("split sizes:")
+    res.kept.groupBy("split").count().orderBy("split").show()
     print("packed sequences:",
           res.packed.select("shard", "seq_id").distinct().count())
     res.packed.orderBy("shard", "seq_id", "doc_id", "chunk_id").show(8, truncate=40)
+
+    # training-order layout: one ordered parquet file per shard
+    import tempfile
+
+    from eth_event_tracker_spark.operators.splits import write_training_shards
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_training_shards(
+            res.kept.where("split = 'train'").select("doc_id", "text"), f"{tmp}/shards", 4
+        )
+        n_files = len(list(Path(tmp).glob("shards/shard=*/*.parquet")))
+        print(f"training shards written: {n_files} ordered files")
 
 
 if __name__ == "__main__":
