@@ -376,6 +376,37 @@ def ivf_write_index(
     )
 
 
+def ivf_append_to_index(
+    incoming: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted IVF index with new vectors: assign ``incoming``
+    against the STORED centroids (no retrain — the index's geometry must
+    stay stable or every prior assignment silently goes stale) and append
+    to the clustered inverted lists.  The corpus-extension shape for
+    vector search, mirroring the MinHash signature sidecar in streaming
+    curation.  Re-train (``ivf_write_index`` to a new path) when the data
+    distribution has drifted enough that probe recall sags."""
+    spark = incoming.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.stack(
+        [
+            np.array(r.vector, dtype=np.float64)
+            for r in sorted(cent_rows, key=lambda r: r.centroid_id)
+        ]
+    )
+    (
+        ivf_assign(incoming, cents, id_col, vec_col)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id")
+        .repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -727,3 +727,61 @@ def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
             for r in OPS.ivf_topk_indexed(spark, path, q, k=5, n_probe=3).collect()
         }
         assert indexed == inline
+
+
+def test_ivf_append_extends_index_without_retrain(spark, sf_dir, tmp_path):
+    """Appending to a persisted IVF index assigns against the STORED
+    centroids: probing afterwards equals probing an index built from the
+    union with those same centroids (geometry stable), and the new
+    vectors are actually findable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 37 == 0)
+    first = emb.where((F.col("vec_id") % 37 != 0) & (F.col("vec_id") < 250))
+    extra = emb.where((F.col("vec_id") % 37 != 0) & (F.col("vec_id") >= 250))
+
+    path = str(tmp_path / "ivf")
+    OPS.ivf_write_index(first, path, n_centroids=8)
+    before = {
+        (r.q_id, r.rank): r.c_id
+        for r in OPS.ivf_topk_indexed(spark, path, q, k=5, n_probe=8).collect()
+    }
+    OPS.ivf_append_to_index(extra, path)
+    after = OPS.ivf_topk_indexed(spark, path, q, k=5, n_probe=8)
+    rows = after.collect()
+    got = {(r.q_id, r.rank): r.c_id for r in rows}
+    assert got != before, "appended vectors never surfaced in any top-5"
+    # full-probe (n_probe = n_centroids) == exact cosine over the union
+    exact = {
+        (r.q_id, r.rank): r.c_id
+        for r in OPS.cosine_topk_exact(q, first.unionByName(extra), k=5).collect()
+    }
+    assert got == exact
+
+
+def test_table_profile_empty_table(spark):
+    from eth_event_tracker_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([], "k long, s string")
+    prof = {r.column: r for r in table_profile(df, approx=False).collect()}
+    assert (prof["k"].n_nonnull, prof["k"].n_distinct) == (0, 0)
+    assert prof["k"].min_num is None and prof["s"].min_str is None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=_TABLES,
+    w=_st.tuples(_st.floats(0.05, 1), _st.floats(0.05, 1), _st.floats(0.05, 1)),
+)
+def test_leakage_safe_split_matches_python_model(spark, rows, w):
+    from eth_event_tracker_spark.operators.splits import leakage_safe_split
+
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"train": w[0], "val": w[1], "test": w[2]}
+    got = {r.doc_id: r.split for r in leakage_safe_split(df, weights).collect()}
+    total = sum(w)
+    t1, t2 = int(w[0] / total * (1 << 60)), int((w[0] + w[1]) / total * (1 << 60))
+    want = {}
+    for k, _ in rows:
+        h = _py_hash60(str(k), 0)
+        want[k] = "train" if h < t1 else ("val" if h < t2 else "test")
+    assert got == want
