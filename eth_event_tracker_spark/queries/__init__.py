@@ -78,6 +78,7 @@ _POST_WINDOW = (
     "split_leakage_safe",
     "shuffle_shards",
     "table_profile_orders",
+    "range_join_ship_windows",
 )
 
 
@@ -92,6 +93,7 @@ def _load() -> None:
         key=lambda kv: (
             2 if kv[1].oracle is None else (1 if kv[0] in _POST_WINDOW else 0),
             _LATE.index(kv[0]) + 1 if kv[0] in _LATE else 0,
+            _POST_WINDOW.index(kv[0]) if kv[0] in _POST_WINDOW else 0,
         ),
     )
     REGISTRY.clear()

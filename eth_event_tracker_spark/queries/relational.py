@@ -576,3 +576,62 @@ def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: shipments falling inside each order's 7-day
+# fulfilment window, matched on TIME ONLY (no equality key exists, so a
+# naive encoding is a cross join).  Spark side: operators/rangejoin.py's
+# binned equality join; DuckDB side: its native inequality join (IEJoin).
+# Empty windows are kept as zero rows via a broadcast-sized join of the
+# aggregate back onto the interval table.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_ship_windows",
+    """
+WITH iv AS (
+  SELECT o_orderkey, o_orderdate AS w_start,
+         o_orderdate + INTERVAL 7 DAY AS w_end
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+m AS (
+  SELECT iv.o_orderkey, COUNT(*) AS n_shipped,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+  FROM iv JOIN lineitem l
+    ON l.l_shipdate >= iv.w_start AND l.l_shipdate < iv.w_end
+  GROUP BY iv.o_orderkey
+)
+SELECT iv.o_orderkey, COALESCE(m.n_shipped, 0) AS n_shipped,
+       COALESCE(m.sum_price, 0.0) AS sum_price
+FROM iv LEFT JOIN m USING (o_orderkey)
+""",
+    doc="range join (point-in-interval, no equality key) as a binned "
+    "equality join + refine — never a cross product; empty windows kept",
+)
+def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import binned_interval_join
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    intervals = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("w_end"),
+    )
+    points = li.select("l_shipdate", "l_extendedprice")
+    joined = binned_interval_join(
+        points, intervals, "l_shipdate", "w_start", "w_end", bin_width=7 * 86400
+    )
+    agg = joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        _sum_dec("l_extendedprice").alias("sum_price"),
+    )
+    return (
+        intervals.select("o_orderkey")
+        .join(agg, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_shipped"), F.lit(0)).alias("n_shipped"),
+            F.coalesce(F.col("sum_price"), F.lit(0.0)).alias("sum_price"),
+        )
+    )

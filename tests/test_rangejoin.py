@@ -1,0 +1,94 @@
+"""Binned range join (operators/rangejoin.py): exact semantics vs a
+brute-force model, bin-boundary edge cases, and the no-cross-product
+plan guarantee that is the operator's entire reason to exist."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from eth_event_tracker_spark.operators.rangejoin import binned_interval_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # points every 7 minutes over 2h; intervals of wildly mixed lengths,
+    # including zero-length, sub-bin, multi-bin, and disjoint ones
+    points = spark.createDataFrame(
+        [(i, _ts(7 * i)) for i in range(18)], "p_id long, p_ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, _ts(0), _ts(10)),      # sub-bin
+            (1, _ts(5), _ts(95)),      # spans many 15-min bins
+            (2, _ts(14), _ts(14)),     # empty (start == end): matches nothing
+            (3, _ts(21), _ts(28)),     # starts exactly on a point
+            (4, _ts(500), _ts(600)),   # disjoint from all points
+            (5, _ts(-30), _ts(7)),     # straddles t=0; end exactly on a point
+        ],
+        "iv_id long, w_start timestamp, w_end timestamp",
+    )
+    return points, intervals
+
+
+def brute(points, intervals):
+    pr = [(r.p_id, r.p_ts) for r in points.collect()]
+    ir = [(r.iv_id, r.w_start, r.w_end) for r in intervals.collect()]
+    return sorted(
+        (pid, iid) for pid, pts in pr for iid, s, e in ir if s <= pts < e
+    )
+
+
+@pytest.mark.parametrize("bin_width", [60, 15 * 60, 3600, 86400])
+def test_matches_brute_force_at_any_bin_width(spark, tiny, bin_width):
+    points, intervals = tiny
+    got = binned_interval_join(
+        points, intervals, "p_ts", "w_start", "w_end", bin_width=bin_width
+    )
+    assert sorted((r.p_id, r.iv_id) for r in got.collect()) == brute(points, intervals)
+
+
+def test_half_open_semantics(spark, tiny):
+    points, intervals = tiny
+    got = binned_interval_join(points, intervals, "p_ts", "w_start", "w_end", 900)
+    pairs = set((r.p_id, r.iv_id) for r in got.collect())
+    assert (3, 3) in pairs      # p_ts == w_start is IN
+    assert (1, 5) not in pairs  # p_ts == w_end is OUT
+    assert all(iid != 2 for _, iid in pairs)  # empty interval matches nothing
+    assert all(iid != 4 for _, iid in pairs)  # disjoint interval matches nothing
+
+
+def test_no_duplicate_pairs_when_interval_spans_bins(spark, tiny):
+    points, intervals = tiny
+    # 60s bins: interval 1 covers ~90 bins — each pair must still appear once
+    got = binned_interval_join(points, intervals, "p_ts", "w_start", "w_end", 60)
+    rows = [(r.p_id, r.iv_id) for r in got.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_plan_is_equality_join_not_cross_product(spark, tiny):
+    points, intervals = tiny
+    got = binned_interval_join(points, intervals, "p_ts", "w_start", "w_end", 900)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_input_validation(spark, tiny):
+    points, intervals = tiny
+    with pytest.raises(ValueError, match="overlapping"):
+        binned_interval_join(points, points, "p_ts", "p_ts", "p_ts", 900)
+    with pytest.raises(ValueError, match="positive"):
+        binned_interval_join(points, intervals, "p_ts", "w_start", "w_end", 0)
+    with pytest.raises(ValueError, match="reserved"):
+        binned_interval_join(
+            points.withColumn("_bin", F.lit(1)), intervals, "p_ts", "w_start", "w_end", 900
+        )

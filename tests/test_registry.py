@@ -31,6 +31,7 @@ POST_WINDOW_ORACLES = (
     "split_leakage_safe",
     "shuffle_shards",
     "table_profile_orders",
+    "range_join_ship_windows",
 )
 
 
