@@ -314,3 +314,46 @@ def pack_sequences(
     return chunks.withColumn("shard", shard).withColumn(
         "seq_id", F.floor(cum_before / budget_words).cast("long")
     )
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by smooth TF-IDF:
+    ``score = tf * (ln((N+1)/(df+1)) + 1)`` — the standard keyword /
+    topic-signal extraction over a pre-training corpus.
+
+    Scale shape (100 TB): the explode is row-local on the doc-hash
+    partitioning; (doc, term) counts aggregate with map-side combine;
+    document frequency is a second, much smaller aggregate over the
+    already-counted table (one row per distinct (doc, term), never the
+    raw token stream); N is a broadcast scalar; the final top-k is a
+    window over the same doc-hash partitioning the counts already have.
+    The tf->df join shuffles on term — AQE splits hot terms like any
+    skewed key.  Scores are rounded to 6 decimals: every input to ln()
+    is an exact integer ratio, so engines agree to <=1 ulp and the
+    rounding makes them bit-identical (same convention as the cosine
+    operators)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )

@@ -79,6 +79,7 @@ _POST_WINDOW = (
     "shuffle_shards",
     "table_profile_orders",
     "range_join_ship_windows",
+    "tfidf_top_terms",
 )
 
 

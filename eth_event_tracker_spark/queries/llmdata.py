@@ -890,3 +890,35 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return table_profile(orders, [c for c, _ in _PROFILE_COLS], approx=False)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 characteristic terms per document (smooth idf).  Every
+# input to ln() is an exact integer ratio, so both engines agree to <=1
+# ulp and round(6) makes scores bit-identical (cosine convention).
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 3
+""",
+    doc="top-3 TF-IDF terms per doc: doc-hash-partitioned counts, "
+    "map-side combine, broadcast N scalar, windowed top-k",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.tf_idf(docs, k=3)

@@ -785,3 +785,61 @@ def test_leakage_safe_split_matches_python_model(spark, rows, w):
         h = _py_hash60(str(k), 0)
         want[k] = "train" if h < t1 else ("val" if h < t2 else "test")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (operators/text.tf_idf)
+# ---------------------------------------------------------------------------
+def test_tf_idf_matches_python_model(spark):
+    import math
+
+    from eth_event_tracker_spark.operators.text import tf_idf
+
+    corpus = [
+        (1, "spark engine shuffle shuffle shuffle join"),
+        (2, "spark engine join catalyst"),
+        (3, "tomato soup recipe tomato basil"),
+        (4, "spark spark spark spark"),
+        (5, "the"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.score)
+        for r in tf_idf(df, k=2).collect()
+    }
+    # python model
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    dfreq: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, toks in docs.items():
+        tfs: dict[str, int] = {}
+        for t in toks:
+            tfs[t] = tfs.get(t, 0) + 1
+        scored = sorted(
+            (
+                (t, c, round(c * (math.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0), 6))
+                for t, c in tfs.items()
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:2]
+        for t, c, s in scored:
+            want[(i, t)] = (c, s)
+    assert got == want
+    # the repeated distinctive term dominates its doc
+    top1 = {r.doc_id: r.term for r in tf_idf(df, k=1).collect()}
+    assert top1[1] == "shuffle" and top1[3] == "tomato" and top1[4] == "spark"
+
+
+def test_tf_idf_rare_term_outranks_common_at_equal_tf(spark):
+    from eth_event_tracker_spark.operators.text import tf_idf
+
+    # 'common' appears in all 4 docs, 'rare' only in doc 0 — equal tf in
+    # doc 0, so idf alone must decide the ranking
+    rows = [(0, "common rare")] + [(i, "common filler%d" % i) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = [x.term for x in tf_idf(df, k=2).where("doc_id = 0").collect()]
+    assert r[0] == "rare" and r[1] == "common"

@@ -281,6 +281,7 @@ def test_dedup_spans_agg_shuffles_topk(spark, sf_dir):
 _SCALAR_BROADCAST_OK = {
     "logs_point_lookup",
     "logs_tail_truncate",
+    "tfidf_top_terms",  # broadcast single-row N (corpus size) scalar
     "reorg_diff_except",
     "ancestor_walk",
     "changelog_assembly",

@@ -32,6 +32,7 @@ POST_WINDOW_ORACLES = (
     "shuffle_shards",
     "table_profile_orders",
     "range_join_ship_windows",
+    "tfidf_top_terms",
 )
 
 
