@@ -543,3 +543,72 @@ def cosine_near_dup_pairs_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+# embedding space, then near-dup only WITHIN clusters — the quadratic
+# pair search is confined to each cluster, and cluster count scales with
+# the corpus so expected cluster size (hence per-cluster cost) stays a
+# constant.  The 100 TB discipline: pick ``n_clusters ∝ N`` and the
+# total pair work is O(N · E[cluster size]), linear in the corpus.
+# ---------------------------------------------------------------------------
+def semantic_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cosine),
+    id_a < id_b.  Candidates meet through an EQUALITY join on
+    centroid_id (never a global self-join); cosines are the exact
+    ordered-fold doubles, rounded like cosine_near_dup_pairs.  Pairs
+    whose members land in different clusters are invisible by design —
+    that recall trade-off against a bounded candidate set is the SemDeDup
+    contract (measured in tests against the exact tier)."""
+    cents = centroids if centroids is not None else ivf_build_centroids(df, n_clusters, 2, id_col, vec_col)
+    tagged = (
+        ivf_assign(df.select(id_col, vec_col), cents, id_col, vec_col)
+        # two join branches below: checkpoint so the Arrow-stage
+        # assignment runs once, not once per branch
+        .localCheckpoint(eager=False)
+    )
+    a = tagged.select("centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = tagged.select("centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    nrm = lambda v: F.sqrt(_dbl_dot(v, v))  # noqa: E731 — row-local L2
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dbl_dot(F.col("va"), F.col("vb")) / (nrm(F.col("va")) * nrm(F.col("vb"))), 9),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs → connected
+    components → keep the min-id representative of each semantic-dup
+    group; returns the surviving rows of ``df`` unchanged.  Chains
+    (A~B, B~C) collapse to ONE keeper even when A~C itself was never a
+    candidate — components, not per-pair rules, make the decision
+    (operators/dedup.dup_clusters)."""
+    from .dedup import dup_clusters
+
+    pairs = semantic_dup_pairs(df, threshold, n_clusters, id_col, vec_col, centroids)
+    comps = dup_clusters(pairs, "id_a", "id_b")
+    drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

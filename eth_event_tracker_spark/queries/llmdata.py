@@ -922,3 +922,15 @@ SELECT doc_id, term, tf, score FROM ranked WHERE rn <= 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return OPT.tf_idf(docs, k=3)
+
+
+@register(
+    "semantic_dedup_emb",
+    None,
+    doc="SemDeDup: k-means clusters -> within-cluster cosine pairs -> "
+    "component keepers (rows-only: k-means is not SQL-expressible; "
+    "pytest pins drop/keep behavior against the exact tier)",
+)
+def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OPS.semantic_dedup(emb, threshold=0.9, n_clusters=16).select("vec_id", "label")

@@ -843,3 +843,79 @@ def test_tf_idf_rare_term_outranks_common_at_equal_tf(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     r = [x.term for x in tf_idf(df, k=2).where("doc_id = 0").collect()]
     assert r[0] == "rare" and r[1] == "common"
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (operators/similarity.semantic_dedup — SemDeDup shape)
+# ---------------------------------------------------------------------------
+def _semdedup_fixture(spark):
+    """24 base vectors in 3 well-separated directions + planted near-copies."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # three orthogonal-ish anchor directions, 8 docs each with small spread
+    anchors = np.eye(3)
+    vid = 0
+    for a in range(3):
+        base = np.zeros(8)
+        base[a] = 1.0
+        for _ in range(8):
+            v = base + rng.normal(0, 0.35, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # planted near-copies of vectors 0, 9, 17 (same direction, tiny noise)
+    for src in (0, 9, 17):
+        v = np.array(rows[src][1]) + rng.normal(0, 0.005, 8)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), [24, 25, 26]
+
+
+def test_semantic_dedup_drops_planted_copies_keeps_rest(spark):
+    df, copies = _semdedup_fixture(spark)
+    kept = OPS.semantic_dedup(df, threshold=0.995, n_clusters=4)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    # every planted copy's GROUP lost exactly its non-minimal members:
+    # copy ids (24,25,26) duplicate originals (0,9,17) — min id wins
+    assert all(c not in kept_ids for c in copies)
+    assert {0, 9, 17} <= kept_ids
+    # nothing else dropped at this near-exact threshold
+    assert kept_ids == set(range(24))
+    # full row survives untouched
+    assert set(kept.columns) == {"vec_id", "embedding"}
+
+
+def test_semantic_dup_pairs_subset_of_exact(spark):
+    df, _ = _semdedup_fixture(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in OPS.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): r.cosine
+        for r in OPS.semantic_dup_pairs(df, threshold=0.9, n_clusters=4).collect()
+    }
+    assert set(sem) <= set(exact)
+    assert all(sem[k] == exact[k] for k in sem)  # identical rounded cosines
+    # the planted near-copies are same-cluster by construction → found
+    assert {(0, 24), (9, 25), (17, 26)} <= set(sem)
+
+
+def test_semantic_dedup_chain_collapses_to_one_keeper(spark):
+    import numpy as np
+
+    # A~B and B~C near-dup chains where A~C alone may be sub-threshold:
+    # components must still keep only A
+    base = np.ones(8)
+    step = np.zeros(8)
+    step[0] = 0.26
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + step]),
+        (2, [float(x) for x in base + 2 * step]),
+        (10, [float(1 - 2 * (i % 2)) * float(i + 1) for i in range(8)]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in OPS.semantic_dedup(df, threshold=0.995, n_clusters=2).collect()}
+    assert kept == {0, 10}

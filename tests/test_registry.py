@@ -17,6 +17,7 @@ DRIVER_WINDOW = 50
 # outputs cannot hash-match a SQL oracle; pytest pins their bounds below)
 ROWS_ONLY_EXTRAS = {
     "approx_distinct_parts",
+    "semantic_dedup_emb",
     "embedding_cosine_topk_fast",
     "embedding_ann",
     "embedding_near_dup_lsh",
@@ -91,3 +92,18 @@ def test_extras_still_verified(spark, sf_dir):
     rows = ann.collect()
     assert {r.method for r in rows} == {"lsh", "ivf"}
     assert all(1 <= r.rank <= 5 for r in rows)
+
+
+def test_semantic_dedup_extra_still_verified(spark, sf_dir):
+    """The rows-only SemDeDup registry entry keeps producing a sane
+    result: a non-empty strict-or-equal subset of the corpus with unique
+    ids (the drop/keep semantics themselves are pinned against the exact
+    tier in tests/test_llmdata.py)."""
+    from eth_event_tracker_spark.queries.llmdata import semantic_dedup_emb
+    from eth_event_tracker_spark.tables import load_table
+
+    kept = semantic_dedup_emb(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    ids = [r.vec_id for r in kept]
+    assert 0 < len(ids) <= n_corpus
+    assert len(ids) == len(set(ids))
