@@ -569,21 +569,27 @@ def semantic_dup_pairs(
     that recall trade-off against a bounded candidate set is the SemDeDup
     contract (measured in tests against the exact tier)."""
     cents = centroids if centroids is not None else ivf_build_centroids(df, n_clusters, 2, id_col, vec_col)
+    v = F.col(vec_col)
     tagged = (
         ivf_assign(df.select(id_col, vec_col), cents, id_col, vec_col)
-        # two join branches below: checkpoint so the Arrow-stage
-        # assignment runs once, not once per branch
+        # norms are per-ROW, so fold them before the pair join (O(N)
+        # folds, not O(pairs)); checkpoint so the Arrow-stage assignment
+        # and the norm fold run once, not once per join branch
+        .withColumn("nrm", F.sqrt(_dbl_dot(v, v)))
         .localCheckpoint(eager=False)
     )
-    a = tagged.select("centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = tagged.select("centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    nrm = lambda v: F.sqrt(_dbl_dot(v, v))  # noqa: E731 — row-local L2
+    a = tagged.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = tagged.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(_dbl_dot(F.col("va"), F.col("vb")) / (nrm(F.col("va")) * nrm(F.col("vb"))), 9),
+            F.round(_dbl_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

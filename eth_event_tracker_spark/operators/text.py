@@ -338,7 +338,9 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int
         .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # two consumers (scoring join + document frequency): cut lineage so
+    # the token explode and (doc, term) count run once, not once per branch
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("n_docs"))
     scored = (
