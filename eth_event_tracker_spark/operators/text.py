@@ -359,3 +359,42 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int
         .where(F.col("rn") <= k)
         .select(id_col, "term", "tf", "score")
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the CCNet-class LM quality signal (fluent text scores
+    higher than gibberish/rare-token soup): (id, n_tokens, logprob).
+
+    Scale shape: everything term-keyed runs over the per-(doc, term)
+    COUNT table (one row per distinct pair — never the raw token
+    stream); unigram totals aggregate that same table; the corpus total
+    is a broadcast scalar.  Determinism: ln() sees an exact integer
+    ratio (engines agree to <=1 ulp), per-term log-probs round at 9 and
+    sum as DECIMAL (order-independent), the final mean rounds at 6 —
+    the same bit-portability convention as TF-IDF and the cosine ops."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    # three consumers (unigram counts, corpus total, scoring join): one eval
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    # per-term log-prob as an INTEGER in 1e-9 units: the weighted sum is
+    # then an exact BIGINT (order-independent), and the mean is two
+    # correctly-rounded double divisions — no final round() call whose
+    # decimal-mean-by-small-n halves would systematically land on
+    # rounding boundaries where engines disagree
+    logp_e9 = F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1e9).cast("long")
+    scored = (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), "tf", (F.col("tf") * logp_e9).alias("contrib_e9"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("contrib_e9").cast("double") / F.sum("tf") / F.lit(1e9)).alias("logprob"),
+    )

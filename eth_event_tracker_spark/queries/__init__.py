@@ -80,6 +80,7 @@ _POST_WINDOW = (
     "table_profile_orders",
     "range_join_ship_windows",
     "tfidf_top_terms",
+    "quality_unigram_logprob",
 )
 
 

@@ -934,3 +934,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return OPS.semantic_dedup(emb, threshold=0.9, n_clusters=16).select("vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-class): mean token log-prob under the
+# corpus's own unigram distribution.  Bit-portable by the integer-ratio
+# ln + round(9) + DECIMAL-sum + round(6) convention.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_unigram_logprob",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+tot AS (SELECT SUM(tf) AS t FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * CAST(round(ln(CAST(cnt.c AS DOUBLE) / tot.t) * 1e9) AS BIGINT) AS contrib_e9
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(contrib_e9) AS DOUBLE) / SUM(tf) / 1e9 AS logprob
+FROM scored GROUP BY doc_id
+""",
+    doc="unigram LM quality score: per-(doc,term)-count table only, "
+    "broadcast corpus total, decimal-summed log-probs",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.unigram_logprob(docs)

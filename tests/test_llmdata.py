@@ -919,3 +919,30 @@ def test_semantic_dedup_chain_collapses_to_one_keeper(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = {r.vec_id for r in OPS.semantic_dedup(df, threshold=0.995, n_clusters=2).collect()}
     assert kept == {0, 10}
+
+
+def test_unigram_logprob_matches_python_model(spark):
+    import math
+
+    from eth_event_tracker_spark.operators.text import unigram_logprob
+
+    corpus = [
+        (1, "the the the cat"),
+        (2, "the dog"),
+        (3, "zyzzyva"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(df).collect()}
+    toks = {i: t.split() for i, t in corpus}
+    cnt: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    want = {}
+    for i, ts in toks.items():
+        s = sum(round(math.log(cnt[t] / total) * 1e9) for t in ts)
+        want[i] = (len(ts), s / len(ts) / 1e9)
+    assert got == want
+    # fluent (common-token) text outranks the rare-token doc
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]

@@ -282,6 +282,7 @@ _SCALAR_BROADCAST_OK = {
     "logs_point_lookup",
     "logs_tail_truncate",
     "tfidf_top_terms",  # broadcast single-row N (corpus size) scalar
+    "quality_unigram_logprob",  # broadcast single-row corpus-total scalar
     "reorg_diff_except",
     "ancestor_walk",
     "changelog_assembly",

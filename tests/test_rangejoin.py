@@ -92,3 +92,39 @@ def test_input_validation(spark, tiny):
         binned_interval_join(
             points.withColumn("_bin", F.lit(1)), intervals, "p_ts", "w_start", "w_end", 900
         )
+
+
+# ---------------------------------------------------------------------------
+# Property: randomized points/intervals vs the brute-force model
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EPOCHS = st.integers(0, 3 * 86400)  # seconds across 3 days
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pts=st.lists(_EPOCHS, min_size=0, max_size=25),
+    ivs=st.lists(st.tuples(_EPOCHS, st.integers(-3600, 2 * 86400)), min_size=0, max_size=12),
+    w=st.sampled_from([60, 3600, 86400]),
+)
+def test_matches_model_on_random_inputs(spark, pts, ivs, w):
+    """Random epochs and interval lengths — including NEGATIVE lengths
+    (end < start: must match nothing) and empty inputs."""
+    points = spark.createDataFrame(
+        [(i, _ts(p / 60)) for i, p in enumerate(pts)] or [],
+        "p_id long, p_ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(i, _ts(s / 60), _ts((s + ln) / 60)) for i, (s, ln) in enumerate(ivs)] or [],
+        "iv_id long, w_start timestamp, w_end timestamp",
+    )
+    got = binned_interval_join(points, intervals, "p_ts", "w_start", "w_end", w)
+    want = sorted(
+        (pi, ii)
+        for pi, p in enumerate(pts)
+        for ii, (s, ln) in enumerate(ivs)
+        if s <= p < s + ln
+    )
+    assert sorted((r.p_id, r.iv_id) for r in got.collect()) == want

@@ -34,6 +34,7 @@ POST_WINDOW_ORACLES = (
     "table_profile_orders",
     "range_join_ship_windows",
     "tfidf_top_terms",
+    "quality_unigram_logprob",
 )
 
 
