@@ -4,6 +4,7 @@ pre-training data pipeline actually runs them.
     raw docs
       → quality gate          (rule-based keep/drop, text.quality_verdicts)
       → PII redaction         (text.redact_pii — redacted text flows on)
+      → LM quality filter     (text.unigram_logprob ≥ threshold, optional)
       → decontamination       (text.ngram_decontaminate vs an eval set)
       → exact dedup           (dedup.exact_dedup — content-hash keep-min)
       → near-dup clustering   (dedup.minhash_lsh_dedup → dup_clusters,
@@ -72,6 +73,7 @@ def curate(
     eval_df: DataFrame | None = None,
     *,
     contamination_max: float = 0.2,
+    lm_logprob_min: float | None = None,
     jaccard_threshold: float = 0.8,
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 0.0,
@@ -88,9 +90,13 @@ def curate(
     """Run the full curation pipeline over ``docs`` (needs doc_id, text;
     ``stratum_col`` only if ``mix_rates`` is given).
 
-    ``eval_df`` enables the decontamination stage; ``mix_rates`` enables
-    the mixture-sampling stage; ``source_cap`` enables the per-stratum
-    cap (at most that many docs per ``cap_stratum_col`` value);
+    ``eval_df`` enables the decontamination stage; ``lm_logprob_min``
+    enables the unigram-LM quality filter (docs whose mean token
+    log-prob under the corpus's own unigram model falls below the
+    threshold are dropped — gibberish and rare-token soup score low);
+    ``mix_rates`` enables the mixture-sampling stage; ``source_cap``
+    enables the per-stratum cap (at most that many docs per
+    ``cap_stratum_col`` value);
     ``split_weights`` (e.g. ``{"train": .9, "val": .05, "test": .05}``)
     adds a text-coherent ``split`` column to ``kept`` — each skips
     cleanly when omitted.
@@ -120,6 +126,16 @@ def curate(
     cur = red.drop("text", "n_email", "n_phone", "n_ipv4").withColumnRenamed(
         "redacted", "text"
     )
+
+    # 2b. LM quality: unigram log-prob filter (CCNet-class) ----------------
+    # Runs on the REDACTED text so the scored tokens are exactly the kept
+    # tokens (redaction tags count like any other token on both sides).
+    if lm_logprob_min is not None:
+        stages.append("lm_quality")
+        lm = OPT.unigram_logprob(cur)
+        low = lm.where(F.col("logprob") < lm_logprob_min)
+        ledgers.append(_ledger(low, "lm_quality", F.lit("low_logprob")))
+        cur = cur.join(low.select("doc_id"), "doc_id", "left_anti")
 
     # 3. decontamination ---------------------------------------------------
     if eval_df is not None:

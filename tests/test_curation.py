@@ -159,3 +159,38 @@ def test_curate_cap_and_split_stages(spark, sf_dir):
     # split: total function into the weight names, nothing dropped by it
     splits = {r.split for r in res.kept.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_curate_lm_quality_stage(spark, sf_dir):
+    """Optional unigram-LM stage: a planted rare-token-soup doc is
+    dropped with a 'low_logprob' ledger row; fluent docs survive; the
+    stage is absent when the threshold is omitted."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    # gibberish long enough to clear the rule-based gate (>= 20 words),
+    # built from tokens that appear nowhere else in the corpus
+    gibberish = " ".join(f"zxqv{i}wk" for i in range(30))
+    planted = spark.createDataFrame(
+        [(990001, gibberish, "en", "synthetic", len(gibberish))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(planted)
+
+    res = curate(corpus, lm_logprob_min=-8.0)
+    assert "lm_quality" in res.stages
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 990001 not in kept_ids
+    lm_rows = res.dropped.where("stage = 'lm_quality'").collect()
+    assert any(r.doc_id == 990001 and r.reason == "low_logprob" for r in lm_rows)
+    # the stage is surgical: the fixture's fluent docs are untouched by it
+    assert all(r.doc_id == 990001 for r in lm_rows)
+    # ledger partition property still holds
+    dropped_ids = {r.doc_id for r in res.dropped.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept_ids | dropped_ids == all_ids and not (kept_ids & dropped_ids)
+
+    # omitted threshold → no stage, no ledger rows
+    res2 = curate(corpus)
+    assert "lm_quality" not in res2.stages
+    assert res2.dropped.where("stage = 'lm_quality'").count() == 0
