@@ -88,8 +88,8 @@ def _embs_x(spark, n_rep):
     return out.localCheckpoint()
 
 
-def _pipelines(docs, embs, n_planes):
-    """The five headline scale pipelines, mirroring the registered query
+def _pipelines(docs, embs, n_planes, n_clusters):
+    """The eight headline scale pipelines, mirroring the registered query
     shapes (queries/llmdata.py) minus the session-scoped fixture caches.
 
     ``n_planes`` grows with corpus size (6 at 1×, +log2(rep) at rep×):
@@ -97,7 +97,9 @@ def _pipelines(docs, embs, n_planes):
     occupancy constant — with a FIXED plane count, 10× denser buckets
     mean 100× candidate pairs, a quadratic cliff built into the
     *configuration*, not the engine.  This is exactly the knob a 100 TB
-    deployment turns (bucket count ∝ corpus size)."""
+    deployment turns (bucket count ∝ corpus size).  ``n_clusters`` is
+    SemDeDup's version of the same knob (n_clusters ∝ N holds expected
+    cluster size — hence within-cluster pair work per row — constant)."""
     from eth_event_tracker_spark.operators import dedup as OPD
     from eth_event_tracker_spark.operators import similarity as OPS
     from eth_event_tracker_spark.operators import text as OPT
@@ -123,12 +125,24 @@ def _pipelines(docs, embs, n_planes):
     def embedding_lsh():
         return OPS.cosine_near_dup_pairs_lsh(embs, threshold=0.5, n_planes=n_planes).count()
 
+    def tfidf():
+        return OPT.tf_idf(docs, k=3).count()
+
+    def unigram():
+        return OPT.unigram_logprob(docs).count()
+
+    def semdedup():
+        return OPS.semantic_dedup(embs, threshold=0.95, n_clusters=n_clusters).count()
+
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_simhash": simhash,
         "dedup_ngram_jaccard": jaccard,
         "decontamination_ngram": decontamination,
         "embedding_near_dup_lsh": embedding_lsh,
+        "tfidf_top_terms": tfidf,
+        "quality_unigram_logprob": unigram,
+        "semantic_dedup_emb": semdedup,
     }
 
 
@@ -171,8 +185,9 @@ def test_scale_10x_no_quadratic_cliff(spark):
     for rep in (1, REP):
         docs, embs = _docs_x(spark, rep), _embs_x(spark, rep)
         n_planes = 6 + max(0, (rep - 1)).bit_length()  # 6 at 1x, 10 at 10x
+        n_clusters = 16 * rep  # SemDeDup: n_clusters ∝ N
         counts[rep], times[rep] = {}, {}
-        for name, fn in _pipelines(docs, embs, n_planes).items():
+        for name, fn in _pipelines(docs, embs, n_planes, n_clusters).items():
             t0 = time.perf_counter()
             counts[rep][name] = fn()
             times[rep][name] = time.perf_counter() - t0
@@ -187,11 +202,20 @@ def test_scale_10x_no_quadratic_cliff(spark):
             f"{name}: 10x volume cost {ratio:.1f}x the 1x time — "
             "super-linear blowup (quadratic cliff?)"
         )
-        if name != "embedding_near_dup_lsh":  # its n_planes differs by rep
+        # n_planes / n_clusters differ by rep for these two by design
+        if name not in ("embedding_near_dup_lsh", "semantic_dedup_emb"):
             assert n10 >= n1, f"{name}: replica 0 results must survive at 10x"
-    # no banding/LSH randomness in these two — counts scale EXACTLY 10x
-    for exact in ("dedup_ngram_jaccard", "decontamination_ngram"):
+    # per-doc row counts with no banding/clustering randomness — the
+    # tfidf top-k and unigram score emit a fixed row count per doc, and
+    # the two n-gram pipelines use no LSH at all: counts scale EXACTLY 10x
+    for exact in (
+        "dedup_ngram_jaccard",
+        "decontamination_ngram",
+        "tfidf_top_terms",
+        "quality_unigram_logprob",
+    ):
         assert counts[REP][exact] == REP * counts[1][exact], (
-            f"{exact}: disjoint replicas must contribute identical result "
-            "sets — anything else means cross-replica contamination"
+            f"{exact}: disjoint replicas must contribute exactly one "
+            "replica's worth of rows each — anything else means "
+            "cross-replica contamination"
         )
