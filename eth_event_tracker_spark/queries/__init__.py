@@ -81,6 +81,7 @@ _POST_WINDOW = (
     "range_join_ship_windows",
     "tfidf_top_terms",
     "quality_unigram_logprob",
+    "zorder_key_events",
 )
 
 

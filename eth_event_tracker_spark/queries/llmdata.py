@@ -964,3 +964,56 @@ FROM scored GROUP BY doc_id
 def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return OPT.unigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (operators/layout.py) over fixed quantile cuts: bucket =
+# count of cuts <= value (row-local fold), morton = unrolled bit
+# interleave — all integer/bit arithmetic, so the full key hash-matches
+# the DuckDB oracle.  The cuts are FIXED literals here (the deployment
+# shape: cuts come from a per-snapshot quantile table, not recomputed
+# per query); write_zordered's layout effect is measured in
+# tests/test_layout.py.
+# ---------------------------------------------------------------------------
+_Z_CUTS_VALUE = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 350.0]
+_Z_CUTS_USER = [20.0, 40.0, 60.0, 75.0, 90.0, 110.0, 130.0]
+
+
+def _duck_bucket(expr: str, cuts: list) -> str:
+    return "(" + " + ".join(f"CASE WHEN {c} <= {expr} THEN 1 ELSE 0 END" for c in cuts) + ")"
+
+
+def _duck_morton(bcols: list[str], bits: int) -> str:
+    n = len(bcols)
+    terms = [
+        f"((({b}::BIGINT >> {j}) & 1) << {j * n + i})"
+        for i, b in enumerate(bcols)
+        for j in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_key_events",
+    f"""
+WITH b AS (
+  SELECT event_id,
+         {_duck_bucket("value", _Z_CUTS_VALUE)} AS bv,
+         {_duck_bucket("CAST(user_id AS DOUBLE)", _Z_CUTS_USER)} AS bu
+  FROM events
+)
+SELECT event_id, {_duck_morton(["bv", "bu"], 3)} AS zkey
+FROM b
+""",
+    doc="z-order (morton) key over fixed quantile cuts: row-local bucket "
+    "fold + static bit interleave, zero shuffle",
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    cuts = {"value": _Z_CUTS_VALUE, "user_id": _Z_CUTS_USER}
+    return (
+        zorder_key(ev, ["value", "user_id"], bits=3, cuts=cuts)
+        .select("event_id", F.col("_zkey").alias("zkey"))
+    )

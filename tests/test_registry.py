@@ -35,6 +35,7 @@ POST_WINDOW_ORACLES = (
     "range_join_ship_windows",
     "tfidf_top_terms",
     "quality_unigram_logprob",
+    "zorder_key_events",
 )
 
 
