@@ -29,6 +29,7 @@ def main() -> None:
     res = curate(
         docs,
         eval_df,
+        lm_logprob_min=-8.0,  # drop rare-token soup (unigram-LM score)
         mix_rates={"en": 0.5, "de": 0.35, "es": 0.3, "fr": 0.3},
         mix_default_rate=0.1,
         source_cap=20,  # bound any one source's share of the corpus

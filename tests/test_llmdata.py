@@ -946,3 +946,71 @@ def test_unigram_logprob_matches_python_model(spark):
     assert got == want
     # fluent (common-token) text outranks the rare-token doc
     assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: tf_idf / unigram_logprob vs exact python models on
+# random corpora (empty docs included — they still count toward N)
+# ---------------------------------------------------------------------------
+_DOC_TEXTS = _st.lists(
+    _st.tuples(
+        _st.integers(0, 500),
+        _st.lists(_st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=12).map(" ".join),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_DOC_TEXTS)
+def test_tf_idf_matches_model_on_random_corpora(spark, rows):
+    import math
+
+    from eth_event_tracker_spark.operators.text import tf_idf
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.term): (r.tf, r.score) for r in tf_idf(df, k=2).collect()}
+    n = len(rows)
+    dfreq: dict[str, int] = {}
+    toks = {i: [w for w in t.split() if w] for i, t in rows}
+    for ws in toks.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, ws in toks.items():
+        tfs: dict[str, int] = {}
+        for t in ws:
+            tfs[t] = tfs.get(t, 0) + 1
+        top = sorted(
+            ((t, c, round(c * (math.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0), 6)) for t, c in tfs.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:2]
+        for t, c, s in top:
+            want[(i, t)] = (c, s)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=_DOC_TEXTS)
+def test_unigram_logprob_matches_model_on_random_corpora(spark, rows):
+    import math
+
+    from eth_event_tracker_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.logprob) for r in unigram_logprob(df).collect()}
+    toks = {i: [w for w in t.split() if w] for i, t in rows}
+    cnt: dict[str, int] = {}
+    for ws in toks.values():
+        for t in ws:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    want = {}
+    for i, ws in toks.items():
+        if not ws:
+            continue  # token-less docs emit no score row
+        s = sum(round(math.log(cnt[t] / total) * 1e9) for t in ws)
+        want[i] = (len(ws), s / len(ws) / 1e9)
+    assert got == want
