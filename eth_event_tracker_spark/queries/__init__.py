@@ -82,6 +82,7 @@ _POST_WINDOW = (
     "tfidf_top_terms",
     "quality_unigram_logprob",
     "zorder_key_events",
+    "window_range_frame_1h",
 )
 
 

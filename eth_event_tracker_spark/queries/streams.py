@@ -265,3 +265,40 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["click_id"]
     ).select("event_id", "user_id", "ts", "click_id_asof", "ts_asof")
+
+
+# ---------------------------------------------------------------------------
+# Range-frame window: trailing 1-hour aggregates per user — the
+# VALUE-defined frame (RANGE BETWEEN), complementing the row-defined
+# frames of window_running_sum.  The frame is a function of the ORDER
+# value (epoch seconds), so ties contribute their full peer group in
+# both engines and the result is order-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame_1h",
+    """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch(ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+""",
+    doc="trailing 1-hour per-user window (RANGE frame over epoch "
+    "seconds): one shuffle on user_id, value-defined frame",
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )

@@ -36,6 +36,7 @@ POST_WINDOW_ORACLES = (
     "tfidf_top_terms",
     "quality_unigram_logprob",
     "zorder_key_events",
+    "window_range_frame_1h",
 )
 
 
