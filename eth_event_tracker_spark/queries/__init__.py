@@ -83,6 +83,7 @@ _POST_WINDOW = (
     "quality_unigram_logprob",
     "zorder_key_events",
     "window_range_frame_1h",
+    "changelog_time_travel",
 )
 
 

@@ -324,6 +324,135 @@ def changelog_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Changelog time-travel: the store's state at ANY historical changelog
+# position, reconstructed from the append-only add/remove stream — the
+# query a consumer of the durable EventCh twin (tracker.go:841-846) runs
+# to audit "what did the filter's table look like before/during/after the
+# reorg".  The changelog is synthesized from the fixture chain model:
+# adds for the canonical chain (indx = store order, postgresql_store.go:
+# 111-130), then oldest-first retractions of the forked heights (A-3
+# delivery order, tracker.go:786-800), then re-adds under the fork hashes.
+# Three instants are probed — pre-reorg, mid-retraction (the reorg half
+# applied), post-reorg — via the broadcast-scalar shape, and each view is
+# the ONE-window `current_view` reconstruction (streaming/pipeline.py).
+# ---------------------------------------------------------------------------
+def _fork_hash_sql() -> str:
+    return "'0x' || sha256('blkfork' || CAST(block_num AS STRING))"
+
+
+@register(
+    "changelog_time_travel",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+s AS (SELECT MAX(block_num) AS m, COUNT(*) AS n0 FROM logs),
+forked AS (SELECT l.* FROM logs l, s WHERE l.block_num > s.m - {FORK_DEPTH}),
+s2 AS (SELECT COUNT(*) AS nrem FROM forked),
+adds0 AS (
+  SELECT 'add' AS change_type, block_num, tx_index, log_index, block_hash, value,
+         ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
+  FROM logs),
+rem AS (
+  SELECT 'remove' AS change_type, block_num, tx_index, log_index, block_hash, value,
+         (SELECT n0 FROM s) + ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
+  FROM forked),
+readd AS (
+  SELECT 'add' AS change_type, block_num, tx_index, log_index,
+         {_fork_hash_sql()} AS block_hash, value,
+         (SELECT n0 FROM s) + (SELECT nrem FROM s2)
+           + ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
+  FROM forked),
+changelog AS (
+  SELECT * FROM adds0 UNION ALL SELECT * FROM rem UNION ALL SELECT * FROM readd),
+instants AS (
+  SELECT 'pre_reorg' AS view_label, (SELECT n0 - 1 FROM s) AS t
+  UNION ALL
+  SELECT 'mid_retraction', (SELECT n0 FROM s) - 1 + (SELECT nrem // 2 FROM s2)
+  UNION ALL
+  SELECT 'post_reorg', (SELECT n0 FROM s) + 2 * (SELECT nrem FROM s2) - 1),
+ranked AS (
+  SELECT i.view_label, c.block_num, c.block_hash, c.value, c.change_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY i.view_label, c.block_hash, c.tx_index, c.log_index
+           ORDER BY c.indx DESC) AS rn
+  FROM instants i JOIN changelog c ON c.indx <= i.t)
+SELECT view_label, block_num, COUNT(*) AS n_logs,
+       CAST(SUM(CASE WHEN block_hash <> '0x' || sha256('blk' || CAST(block_num AS STRING))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fork,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM ranked WHERE rn = 1 AND change_type = 'add'
+GROUP BY view_label, block_num
+""",
+    doc="changelog time-travel: view_as_of at pre/mid/post-reorg instants (tracker.go:841-846)",
+)
+def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import view_as_of
+
+    logs = derived_logs(spark, sf_dir).select(
+        "block_num", "tx_index", "log_index", "block_hash", "value"
+    )
+    s = logs.agg(F.max("block_num").alias("_m"), F.count("*").alias("_n0"))
+    forked = (
+        logs.crossJoin(F.broadcast(s))
+        .where(F.col("block_num") > F.col("_m") - F.lit(FORK_DEPTH))
+        .drop("_m", "_n0")
+    )
+    s2 = forked.agg(F.count("*").alias("_nrem"))
+
+    adds0 = OPI.assign_indx_scalable(logs).withColumn("change_type", F.lit("add"))
+    rem = (
+        OPI.assign_indx_scalable(forked)
+        .crossJoin(F.broadcast(s.select("_n0")))
+        .withColumn("indx", F.col("indx") + F.col("_n0"))
+        .drop("_n0")
+        .withColumn("change_type", F.lit("remove"))
+    )
+    readd = (
+        OPI.assign_indx_scalable(forked)
+        .crossJoin(F.broadcast(s.select("_n0")))
+        .crossJoin(F.broadcast(s2))
+        .withColumn("indx", F.col("indx") + F.col("_n0") + F.col("_nrem"))
+        .drop("_n0", "_nrem")
+        .withColumn(
+            "block_hash",
+            F.concat(
+                F.lit("0x"),
+                F.sha2(F.concat(F.lit("blkfork"), F.col("block_num").cast("string")), 256),
+            ),
+        )
+        .withColumn("change_type", F.lit("add"))
+    )
+    changelog = adds0.unionByName(rem).unionByName(readd)
+
+    instants = {
+        "pre_reorg": s.select((F.col("_n0") - 1).alias("_as_of")),
+        "mid_retraction": s.crossJoin(s2).select(
+            (F.col("_n0") - 1 + F.expr("_nrem DIV 2")).alias("_as_of")
+        ),
+        "post_reorg": s.crossJoin(s2).select(
+            (F.col("_n0") + 2 * F.col("_nrem") - 1).alias("_as_of")
+        ),
+    }
+    canon_hash = F.concat(
+        F.lit("0x"), F.sha2(F.concat(F.lit("blk"), F.col("block_num").cast("string")), 256)
+    )
+    views = [
+        view_as_of(changelog, t)
+        .groupBy("block_num")
+        .agg(
+            F.count("*").alias("n_logs"),
+            F.sum((F.col("block_hash") != canon_hash).cast("long")).alias("n_fork"),
+            _sum_dec().alias("sum_value"),
+        )
+        .select(F.lit(label).alias("view_label"), "block_num", "n_logs", "n_fork", "sum_value")
+        for label, t in instants.items()
+    ]
+    out = views[0]
+    for v in views[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # U-1 / F-group — hex & binary scalar functions: little-endian uint decode
 # of the ABI payload (README.md:101-102 consumer pattern), sha-256
 # fingerprinting (buildHash recipe, tracker.go:47-60)

@@ -113,6 +113,34 @@ def current_view(changelog: DataFrame) -> DataFrame:
     )
 
 
+def view_as_of(changelog: DataFrame, as_of_indx) -> DataFrame:
+    """Time-travel: the live table as it stood after changelog position
+    ``as_of_indx`` was applied — the historical twin of ``current_view``.
+
+    The changelog's append-only indx IS a logical clock (the reference's
+    monotonic store sequence, postgresql_store.go:111-130), so any past
+    state — including mid-retraction instants inside a reorg — is a
+    filter + the same one-window reconstruction.  Compaction bounds how
+    far back this reaches: ``compact_changelog(finalized_below=h)``
+    collapses history below h, so time-travel is exact for any instant
+    at-or-after the last compaction horizon (the mutable window the
+    reference itself guarantees, tracker.go:33-35) and the retention
+    policy, not the operator, decides the lookback.
+
+    ``as_of_indx`` is an int literal or a 1-row DataFrame with column
+    ``_as_of`` (broadcast-scalar shape: no driver round-trip, and the
+    plan stays a whitelisted single-row BroadcastNestedLoopJoin)."""
+    if isinstance(as_of_indx, DataFrame):
+        filtered = (
+            changelog.crossJoin(F.broadcast(as_of_indx))
+            .where(F.col("indx") <= F.col("_as_of"))
+            .drop("_as_of")
+        )
+    else:
+        filtered = changelog.where(F.col("indx") <= F.lit(int(as_of_indx)))
+    return current_view(filtered)
+
+
 def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
     """Periodic changelog retention, wired to the tracker's own finality
     horizon: compact everything below ``checkpoint head − backlog`` — by

@@ -351,3 +351,62 @@ def test_compact_changelog_crash_recovery(spark, tmp_path, monkeypatch):
     reopened = store.changelog_entry(t.config.filter_hash, bucket_size=8)
     assert not stale.exists()
     assert _view_rows(spark, reopened) == before_view
+
+
+def test_view_as_of_replays_every_historical_instant(spark, tmp_path):
+    """Time-travel audit: after every tracker event the store's
+    authoritative key set is snapshotted; ``view_as_of`` at each
+    recorded changelog position must reproduce every snapshot exactly —
+    including the instants *inside* reorg cycles — and the final instant
+    must equal ``current_view``."""
+    from eth_event_tracker_spark.streaming.pipeline import view_as_of
+
+    prov = MockProvider()
+    prov.advance(12, logs_per_block=1)
+    store = ParquetStore(tmp_path / "store")
+    t = Tracker(prov, store, FilterConfig())
+    clog = store.changelog_entry(t.config.filter_hash)
+
+    snapshots = []  # (max_indx_at_instant, model key set)
+    n_rows = 0
+    model: set[tuple] = set()  # python replay of the add/remove stream
+
+    def record(event):
+        nonlocal n_rows
+        append_changelog(clog, event)
+        n_rows += len(event.added) + len(event.removed)
+        for r in event.added:
+            model.add((r["block_hash"], r["tx_index"], r["log_index"]))
+        for r in event.removed:
+            model.discard((r["block_hash"], r["tx_index"], r["log_index"]))
+        if n_rows:
+            snapshots.append((n_rows - 1, set(model)))
+
+    for e in t.sync():
+        record(e)
+    for _ in range(2):
+        prov.fork(3, logs_per_block=1)
+        for e in t.poll():
+            record(e)
+        prov.advance(2, logs_per_block=1)
+        for e in t.poll():
+            record(e)
+
+    assert len(snapshots) >= 4
+    cdf = clog.df(spark).cache()
+    try:
+        for as_of, expected in snapshots:
+            got = {
+                (r.block_hash, r.tx_index, r.log_index)
+                for r in view_as_of(cdf, as_of).collect()
+            }
+            assert got == expected, f"time-travel mismatch at indx {as_of}"
+        # the broadcast-scalar variant is the same operator
+        from pyspark.sql import functions as F
+
+        last = cdf.agg(F.max("indx").alias("_as_of"))
+        final = sorted(map(tuple, view_as_of(cdf, last).collect()))
+        live = sorted(map(tuple, current_view(cdf).collect()))
+        assert final == live
+    finally:
+        cdf.unpersist()

@@ -37,6 +37,7 @@ POST_WINDOW_ORACLES = (
     "quality_unigram_logprob",
     "zorder_key_events",
     "window_range_frame_1h",
+    "changelog_time_travel",
 )
 
 
