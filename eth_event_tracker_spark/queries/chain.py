@@ -343,32 +343,35 @@ def _fork_hash_sql() -> str:
 @register(
     "changelog_time_travel",
     f"""
-WITH logs AS ({LOGS_CTE_DUCKDB}),
-s AS (SELECT MAX(block_num) AS m, COUNT(*) AS n0 FROM logs),
+WITH logs AS (
+  SELECT l.*, block_num * 100 + tx_index * 10 + log_index AS enc
+  FROM ({LOGS_CTE_DUCKDB}) l),
+s AS (SELECT MAX(block_num) AS m, MAX(enc) AS maxenc FROM logs),
 forked AS (SELECT l.* FROM logs l, s WHERE l.block_num > s.m - {FORK_DEPTH}),
 s2 AS (SELECT COUNT(*) AS nrem FROM forked),
-adds0 AS (
-  SELECT 'add' AS change_type, block_num, tx_index, log_index, block_hash, value,
-         ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
-  FROM logs),
-rem AS (
-  SELECT 'remove' AS change_type, block_num, tx_index, log_index, block_hash, value,
-         (SELECT n0 FROM s) + ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
-  FROM forked),
-readd AS (
-  SELECT 'add' AS change_type, block_num, tx_index, log_index,
-         {_fork_hash_sql()} AS block_hash, value,
-         (SELECT n0 FROM s) + (SELECT nrem FROM s2)
-           + ROW_NUMBER() OVER (ORDER BY block_num, tx_index, log_index) - 1 AS indx
-  FROM forked),
+midenc AS (
+  SELECT MAX(enc) AS menc FROM (
+    SELECT enc, ROW_NUMBER() OVER (ORDER BY enc) AS rn FROM forked)
+  WHERE rn <= (SELECT nrem // 2 FROM s2)),
 changelog AS (
-  SELECT * FROM adds0 UNION ALL SELECT * FROM rem UNION ALL SELECT * FROM readd),
+  SELECT 'add' AS change_type, block_num, tx_index, log_index, block_hash, value,
+         enc AS indx
+  FROM logs
+  UNION ALL
+  SELECT 'remove', block_num, tx_index, log_index, block_hash, value,
+         10000000000 + enc
+  FROM forked
+  UNION ALL
+  SELECT 'add', block_num, tx_index, log_index,
+         {_fork_hash_sql()}, value,
+         20000000000 + enc
+  FROM forked),
 instants AS (
-  SELECT 'pre_reorg' AS view_label, (SELECT n0 - 1 FROM s) AS t
+  SELECT 'pre_reorg' AS view_label, (SELECT maxenc FROM s) AS t
   UNION ALL
-  SELECT 'mid_retraction', (SELECT n0 FROM s) - 1 + (SELECT nrem // 2 FROM s2)
+  SELECT 'mid_retraction', 10000000000 + (SELECT menc FROM midenc)
   UNION ALL
-  SELECT 'post_reorg', (SELECT n0 FROM s) + 2 * (SELECT nrem FROM s2) - 1),
+  SELECT 'post_reorg', 20000000000 + (SELECT maxenc FROM s)),
 ranked AS (
   SELECT i.view_label, c.block_num, c.block_hash, c.value, c.change_type,
          ROW_NUMBER() OVER (
@@ -385,71 +388,79 @@ GROUP BY view_label, block_num
     doc="changelog time-travel: view_as_of at pre/mid/post-reorg instants (tracker.go:841-846)",
 )
 def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.pipeline import view_as_of
+    from ..streaming.pipeline import views_as_of
 
+    # The store's indx only needs to be a monotone logical clock; the
+    # synthetic changelog uses the shuffle-FREE encoding
+    # phase·10^10 + block·100 + tx·10 + log (order-identical to the
+    # append sequence: tx_index<10, log_index<10 by construction) — the
+    # 100k-row fact table never pays a global row_number, and the only
+    # ranking (the mid-retraction cut point) runs on the ~FORK_DEPTH
+    # blocks of retracted rows.
+    _P = 10_000_000_000
+    enc = (F.col("block_num") * 100 + F.col("tx_index") * 10 + F.col("log_index")).cast("long")
     logs = derived_logs(spark, sf_dir).select(
-        "block_num", "tx_index", "log_index", "block_hash", "value"
+        "block_num", "tx_index", "log_index", "block_hash", "value", enc.alias("enc")
     )
-    s = logs.agg(F.max("block_num").alias("_m"), F.count("*").alias("_n0"))
+    s = logs.agg(F.max("block_num").alias("_m"), F.max("enc").alias("_maxenc"))
     forked = (
         logs.crossJoin(F.broadcast(s))
         .where(F.col("block_num") > F.col("_m") - F.lit(FORK_DEPTH))
-        .drop("_m", "_n0")
+        .drop("_m", "_maxenc")
     )
     s2 = forked.agg(F.count("*").alias("_nrem"))
-
-    adds0 = OPI.assign_indx_scalable(logs).withColumn("change_type", F.lit("add"))
-    rem = (
-        OPI.assign_indx_scalable(forked)
-        .crossJoin(F.broadcast(s.select("_n0")))
-        .withColumn("indx", F.col("indx") + F.col("_n0"))
-        .drop("_n0")
-        .withColumn("change_type", F.lit("remove"))
-    )
-    readd = (
-        OPI.assign_indx_scalable(forked)
-        .crossJoin(F.broadcast(s.select("_n0")))
+    # cut point: the enc of the ⌊nrem/2⌋-th oldest retraction (tiny table)
+    midenc = (
+        OPI.assign_indx_scalable(forked.withColumnRenamed("enc", "renc").withColumnRenamed("indx", "_"))
         .crossJoin(F.broadcast(s2))
-        .withColumn("indx", F.col("indx") + F.col("_n0") + F.col("_nrem"))
-        .drop("_n0", "_nrem")
-        .withColumn(
-            "block_hash",
-            F.concat(
-                F.lit("0x"),
-                F.sha2(F.concat(F.lit("blkfork"), F.col("block_num").cast("string")), 256),
-            ),
-        )
-        .withColumn("change_type", F.lit("add"))
+        .agg(F.max(F.when(F.col("indx") < F.expr("_nrem DIV 2"), F.col("renc"))).alias("_menc"))
+    )
+
+    adds0 = logs.select(
+        F.lit("add").alias("change_type"), "block_num", "tx_index", "log_index",
+        "block_hash", "value", F.col("enc").alias("indx"),
+    )
+    rem = forked.select(
+        F.lit("remove").alias("change_type"), "block_num", "tx_index", "log_index",
+        "block_hash", "value", (F.col("enc") + F.lit(_P)).alias("indx"),
+    )
+    fork_hash = F.concat(
+        F.lit("0x"), F.sha2(F.concat(F.lit("blkfork"), F.col("block_num").cast("string")), 256)
+    )
+    readd = forked.select(
+        F.lit("add").alias("change_type"), "block_num", "tx_index", "log_index",
+        fork_hash.alias("block_hash"), "value", (F.col("enc") + F.lit(2 * _P)).alias("indx"),
     )
     changelog = adds0.unionByName(rem).unionByName(readd)
 
-    instants = {
-        "pre_reorg": s.select((F.col("_n0") - 1).alias("_as_of")),
-        "mid_retraction": s.crossJoin(s2).select(
-            (F.col("_n0") - 1 + F.expr("_nrem DIV 2")).alias("_as_of")
-        ),
-        "post_reorg": s.crossJoin(s2).select(
-            (F.col("_n0") + 2 * F.col("_nrem") - 1).alias("_as_of")
-        ),
-    }
+    instants = (
+        s.select(F.lit("pre_reorg").alias("view_label"), F.col("_maxenc").alias("_as_of"))
+        .unionByName(
+            midenc.select(
+                F.lit("mid_retraction").alias("view_label"),
+                (F.col("_menc") + F.lit(_P)).alias("_as_of"),
+            )
+        )
+        .unionByName(
+            s.select(
+                F.lit("post_reorg").alias("view_label"),
+                (F.col("_maxenc") + F.lit(2 * _P)).alias("_as_of"),
+            )
+        )
+    )
     canon_hash = F.concat(
         F.lit("0x"), F.sha2(F.concat(F.lit("blk"), F.col("block_num").cast("string")), 256)
     )
-    views = [
-        view_as_of(changelog, t)
-        .groupBy("block_num")
+    return (
+        views_as_of(changelog, instants)
+        .groupBy("view_label", "block_num")
         .agg(
             F.count("*").alias("n_logs"),
             F.sum((F.col("block_hash") != canon_hash).cast("long")).alias("n_fork"),
             _sum_dec().alias("sum_value"),
         )
-        .select(F.lit(label).alias("view_label"), "block_num", "n_logs", "n_fork", "sum_value")
-        for label, t in instants.items()
-    ]
-    out = views[0]
-    for v in views[1:]:
-        out = out.unionByName(v)
-    return out
+        .select("view_label", "block_num", "n_logs", "n_fork", "sum_value")
+    )
 
 
 # ---------------------------------------------------------------------------

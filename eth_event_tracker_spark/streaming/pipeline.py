@@ -141,6 +141,35 @@ def view_as_of(changelog: DataFrame, as_of_indx) -> DataFrame:
     return current_view(filtered)
 
 
+def views_as_of(changelog: DataFrame, instants: DataFrame) -> DataFrame:
+    """Reconstruct the live view at SEVERAL instants in one pass — the
+    batch form of ``view_as_of`` for audits that probe many historical
+    positions (pre/mid/post-reorg, one per finality checkpoint, …).
+
+    ``instants`` is a SMALL DataFrame ``(view_label, _as_of)`` — broadcast
+    by construction.  Per-instant ``view_as_of`` calls re-evaluate the
+    changelog lineage and run one window shuffle EACH; here the changelog
+    is scanned once, each row fans out to the instants it precedes
+    (broadcast nested-loop against the tiny instants side — the sanctioned
+    scalar-broadcast shape), and a single aggregate per
+    (view_label, natural key) keeps the winning change: ``max`` over an
+    indx-led struct ≡ the row_number()=1 row of ``current_view`` (indx is
+    globally unique, so the max is the latest change).  Shuffle volume is
+    the same rows the per-instant windows would move, but in one stage,
+    one job, one pass over the lineage."""
+    payload = [c for c in changelog.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY]
+    joined = changelog.join(F.broadcast(instants), F.col("indx") <= F.col("_as_of"))
+    winner = joined.groupBy("view_label", *NATURAL_KEY).agg(
+        F.max(F.struct("indx", "change_type", *payload)).alias("_w")
+    )
+    return winner.where(F.col("_w.change_type") == "add").select(
+        "view_label",
+        *NATURAL_KEY,
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+        F.col("_w.indx").alias("indx"),
+    )
+
+
 def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
     """Periodic changelog retention, wired to the tracker's own finality
     horizon: compact everything below ``checkpoint head − backlog`` — by

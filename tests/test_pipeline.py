@@ -410,3 +410,38 @@ def test_view_as_of_replays_every_historical_instant(spark, tmp_path):
         assert final == live
     finally:
         cdf.unpersist()
+
+
+def test_views_as_of_equals_per_instant_view_as_of(spark, tmp_path):
+    """The one-pass multi-instant reconstruction is row-identical to
+    running view_as_of once per instant."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import view_as_of, views_as_of
+
+    store, t, clog, _head = _churned_changelog(spark, tmp_path)
+    cdf = clog.df(spark).cache()
+    try:
+        max_indx = cdf.agg(F.max("indx")).first()[0]
+        probes = [0, max_indx // 3, max_indx // 2, max_indx]
+        instants = spark.createDataFrame(
+            [(f"t{t_}", t_) for t_ in probes], "view_label string, _as_of long"
+        )
+        batch = views_as_of(cdf, instants)
+        for t_ in probes:
+            got = sorted(
+                map(
+                    tuple,
+                    batch.where(F.col("view_label") == f"t{t_}")
+                    .drop("view_label")
+                    .select(*sorted(c for c in batch.columns if c != "view_label"))
+                    .collect(),
+                )
+            )
+            single = view_as_of(cdf, t_)
+            want = sorted(
+                map(tuple, single.select(*sorted(single.columns)).collect())
+            )
+            assert got == want, f"views_as_of mismatch at instant {t_}"
+    finally:
+        cdf.unpersist()

@@ -291,6 +291,9 @@ _SCALAR_BROADCAST_OK = {
     "logs_finality_split",
     "embedding_cosine_topk",
     "embedding_near_dup",
+    # broadcast of the 3-row instants table (views_as_of) + 1-row offset
+    # scalars — every nested-loop side is O(instants), never a fact table
+    "changelog_time_travel",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate
