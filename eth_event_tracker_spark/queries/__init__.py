@@ -84,6 +84,8 @@ _POST_WINDOW = (
     "zorder_key_events",
     "window_range_frame_1h",
     "changelog_time_travel",
+    "q10_returned_items",
+    "q18_large_orders",
 )
 
 

@@ -635,3 +635,90 @@ def range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_price"), F.lit(0.0)).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 — returned-item reporting: the canonical "top offenders"
+# shape (fact-fact join + broadcast dim + agg + TakeOrdered top-k).
+# 100 TB: lineitem and orders co-shuffle once on orderkey; customer joins
+# on the AGGREGATED (custkey-grouped) side; nation is broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 returned items (fact-fact orderkey join, dim broadcast, top-20)",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    per_cust = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 — large-volume orders: the HAVING-subquery decorrelation
+# shape.  The qualifying orderkeys come from ONE aggregate over lineitem
+# (map-side combine), then semi-filter orders via an equality join —
+# never a correlated per-row subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 large orders (HAVING-subquery decorrelated to a semi join)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_sum_dec("l_quantity").alias("sum_qty"), F.sum("l_quantity").alias("_raw"))
+        .where(F.col("_raw") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )

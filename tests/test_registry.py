@@ -38,6 +38,8 @@ POST_WINDOW_ORACLES = (
     "zorder_key_events",
     "window_range_frame_1h",
     "changelog_time_travel",
+    "q10_returned_items",
+    "q18_large_orders",
 )
 
 
