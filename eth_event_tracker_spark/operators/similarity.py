@@ -618,3 +618,148 @@ def semantic_dedup(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN tier.
+#
+# At 100 TB a float32 corpus is 4·d bytes/vector; PQ stores m single-byte
+# centroid codes (m=8, d=64 → 32× smaller), and queries scan CODES with a
+# per-query lookup table (ADC) instead of touching the raw vectors — only
+# the shortlist is reranked exactly.  Train-on-a-sample is the standard
+# recipe (the codebooks are m·k·(d/m) floats — driver-resident like the
+# IVF centroid matrix); encode and ADC scoring are pure JVM expressions
+# (ordered double folds, no Arrow seam, whole-stage codegen).
+# ---------------------------------------------------------------------------
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 4,
+    n_train: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Per-subspace Lloyd k-means on a deterministic bounded sample
+    (first ``n_train`` by id — TakeOrdered, never a full collect).
+    Returns codebooks shaped (m, k, d/m) float64."""
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_train).collect()
+    x = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cents = xs[:k].copy()  # deterministic seed: first k sample rows
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = xs[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def _sq_dist_fold(subvec, centroid: "np.ndarray"):
+    """Ordered-fold squared euclidean distance between an array slice and
+    a literal centroid — same bit-portable fold discipline as _dbl_dot."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(subvec, lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of m nearest-centroid codes.  Pure
+    JVM: per subspace, k ordered-fold distances + array_position(min) —
+    first-minimum tie-break, matching np.argmin."""
+    m, k, dsub = codebooks.shape
+    codes = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
+        dists = F.array(*[_sq_dist_fold(sub, codebooks[s, j]) for j in range(k)])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: "np.ndarray",
+    k: int = 5,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC search + exact rerank.
+
+    Driver builds each query's (m·n_cent) lookup table of subspace
+    distances (tiny: queries are the small side by contract), the table
+    rides the broadcast join, and the corpus CODES are scored with one
+    indexed-transform fold — the raw vectors are read only for the
+    ``shortlist·k`` candidates per query that survive, which are exactly
+    reranked on true squared distance.  Output: (q_id, vec_id, dist,
+    rank ≤ k) — ties broken by id, like every other tier."""
+    m, n_cent, dsub = codebooks.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        lut = np.empty(m * n_cent)
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            lut[s * n_cent : s * n_cent + n_cent] = ((codebooks[s] - qs) ** 2).sum(axis=1)
+        lut_rows.append((int(r[0]), [float(v) for v in lut], [float(v) for v in qv]))
+    spark = queries.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, f"q_id long, lut array<double>, qv array<double>"
+    )
+    # ADC scan touches ONLY (id, codes): the raw vectors never enter the
+    # scan or the shortlist shuffle — they are joined back for just the
+    # shortlist·k survivors per query (the compressed-domain contract).
+    scored = corpus_codes.select(
+        F.col(id_col).alias("c_id"), codes_col
+    ).crossJoin(F.broadcast(luts.drop("qv"))).select(
+        "q_id",
+        "c_id",
+        F.expr(
+            f"aggregate(transform({codes_col}, (c, s) -> element_at(lut, s * {n_cent} + c + 1)), "
+            "0D, (acc, x) -> acc + x)"
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist * k)
+        .join(
+            corpus_codes.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+            "c_id",
+        )
+        .join(F.broadcast(luts.select("q_id", "qv")), "q_id")
+    )
+    exact = short.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "c_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
+    )

@@ -563,6 +563,20 @@ def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+@register(
+    "embedding_pq_topk",
+    None,
+    "PQ compressed-domain ANN: ADC scan over 8-byte codes + exact rerank (rows-only extra)",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    books = OPS.pq_train(corpus, m=8, k=16)
+    codes = OPS.pq_encode(corpus, books)
+    return OPS.pq_adc_topk(queries, codes, books, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — no image/audio libs in container)
 # ---------------------------------------------------------------------------

@@ -1014,3 +1014,87 @@ def test_unigram_logprob_matches_model_on_random_corpora(spark, rows):
         s = sum(round(math.log(cnt[t] / total) * 1e9) for t in ws)
         want[i] = (len(ws), s / len(ws) / 1e9)
     assert got == want
+
+
+def test_pq_encode_jvm_matches_numpy_model(spark):
+    """The JVM encode path (ordered-fold distances + first-min
+    array_position) must produce the exact codes np.argmin produces on
+    the same codebooks."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    books = OPS.pq_train(df, m=4, k=8, n_train=64)
+    got = {
+        r.vec_id: list(r.pq_codes) for r in OPS.pq_encode(df, books).collect()
+    }
+    # model: float32 ingest (array<float>!) then float64 distances
+    x32 = x.astype(np.float32).astype(np.float64)
+    for i in range(80):
+        want = []
+        for s in range(4):
+            sub = x32[i, s * 4 : (s + 1) * 4]
+            d2 = ((books[s] - sub) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d2)))
+        assert got[i] == want, f"vec {i}: {got[i]} != {want}"
+
+
+def test_pq_adc_recall_with_rerank(spark):
+    """PQ ADC + exact rerank on clustered data: ≥0.8 recall of the true
+    euclidean top-5, and the reranked distances are the TRUE distances
+    (bit-exact vs a numpy fold model)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(10, 32))
+    rows = []
+    vid = 0
+    for ci in range(10):
+        for _ in range(20):
+            v = centers[ci] + 0.15 * rng.normal(size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") % 20 == 0)
+    c = df.where(F.col("vec_id") % 20 != 0)
+
+    books = OPS.pq_train(c, m=8, k=16, n_train=190)
+    codes = OPS.pq_encode(c, books)
+    got = OPS.pq_adc_topk(q, codes, books, k=5).collect()
+
+    # numpy exact euclidean top-5 model
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float32).astype(np.float64) for r in rows}
+    c_ids = [r[0] for r in rows if r[0] % 20 != 0]
+    exact = set()
+    for qid in (r[0] for r in rows if r[0] % 20 == 0):
+        d = sorted(
+            ((float(((vecs[qid] - vecs[cid]) ** 2).sum()), cid) for cid in c_ids)
+        )[:5]
+        exact |= {(qid, cid) for _, cid in d}
+    approx = {(r.q_id, r.vec_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"pq recall {recall:.2f}"
+    # reranked dist is the true squared distance (ordered-fold exact)
+    for r in got:
+        acc = 0.0
+        qv, cv = vecs[r.q_id], vecs[r.vec_id]
+        for a, b in zip(qv, cv):
+            acc += (a - b) * (a - b)
+        assert r.dist == acc, f"rerank dist not exact for {(r.q_id, r.vec_id)}"
+    assert all(1 <= r.rank <= 5 for r in got)
+
+
+def test_pq_registry_entry_shape(spark, sf_dir):
+    from eth_event_tracker_spark.queries.llmdata import embedding_pq_topk
+
+    out = embedding_pq_topk(spark, sf_dir).collect()
+    assert len(out) == 25  # 5 queries × top-5
+    assert all(1 <= r.rank <= 5 for r in out)
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r.dist)
+    assert all(sorted(v) == v for v in (sorted(per_q[k]) for k in per_q))

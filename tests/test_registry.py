@@ -21,6 +21,7 @@ ROWS_ONLY_EXTRAS = {
     "embedding_cosine_topk_fast",
     "embedding_ann",
     "embedding_near_dup_lsh",
+    "embedding_pq_topk",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
