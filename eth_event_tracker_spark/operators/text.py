@@ -398,3 +398,116 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.sum("tf").alias("n_tokens"),
         (F.sum("contrib_e9").cast("double") / F.sum("tf") / F.lit(1e9)).alias("logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — the corpus-scale pair-counting step.
+#
+# The scale shape that makes this tractable at 100 TB: the CORPUS is read
+# exactly once (word counts, map-side combine → one shuffle to a
+# vocab-sized table); every merge round after that operates on the VOCAB
+# (unique words × their counts), whose size is corpus-independent.  The
+# classic driver-side dict implementation is the same algorithm — here
+# each round is a Spark transform over the vocab DataFrame, so a huge
+# vocab would still distribute.
+# ---------------------------------------------------------------------------
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n) over whitespace words — the single corpus pass."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-character pair counts weighted by word frequency — one
+    round of the BPE objective over the initial (character) segmentation.
+    Returns (pair, n_pairs); the argmax row is the first merge."""
+    wc = word_counts(df, text_col).where(F.char_length("w") >= 2)
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return pairs.groupBy("pair").agg(F.sum("n").alias("n_pairs"))
+
+
+def _merge_pair_fold(a: str, b: str, col: str = "syms"):
+    """Greedy left-to-right merge of adjacent (a, b) into one symbol,
+    as an aggregate fold over the symbol array: each step either fuses
+    the incoming symbol with the accumulator's tail (when tail == a and
+    incoming == b) or appends it.  Overlaps resolve left-first —
+    [a,a,a] with pair (a,a) → [aa, a] — the classic BPE convention.
+    The fused token can never string-equal ``a`` (b is non-empty), so a
+    fused tail is never re-fused within the round."""
+    merged = a + b
+
+    def step(acc, x):
+        fuse = (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b))
+        return F.when(
+            fuse,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(col, F.array().cast("array<string>"), step)
+
+
+def _pair_counts_of(vocab: DataFrame) -> DataFrame:
+    return (
+        vocab.where(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+            "n",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges.  One corpus pass builds the vocab
+    (word → count); every round after that re-derives pair counts from
+    the CURRENT symbol segmentation over the vocab table, picks the most
+    frequent pair (ties → lexicographically smallest (a, b) — the
+    deterministic convention, pinned against the python model), and
+    greedily merges it everywhere.  Lineage is cut per round, so round
+    r's plan does not replay rounds 0..r-1; the only driver data is one
+    (a, b, count) row per round."""
+    vocab = (
+        word_counts(df, text_col)
+        .select(F.expr("filter(split(w, '(?!^)'), x -> x <> '')").alias("syms"), "n")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = _pair_counts_of(vocab).orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        vocab = vocab.select(
+            _merge_pair_fold(a, b).alias("syms"), "n"
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> DataFrame:
+    """Apply learned merges to a corpus: per word, replay the merge list
+    in order (the standard greedy apply).  Adds ``bpe_syms``
+    (array<string>) — the corpus-side consumer of ``bpe_train``."""
+    out = df.withColumn(
+        "bpe_syms", F.expr(f"filter(split({text_col}, '(?!^)'), x -> x <> '')")
+    )
+    for a, b in merges:
+        out = out.withColumn("bpe_syms", _merge_pair_fold(a, b, "bpe_syms"))
+    return out

@@ -86,6 +86,7 @@ _POST_WINDOW = (
     "changelog_time_travel",
     "q10_returned_items",
     "q18_large_orders",
+    "bpe_pair_counts",
 )
 
 

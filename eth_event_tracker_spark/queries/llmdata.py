@@ -1031,3 +1031,34 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key(ev, ["value", "user_id"], bits=3, cuts=cuts)
         .select("event_id", F.col("_zkey").alias("zkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts — the tokenizer-training objective, one corpus pass.
+# The corpus is read once into word counts (map-side combine, one
+# vocab-sized shuffle); pair explosion runs over the VOCAB, whose size is
+# corpus-independent — the property that makes BPE training feasible at
+# 100 TB.  bpe_train/bpe_segment (operators/text.py) iterate this same
+# shape; the registry slot verifies the round-0 objective exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_pair_counts",
+    """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS n FROM words WHERE w <> '' AND length(w) >= 2 GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(unnest(generate_series(1, CAST(length(w) - 1 AS BIGINT))) AS INT), 2) AS pair, n
+  FROM wc
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 50
+""",
+    doc="BPE tokenizer training round 0: frequency-weighted adjacent-pair counts over the vocab",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_pair_counts as _pc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _pc(docs).orderBy(F.desc("n_pairs"), "pair").limit(50)

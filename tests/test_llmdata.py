@@ -1098,3 +1098,70 @@ def test_pq_registry_entry_shape(spark, sf_dir):
     for r in out:
         per_q.setdefault(r.q_id, []).append(r.dist)
     assert all(sorted(v) == v for v in (sorted(per_q[k]) for k in per_q))
+
+
+def _bpe_python(word_counts: dict[str, int], n_merges: int):
+    """Reference BPE: classic dict implementation, ties broken by
+    lexicographically smallest (a, b), greedy left-first merge."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_model(spark):
+    from eth_event_tracker_spark.operators.text import bpe_segment, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide widest wider",
+        "low new wide lowest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+
+    n_merges = 10
+    want_merges, want_vocab = _bpe_python(wc, n_merges)
+    got_merges = bpe_train(df, n_merges=n_merges)
+    assert got_merges == want_merges
+
+    # applying the learned merges reproduces the model's segmentation
+    words_df = spark.createDataFrame([(w,) for w in wc], "text string")
+    seg = {r.text: tuple(r.bpe_syms) for r in bpe_segment(words_df, got_merges).collect()}
+    model_seg = {"".join(k): k for k in want_vocab}
+    assert seg == model_seg
+
+
+def test_bpe_merge_overlap_left_first(spark):
+    """[a,a,a] with pair (a,a) must become [aa, a] — greedy left-first."""
+    from eth_event_tracker_spark.operators.text import bpe_segment
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("baaab",)], "text string")
+    seg = {r.text: list(r.bpe_syms) for r in bpe_segment(df, [("a", "a")]).collect()}
+    assert seg == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"], "baaab": ["b", "aa", "a", "b"]}

@@ -41,6 +41,7 @@ POST_WINDOW_ORACLES = (
     "changelog_time_travel",
     "q10_returned_items",
     "q18_large_orders",
+    "bpe_pair_counts",
 )
 
 
