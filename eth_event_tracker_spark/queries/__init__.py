@@ -87,6 +87,7 @@ _POST_WINDOW = (
     "q10_returned_items",
     "q18_large_orders",
     "bpe_pair_counts",
+    "changelog_validity_intervals",
 )
 
 

@@ -340,10 +340,11 @@ def _fork_hash_sql() -> str:
     return "'0x' || sha256('blkfork' || CAST(block_num AS STRING))"
 
 
-@register(
-    "changelog_time_travel",
-    f"""
-WITH logs AS (
+_P = 10_000_000_000  # phase stride of the synthetic changelog's logical clock
+
+# DuckDB twin of _synthetic_changelog below — keep in sync.
+_CLOG_CTES_DUCKDB = f"""
+logs AS (
   SELECT l.*, block_num * 100 + tx_index * 10 + log_index AS enc
   FROM ({LOGS_CTE_DUCKDB}) l),
 s AS (SELECT MAX(block_num) AS m, MAX(enc) AS maxenc FROM logs),
@@ -359,45 +360,30 @@ changelog AS (
   FROM logs
   UNION ALL
   SELECT 'remove', block_num, tx_index, log_index, block_hash, value,
-         10000000000 + enc
+         {_P} + enc
   FROM forked
   UNION ALL
   SELECT 'add', block_num, tx_index, log_index,
          {_fork_hash_sql()}, value,
-         20000000000 + enc
-  FROM forked),
-instants AS (
-  SELECT 'pre_reorg' AS view_label, (SELECT maxenc FROM s) AS t
-  UNION ALL
-  SELECT 'mid_retraction', 10000000000 + (SELECT menc FROM midenc)
-  UNION ALL
-  SELECT 'post_reorg', 20000000000 + (SELECT maxenc FROM s)),
-ranked AS (
-  SELECT i.view_label, c.block_num, c.block_hash, c.value, c.change_type,
-         ROW_NUMBER() OVER (
-           PARTITION BY i.view_label, c.block_hash, c.tx_index, c.log_index
-           ORDER BY c.indx DESC) AS rn
-  FROM instants i JOIN changelog c ON c.indx <= i.t)
-SELECT view_label, block_num, COUNT(*) AS n_logs,
-       CAST(SUM(CASE WHEN block_hash <> '0x' || sha256('blk' || CAST(block_num AS STRING))
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fork,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM ranked WHERE rn = 1 AND change_type = 'add'
-GROUP BY view_label, block_num
-""",
-    doc="changelog time-travel: view_as_of at pre/mid/post-reorg instants (tracker.go:841-846)",
-)
-def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..streaming.pipeline import views_as_of
+         {2 * _P} + enc
+  FROM forked)
+"""
 
-    # The store's indx only needs to be a monotone logical clock; the
-    # synthetic changelog uses the shuffle-FREE encoding
-    # phase·10^10 + block·100 + tx·10 + log (order-identical to the
-    # append sequence: tx_index<10, log_index<10 by construction) — the
-    # 100k-row fact table never pays a global row_number, and the only
-    # ranking (the mid-retraction cut point) runs on the ~FORK_DEPTH
-    # blocks of retracted rows.
-    _P = 10_000_000_000
+
+def _synthetic_changelog(spark: SparkSession, sf_dir: str):
+    """The fixture chain's reorg history as an append-only changelog.
+
+    The store's indx only needs to be a monotone logical clock; the
+    synthetic changelog uses the shuffle-FREE encoding
+    phase·10^10 + block·100 + tx·10 + log (order-identical to the
+    append sequence: tx_index<10, log_index<10 by construction) — the
+    100k-row fact table never pays a global row_number, and the only
+    ranking (the mid-retraction cut point) runs on the ~FORK_DEPTH
+    blocks of retracted rows.
+
+    Returns (changelog, s, midenc): the tagged rows, the 1-row scalars
+    (_m max block, _maxenc max clock), and the 1-row mid-retraction cut
+    (_menc)."""
     enc = (F.col("block_num") * 100 + F.col("tx_index") * 10 + F.col("log_index")).cast("long")
     logs = derived_logs(spark, sf_dir).select(
         "block_num", "tx_index", "log_index", "block_hash", "value", enc.alias("enc")
@@ -411,7 +397,7 @@ def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = forked.agg(F.count("*").alias("_nrem"))
     # cut point: the enc of the ⌊nrem/2⌋-th oldest retraction (tiny table)
     midenc = (
-        OPI.assign_indx_scalable(forked.withColumnRenamed("enc", "renc").withColumnRenamed("indx", "_"))
+        OPI.assign_indx_scalable(forked.withColumnRenamed("enc", "renc"))
         .crossJoin(F.broadcast(s2))
         .agg(F.max(F.when(F.col("indx") < F.expr("_nrem DIV 2"), F.col("renc"))).alias("_menc"))
     )
@@ -431,7 +417,38 @@ def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("add").alias("change_type"), "block_num", "tx_index", "log_index",
         fork_hash.alias("block_hash"), "value", (F.col("enc") + F.lit(2 * _P)).alias("indx"),
     )
-    changelog = adds0.unionByName(rem).unionByName(readd)
+    return adds0.unionByName(rem).unionByName(readd), s, midenc
+
+
+@register(
+    "changelog_time_travel",
+    f"""
+WITH {_CLOG_CTES_DUCKDB},
+instants AS (
+  SELECT 'pre_reorg' AS view_label, (SELECT maxenc FROM s) AS t
+  UNION ALL
+  SELECT 'mid_retraction', {_P} + (SELECT menc FROM midenc)
+  UNION ALL
+  SELECT 'post_reorg', {2 * _P} + (SELECT maxenc FROM s)),
+ranked AS (
+  SELECT i.view_label, c.block_num, c.block_hash, c.value, c.change_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY i.view_label, c.block_hash, c.tx_index, c.log_index
+           ORDER BY c.indx DESC) AS rn
+  FROM instants i JOIN changelog c ON c.indx <= i.t)
+SELECT view_label, block_num, COUNT(*) AS n_logs,
+       CAST(SUM(CASE WHEN block_hash <> '0x' || sha256('blk' || CAST(block_num AS STRING))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fork,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM ranked WHERE rn = 1 AND change_type = 'add'
+GROUP BY view_label, block_num
+""",
+    doc="changelog time-travel: view_as_of at pre/mid/post-reorg instants (tracker.go:841-846)",
+)
+def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import views_as_of
+
+    changelog, s, midenc = _synthetic_changelog(spark, sf_dir)
 
     instants = (
         s.select(F.lit("pre_reorg").alias("view_label"), F.col("_maxenc").alias("_as_of"))
@@ -460,6 +477,44 @@ def changelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_dec().alias("sum_value"),
         )
         .select("view_label", "block_num", "n_logs", "n_fork", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / temporal-table view of the changelog: one [valid_from, valid_to)
+# interval per natural key in logical-clock space — live rows have a null
+# valid_to.  The interval table is what AS-OF interval joins consume
+# (operators/rangejoin.py); its live set is pinned == current_view in
+# tests.  One hash aggregate on the natural key.
+# ---------------------------------------------------------------------------
+@register(
+    "changelog_validity_intervals",
+    f"""
+WITH {_CLOG_CTES_DUCKDB},
+intervals AS (
+  SELECT block_num, block_hash, tx_index, log_index,
+         MIN(CASE WHEN change_type = 'add' THEN indx END) AS valid_from,
+         MIN(CASE WHEN change_type = 'remove' THEN indx END) AS valid_to
+  FROM changelog
+  GROUP BY block_num, block_hash, tx_index, log_index)
+SELECT block_num, COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       MAX(valid_to - valid_from) AS max_closed_span
+FROM intervals GROUP BY block_num
+""",
+    doc="SCD2 validity intervals from the changelog (live = null valid_to; tracker.go:291-314 finality)",
+)
+def changelog_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import validity_intervals
+
+    changelog, _s, _m = _synthetic_changelog(spark, sf_dir)
+    iv = validity_intervals(changelog)
+    return iv.groupBy("block_num").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("valid_to").isNotNull().cast("long")).alias("n_closed"),
+        F.sum(F.col("valid_to").isNull().cast("long")).alias("n_live"),
+        F.max(F.col("valid_to") - F.col("valid_from")).alias("max_closed_span"),
     )
 
 

@@ -170,6 +170,26 @@ def views_as_of(changelog: DataFrame, instants: DataFrame) -> DataFrame:
     )
 
 
+def validity_intervals(changelog: DataFrame) -> DataFrame:
+    """SCD2 view of the changelog: one row per natural key with
+    ``[valid_from, valid_to)`` in changelog-indx (logical clock) space —
+    ``valid_to`` null while the row is live.  Chain semantics guarantee a
+    key is added once and retracted at most once (a reorged-out
+    block_hash never returns — tracker.go:291-314), so min() suffices on
+    both sides and every other column is constant per key (carried with
+    min as well).  One hash aggregate on the natural key, map-side
+    combined; the result joins AS-OF any instant via
+    ``valid_from <= t AND (valid_to IS NULL OR valid_to > t)`` — the
+    interval twin of ``view_as_of`` (same rows, pinned in tests)."""
+    payload = [c for c in changelog.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY]
+    is_add = F.col("change_type") == "add"
+    return changelog.groupBy(*NATURAL_KEY).agg(
+        F.min(F.when(is_add, F.col("indx"))).alias("valid_from"),
+        F.min(F.when(~is_add, F.col("indx"))).alias("valid_to"),
+        *[F.min(c).alias(c) for c in payload],
+    )
+
+
 def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
     """Periodic changelog retention, wired to the tracker's own finality
     horizon: compact everything below ``checkpoint head − backlog`` — by

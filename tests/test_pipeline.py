@@ -445,3 +445,43 @@ def test_views_as_of_equals_per_instant_view_as_of(spark, tmp_path):
             assert got == want, f"views_as_of mismatch at instant {t_}"
     finally:
         cdf.unpersist()
+
+
+def test_validity_intervals_agree_with_views(spark, tmp_path):
+    """SCD2 intervals vs the reconstruction operators: the live set
+    (null valid_to) equals current_view, and the interval AS-OF predicate
+    at any probe instant selects exactly view_as_of's rows."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import (
+        validity_intervals,
+        view_as_of,
+    )
+
+    store, t, clog, _head = _churned_changelog(spark, tmp_path)
+    cdf = clog.df(spark).cache()
+    try:
+        iv = validity_intervals(cdf).cache()
+        key = ["block_hash", "tx_index", "log_index"]
+        live = {tuple(r) for r in iv.where("valid_to IS NULL").select(*key).collect()}
+        want_live = {tuple(r) for r in current_view(cdf).select(*key).collect()}
+        assert live == want_live
+
+        max_indx = cdf.agg(F.max("indx")).first()[0]
+        for probe in (0, max_indx // 3, max_indx // 2, max_indx):
+            asof = {
+                tuple(r)
+                for r in iv.where(
+                    (F.col("valid_from") <= probe)
+                    & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+                )
+                .select(*key)
+                .collect()
+            }
+            want = {tuple(r) for r in view_as_of(cdf, probe).select(*key).collect()}
+            assert asof == want, f"interval AS-OF mismatch at {probe}"
+        # every closed interval is well-formed
+        assert iv.where("valid_to IS NOT NULL AND valid_to <= valid_from").count() == 0
+        iv.unpersist()
+    finally:
+        cdf.unpersist()

@@ -294,6 +294,7 @@ _SCALAR_BROADCAST_OK = {
     # broadcast of the 3-row instants table (views_as_of) + 1-row offset
     # scalars — every nested-loop side is O(instants), never a fact table
     "changelog_time_travel",
+    "changelog_validity_intervals",
     # broadcast of the per-query ADC lookup tables (|queries| rows)
     "embedding_pq_topk",
 }

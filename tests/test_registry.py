@@ -42,6 +42,7 @@ POST_WINDOW_ORACLES = (
     "q10_returned_items",
     "q18_large_orders",
     "bpe_pair_counts",
+    "changelog_validity_intervals",
 )
 
 
