@@ -88,6 +88,8 @@ _POST_WINDOW = (
     "q18_large_orders",
     "bpe_pair_counts",
     "changelog_validity_intervals",
+    "sessionize_events_batch",
+    "changelog_incremental_agg",
 )
 
 

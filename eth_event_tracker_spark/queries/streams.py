@@ -302,3 +302,55 @@ def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands): lag + cumulative boundary sum —
+# the window-function twin of the session_window streaming operator (same
+# 30-minute gap rule as events_session_window).  100 TB shape: ONE shuffle
+# on user_id shared by the lag window, the running sum, and the final
+# per-session aggregate (all partition on user_id first).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize_events_batch",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    doc="gaps-and-islands sessionization: lag + running boundary sum, one user_id shuffle",
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+        ).cast("int"),
+    ).withColumn("is_start", F.coalesce(F.col("is_start"), F.lit(1)))
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = marked.withColumn("session_id", F.sum("is_start").over(wsum))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )

@@ -190,6 +190,26 @@ def validity_intervals(changelog: DataFrame) -> DataFrame:
     )
 
 
+def incremental_agg(
+    changelog: DataFrame, keys: tuple[str, ...], value_col: str | None = None
+) -> DataFrame:
+    """CDC incremental view maintenance: a grouped rollup computed from
+    the raw add/remove stream with SIGNED weights (+1/−1) — equal to
+    aggregating ``current_view`` but without the per-key window, and,
+    incrementally, equal to folding each new delta batch into the stored
+    aggregate (counts and sums are self-inverse under retraction; the
+    decimal cast keeps the signed value sum exact so retractions cancel
+    to the bit).  Groups whose live count reaches zero are dropped, as a
+    maintained view would.  One map-side-combined aggregate per call."""
+    w = F.when(F.col("change_type") == "add", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(w).alias("n_live")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,4)") * w).cast("double").alias("sum_value")
+        )
+    return changelog.groupBy(*keys).agg(*aggs).where(F.col("n_live") > 0)
+
+
 def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
     """Periodic changelog retention, wired to the tracker's own finality
     horizon: compact everything below ``checkpoint head − backlog`` — by

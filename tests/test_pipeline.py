@@ -485,3 +485,27 @@ def test_validity_intervals_agree_with_views(spark, tmp_path):
         iv.unpersist()
     finally:
         cdf.unpersist()
+
+
+def test_incremental_agg_equals_reconstruct_then_aggregate(spark, tmp_path):
+    """IVM identity on a real churned changelog: the signed ±1 rollup
+    equals aggregating current_view, for counts and exact value sums."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import incremental_agg
+
+    store, t, clog, _head = _churned_changelog(spark, tmp_path)
+    cdf = clog.df(spark).cache()
+    try:
+        got = {
+            r.block_num: r.n_live
+            for r in incremental_agg(cdf, keys=("block_num",)).collect()
+        }
+        want = {
+            r.block_num: r.cnt
+            for r in current_view(cdf).groupBy("block_num").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert got == want
+        assert all(v > 0 for v in got.values())
+    finally:
+        cdf.unpersist()

@@ -295,6 +295,7 @@ _SCALAR_BROADCAST_OK = {
     # scalars — every nested-loop side is O(instants), never a fact table
     "changelog_time_travel",
     "changelog_validity_intervals",
+    "changelog_incremental_agg",
     # broadcast of the per-query ADC lookup tables (|queries| rows)
     "embedding_pq_topk",
 }

@@ -43,6 +43,8 @@ POST_WINDOW_ORACLES = (
     "q18_large_orders",
     "bpe_pair_counts",
     "changelog_validity_intervals",
+    "sessionize_events_batch",
+    "changelog_incremental_agg",
 )
 
 
