@@ -683,14 +683,39 @@ def pq_encode(
 ) -> DataFrame:
     """Append ``out_col``: array<int> of m nearest-centroid codes.  Pure
     JVM: per subspace, k ordered-fold distances + array_position(min) —
-    first-minimum tie-break, matching np.argmin."""
+    first-minimum tie-break, matching np.argmin.
+
+    Expression-size note: an earlier form unrolled m·k separate
+    ``aggregate`` folds (128 lambda trees for m=8,k=16) and spent
+    seconds in analysis/codegen before touching a row.  This form nests
+    TWO higher-order lambdas over a constant-folded codebook literal —
+    same arithmetic, same evaluation order per (subspace, centroid),
+    tree size O(m·k literals + 2 lambdas)."""
     m, k, dsub = codebooks.shape
-    codes = []
-    for s in range(m):
-        sub = F.slice(F.col(vec_col), s * dsub + 1, dsub)
-        dists = F.array(*[_sq_dist_fold(sub, codebooks[s, j]) for j in range(k)])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    books = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in codebooks[s, j]]) for j in range(k)])
+            for s in range(m)
+        ]
+    )
+    v = F.col(vec_col)
+    dists = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.element_at(books, s + 1),
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    F.slice(v, s * dsub + 1, F.lit(dsub)),
+                    cv,
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+    )
+    codes = F.transform(dists, lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return df.withColumn(out_col, codes)
 
 
 def pq_adc_topk(
