@@ -1,0 +1,76 @@
+"""Count-min sketch — the mergeable frequency sketch (Cormode/Muthukrishnan
+2005), built entirely from DataFrame aggregates.
+
+Why it exists next to the exact groupBy counts: at 100 TB (or over an
+unbounded stream window) per-key exact counts are unbounded state; a CMS
+is a FIXED d×w counter grid per partition/window that (a) merges by
+cell-wise addition — union + groupBy — so partial sketches roll up like
+any other partial aggregate, and (b) answers point frequency queries
+with one-sided error: estimate ≥ true count, and ≤ true + ε·N with
+probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+
+Hashing is content-derived (xxhash64 with the row index as seed), so
+sketches built anywhere — different partitions, different engines,
+different days — merge coherently."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(df: DataFrame, key_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Build a (row, col, cnt) counter table — at most d·w rows however
+    large ``df`` is.  One explode (d rows per input row, map-side
+    combined) + one hash aggregate."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)).alias("col"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(rows)
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — the property that makes the sketch a partial
+    aggregate: per-partition / per-window / per-day sketches roll up
+    without touching the raw data again."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-frequency estimates for a candidate key set: re-derive each
+    candidate's d cells, join the counter table on (row, col) —
+    equality join, broadcast when the sketch is collected small — and
+    take the min.  Missing cells count 0 (key never seen)."""
+    cells = candidates.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(w)).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    joined = cells.join(F.broadcast(sketch), ["row", "col"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cell_cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))

@@ -134,6 +134,20 @@ def _pipelines(docs, embs, n_planes, n_clusters):
     def semdedup():
         return OPS.semantic_dedup(embs, threshold=0.95, n_clusters=n_clusters).count()
 
+    def pq():
+        # codebook trains on a FIXED-size sample (corpus-independent
+        # driver work); encode + ADC scan are linear; rerank touches only
+        # the shortlist — output is always 5 queries x top-5
+        q = embs.where(F.col("vec_id") < 5)
+        c = embs.where(F.col("vec_id") >= 5)
+        books = OPS.pq_train(c, m=8, k=16)
+        return OPS.pq_adc_topk(q, OPS.pq_encode(c, books), books, k=5).count()
+
+    def bpe():
+        # corpus pass -> vocab-sized pair table; suffixed replicas grow
+        # the VOCAB ~10x but the pair space only slightly (shared chars)
+        return OPT.bpe_pair_counts(docs).count()
+
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_simhash": simhash,
@@ -143,6 +157,8 @@ def _pipelines(docs, embs, n_planes, n_clusters):
         "tfidf_top_terms": tfidf,
         "quality_unigram_logprob": unigram,
         "semantic_dedup_emb": semdedup,
+        "embedding_pq_topk": pq,
+        "bpe_pair_counts": bpe,
     }
 
 
@@ -203,7 +219,7 @@ def test_scale_10x_no_quadratic_cliff(spark):
             "super-linear blowup (quadratic cliff?)"
         )
         # n_planes / n_clusters differ by rep for these two by design
-        if name not in ("embedding_near_dup_lsh", "semantic_dedup_emb"):
+        if name not in ("embedding_near_dup_lsh", "semantic_dedup_emb", "embedding_pq_topk"):
             assert n10 >= n1, f"{name}: replica 0 results must survive at 10x"
     # per-doc row counts with no banding/clustering randomness — the
     # tfidf top-k and unigram score emit a fixed row count per doc, and
