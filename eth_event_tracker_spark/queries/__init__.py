@@ -90,6 +90,7 @@ _POST_WINDOW = (
     "changelog_validity_intervals",
     "sessionize_events_batch",
     "changelog_incremental_agg",
+    "cms_brand_frequencies",
 )
 
 

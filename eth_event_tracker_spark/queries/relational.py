@@ -722,3 +722,29 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch in its exactness regime: estimates for every p_brand
+# from the d×w counter grid vs the true GROUP BY counts.  A CMS estimate
+# is exact unless a key pair collides in ALL d hash rows (min-of-rows);
+# on this 25-key domain at w=8192 the worst is one colliding pair in ONE
+# row, so the hash match against the exact oracle verifies the sketch's
+# build+merge+estimate arithmetic end-to-end.  The error-regime bounds
+# (overestimate-only, ε·N) are pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+@register(
+    "cms_brand_frequencies",
+    """
+SELECT p_brand, COUNT(*) AS est
+FROM part GROUP BY p_brand
+""",
+    doc="count-min sketch point estimates == exact counts in the collision-free-min regime",
+)
+def cms_brand_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+
+    part = load_table(spark, sf_dir, "part")
+    sketch = cms_build(part, "p_brand", d=4, w=8192)
+    brands = part.select("p_brand").distinct()
+    return cms_estimate(sketch, brands, "p_brand", d=4, w=8192)

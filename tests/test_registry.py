@@ -45,6 +45,7 @@ POST_WINDOW_ORACLES = (
     "changelog_validity_intervals",
     "sessionize_events_batch",
     "changelog_incremental_agg",
+    "cms_brand_frequencies",
 )
 
 
