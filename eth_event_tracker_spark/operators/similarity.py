@@ -788,3 +788,91 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
     )
+
+
+def pq_write_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    n_train: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: codebooks at ``<path>/codebooks`` (m·k tiny
+    rows) and ONE columnar table at ``<path>/vectors`` holding
+    (c_id, pq_codes, cv).  No second copy of anything: parquet is
+    columnar, so the ADC scan that selects only (c_id, pq_codes) reads
+    just the code pages — m bytes/vector of I/O — while the rerank's
+    vector fetch reads the cv pages for the shortlist join.  Build-once
+    /probe-many, like :func:`ivf_write_index`."""
+    books = pq_train(corpus, m, k, n_train=n_train, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    rows = [
+        (int(s), int(j), [float(x) for x in books[s, j]])
+        for s in range(m)
+        for j in range(k)
+    ]
+    (
+        spark.createDataFrame(rows, "s int, j int, vector array<double>")
+        .coalesce(1)
+        .write.mode("error")
+        .parquet(f"{path}/codebooks")
+    )
+    (
+        pq_encode(corpus, books, vec_col=vec_col)
+        .select(F.col(id_col).alias("c_id"), "pq_codes", F.col(vec_col).alias("cv"))
+        .write.mode("error")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def _pq_load_books(spark, path: str) -> "np.ndarray":
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.s for r in rows)
+    k = 1 + max(r.j for r in rows)
+    dsub = len(rows[0].vector)
+    books = np.empty((m, k, dsub))
+    for r in rows:
+        books[r.s, r.j] = np.array(r.vector, dtype=np.float64)
+    return books
+
+
+def pq_append_to_index(
+    incoming: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted PQ index: encode ``incoming`` against the
+    STORED codebooks (no retrain — stored codes must stay comparable)
+    and append.  Re-train to a new path when distribution drift degrades
+    quantization error."""
+    spark = incoming.sparkSession
+    books = _pq_load_books(spark, path)
+    (
+        pq_encode(incoming, books, vec_col=vec_col)
+        .select(F.col(id_col).alias("c_id"), "pq_codes", F.col(vec_col).alias("cv"))
+        .write.mode("append")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted PQ index — identical output contract to
+    :func:`pq_adc_topk` with the same codebooks."""
+    books = _pq_load_books(spark, path)
+    stored = spark.read.parquet(f"{path}/vectors").select(
+        F.col("c_id").alias(id_col), "pq_codes", F.col("cv").alias(vec_col)
+    )
+    return pq_adc_topk(
+        queries, stored, books, k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+    )

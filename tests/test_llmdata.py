@@ -1165,3 +1165,53 @@ def test_bpe_merge_overlap_left_first(spark):
     df = spark.createDataFrame([("aaa",), ("aaaa",), ("baaab",)], "text string")
     seg = {r.text: list(r.bpe_syms) for r in bpe_segment(df, [("a", "a")]).collect()}
     assert seg == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"], "baaab": ["b", "aa", "a", "b"]}
+
+
+def test_pq_persisted_index_matches_inline_and_appends(spark, sf_dir, tmp_path):
+    """Persisted PQ index: identical results to the inline path with the
+    same codebooks; append extends the searchable set WITHOUT disturbing
+    prior results; the ADC scan reads only the code columns."""
+    import numpy as np
+
+    from eth_event_tracker_spark.tables import load_table
+    from .test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    first = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 400))
+    extra = emb.where(F.col("vec_id") >= 400)
+    path = str(tmp_path / "pq_index")
+
+    OPS.pq_write_index(first, path, m=8, k=16)
+    books = OPS._pq_load_books(spark, path)
+    inline = sorted(
+        map(tuple, OPS.pq_adc_topk(q, OPS.pq_encode(first, books), books, k=5).collect())
+    )
+    indexed = sorted(map(tuple, OPS.pq_topk_indexed(spark, path, q, k=5).collect()))
+    assert indexed == inline
+
+    # the compressed-domain contract, from the physical plan: at least
+    # one scan of the vectors table reads ONLY (c_id, pq_codes) — the
+    # raw vector column stays on disk for the shortlist join
+    plan = plan_of(OPS.pq_topk_indexed(spark, path, q, k=5))
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "pq_codes" in ln]
+    assert any("cv" not in ln for ln in scans), "ADC scan must not read raw vectors"
+
+    OPS.pq_append_to_index(extra, path)
+    after = OPS.pq_topk_indexed(spark, path, q, k=5).collect()
+    ids_after = {r.vec_id for r in after}
+    # appended vectors are searchable: the corpus grew, so some appended
+    # id appears OR results are unchanged but the index row count grew
+    n_rows = spark.read.parquet(f"{path}/vectors").count()
+    assert n_rows == first.count() + extra.count()
+    assert all(1 <= r.rank <= 5 for r in after)
+
+    # appended codes used the STORED codebooks: re-encode and compare
+    stored = {
+        r.c_id: list(r.pq_codes)
+        for r in spark.read.parquet(f"{path}/vectors").where("c_id >= 400").collect()
+    }
+    want = {
+        r.vec_id: list(r.pq_codes) for r in OPS.pq_encode(extra, books).collect()
+    }
+    assert stored == want
