@@ -91,6 +91,8 @@ _POST_WINDOW = (
     "sessionize_events_batch",
     "changelog_incremental_agg",
     "cms_brand_frequencies",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
 )
 
 

@@ -748,3 +748,74 @@ def cms_brand_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(part, "p_brand", d=4, w=8192)
     brands = part.select("p_brand").distinct()
     return cms_estimate(sketch, brands, "p_brand", d=4, w=8192)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 — shipmode priority counts: conditional aggregation (the
+# CASE-inside-SUM shape) after a fact-fact join filtered on the fact side.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_shipmode_priority",
+    """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'N'
+GROUP BY l.l_linestatus
+""",
+    doc="TPC-H Q12-style conditional aggregation over a fact-fact join",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_returnflag") == "N")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 — promo revenue share: two conditional decimal sums in one
+# aggregate, divided — the ratio-of-aggregates shape (exact decimal
+# sums, then ONE correctly-rounded double division on both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_effect",
+    f"""
+SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_REV_SQL}) AS DOUBLE) * 100.0 AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    doc="TPC-H Q14 promo share: ratio of conditional decimal aggregates, part side broadcast",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = _revenue()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100.0).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )

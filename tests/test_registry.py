@@ -46,6 +46,8 @@ POST_WINDOW_ORACLES = (
     "sessionize_events_batch",
     "changelog_incremental_agg",
     "cms_brand_frequencies",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
 )
 
 
