@@ -93,6 +93,7 @@ _POST_WINDOW = (
     "cms_brand_frequencies",
     "q12_shipmode_priority",
     "q14_promo_effect",
+    "stats_quantiles",
 )
 
 

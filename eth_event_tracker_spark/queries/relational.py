@@ -819,3 +819,32 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped quantiles: percentile (exact linear interpolation) per
+# priority class.  At 100 TB the same query swaps percentile for
+# percentile_approx — a MERGEABLE sketch aggregate (map-side partials)
+# with bounded error; the exact form is the oracle-checkable twin and
+# the accuracy reference the approx tier is tested against.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_quantiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="exact grouped quantiles (interpolated percentile), approx-sketch twin in tests",
+)
+def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"p{int(q*100)}")
+        for q in (0.25, 0.50, 0.75, 0.90)
+    ]
+    return o.groupBy("o_orderpriority").agg(*aggs, F.count("*").alias("n"))

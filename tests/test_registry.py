@@ -48,6 +48,7 @@ POST_WINDOW_ORACLES = (
     "cms_brand_frequencies",
     "q12_shipmode_priority",
     "q14_promo_effect",
+    "stats_quantiles",
 )
 
 

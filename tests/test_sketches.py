@@ -120,3 +120,23 @@ def test_streaming_sketch_equals_batch_and_survives_replay(spark, tmp_path):
     assert got3 == want
     import os
     assert len(os.listdir(tmp_path / "sk" / "parts")) == 1
+
+
+def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir):
+    """The mergeable quantile sketch (percentile_approx — the 100 TB
+    form) stays within its accuracy budget of the exact interpolated
+    percentile that stats_quantiles hash-checks against DuckDB."""
+    from eth_event_tracker_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    both = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("approx"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    for r in both.collect():
+        spread = r.hi - r.lo
+        assert abs(r.approx - r.exact) <= 0.02 * spread, (
+            f"{r.o_orderpriority}: approx {r.approx} vs exact {r.exact}"
+        )
