@@ -74,3 +74,33 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str, d: int 
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cell_cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, min_count: int, d: int = 4, w: int = 4096
+) -> DataFrame:
+    """Keys appearing at least ``min_count`` times — the two-pass
+    sketch-then-verify shape.
+
+    Pass 1 builds the CMS and keeps candidate keys whose ESTIMATE clears
+    the bar; one-sided error makes this a guaranteed superset (no false
+    negatives, ever).  Pass 2 exact-counts ONLY the candidates (semi
+    join, then one aggregate over the filtered rows) and applies the
+    exact bar.  The result is EXACT — collisions cost pass-2 work, never
+    correctness — while per-executor state in pass 1 stays d·w however
+    many distinct keys the data has; the classic CM use (Cormode 2005
+    §4).  For min_count above ~N/w the candidate set is collision-thin;
+    the tighter w is, the more pass-2 verification rides along."""
+    sketch = cms_build(df, key_col, d=d, w=w)
+    distinct_keys = df.select(key_col).distinct()
+    cands = (
+        cms_estimate(sketch, distinct_keys, key_col, d=d, w=w)
+        .where(F.col("est") >= min_count)
+        .select(key_col)
+    )
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

@@ -94,6 +94,7 @@ _POST_WINDOW = (
     "q12_shipmode_priority",
     "q14_promo_effect",
     "stats_quantiles",
+    "heavy_hitter_users",
 )
 
 

@@ -848,3 +848,24 @@ def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in (0.25, 0.50, 0.75, 0.90)
     ]
     return o.groupBy("o_orderpriority").agg(*aggs, F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via sketch-then-verify: CMS candidates (one-sided error
+# → guaranteed superset) + exact verification of candidates only.  The
+# oracle is a plain GROUP BY ... HAVING — the hash match proves the
+# two-pass shape loses nothing and adds nothing, at any collision rate.
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitter_users",
+    """
+SELECT user_id, COUNT(*) AS cnt
+FROM events GROUP BY user_id HAVING COUNT(*) >= 60
+""",
+    doc="two-pass heavy hitters: CMS candidate superset + exact verify == GROUP BY HAVING",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", min_count=60, d=4, w=4096)

@@ -49,6 +49,7 @@ POST_WINDOW_ORACLES = (
     "q12_shipmode_priority",
     "q14_promo_effect",
     "stats_quantiles",
+    "heavy_hitter_users",
 )
 
 

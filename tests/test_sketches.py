@@ -140,3 +140,21 @@ def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir):
         assert abs(r.approx - r.exact) <= 0.02 * spread, (
             f"{r.o_orderpriority}: approx {r.approx} vs exact {r.exact}"
         )
+
+
+def test_heavy_hitters_exact_even_with_tiny_sketch(spark):
+    """Correctness must not depend on sketch width: with w small enough
+    to force heavy collisions, the candidate set inflates but the
+    verified output is still exactly GROUP BY ... HAVING."""
+    from eth_event_tracker_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, f"k{i % 37}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    got = {
+        (r.key, r.cnt) for r in heavy_hitters(df, "key", min_count=54, d=2, w=8).collect()
+    }
+    truth = {}
+    for _, k in rows:
+        truth[k] = truth.get(k, 0) + 1
+    want = {(k, c) for k, c in truth.items() if c >= 54}
+    assert got == want and want, "exactness must survive a collision-heavy sketch"
