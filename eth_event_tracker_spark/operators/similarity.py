@@ -876,3 +876,86 @@ def pq_topk_indexed(
     return pq_adc_topk(
         queries, stored, books, k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    pq_k: int = 16,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two scale levers composed — IVF probing bounds WHICH
+    rows a query touches (~n_probe/n_centroids of the corpus, equality
+    join on centroid_id), PQ codes bound HOW MANY BYTES each touched row
+    costs (m codes, ADC lookup-table scoring), and the exact euclidean
+    rerank runs only on the ADC shortlist.  This is the FAISS
+    IVFADC layout re-expressed as DataFrame ops; at 100 TB the encoded
+    corpus is written partitioned by centroid_id once (compose
+    pq_encode with ivf_write_index's layout) and both levers turn into
+    partition pruning + column pruning on the same table."""
+    cents = ivf_build_centroids(corpus, n_centroids, 2, id_col, vec_col)
+    books = pq_train(corpus, m, pq_k, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(
+        ivf_assign(corpus, cents, id_col, vec_col), books, vec_col=vec_col
+    ).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id", "pq_codes"
+    )
+
+    # per-query probe list (driver-side centroid math, like _ivf_probe_rerank)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    n_cent = pq_k
+    dsub = books.shape[2]
+    qrows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        sims = (qv / np.linalg.norm(qv)) @ cn.T
+        probes = [int(x) for x in np.argsort(-sims)[:n_probe]]
+        lut = np.empty(m * n_cent)
+        for s in range(m):
+            qs = qv[s * dsub : (s + 1) * dsub]
+            lut[s * n_cent : s * n_cent + n_cent] = ((books[s] - qs) ** 2).sum(axis=1)
+        probe_rows.append((int(r[0]), probes, [float(v) for v in lut], [float(v) for v in qv]))
+    spark = queries.sparkSession
+    qdf = spark.createDataFrame(
+        probe_rows, "q_id long, probes array<int>, lut array<double>, qv array<double>"
+    ).select("q_id", F.explode("probes").alias("centroid_id"), "lut", "qv")
+
+    # equality join on centroid_id: each query's ADC scan touches only
+    # its probed inverted lists, reading (id, codes) — not raw vectors
+    cand = encoded.drop("cv").join(F.broadcast(qdf.drop("qv")), "centroid_id")
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        F.expr(
+            f"aggregate(transform(pq_codes, (c, s) -> element_at(lut, s * {n_cent} + c + 1)), "
+            "0D, (acc, x) -> acc + x)"
+        ).alias("adc_dist"),
+    ).where(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist * k)
+        .join(encoded.select("c_id", "cv"), "c_id")
+        .join(F.broadcast(qdf.select("q_id", "qv").distinct()), "q_id")
+    )
+    exact = short.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "c_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
+    )

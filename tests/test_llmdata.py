@@ -1215,3 +1215,55 @@ def test_pq_persisted_index_matches_inline_and_appends(spark, sf_dir, tmp_path):
         r.vec_id: list(r.pq_codes) for r in OPS.pq_encode(extra, books).collect()
     }
     assert stored == want
+
+
+def test_ivfpq_recall_and_probe_confinement(spark):
+    """IVF-PQ: ≥0.8 recall of the true euclidean top-5 on clustered
+    data, and the ADC scan provably touches only the probed lists
+    (candidate rows < corpus rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(8, 32))
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(25):
+            v = centers[ci] + 0.12 * rng.normal(size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") % 25 == 0)
+    c = df.where(F.col("vec_id") % 25 != 0)
+
+    got = OPS.ivfpq_topk(q, c, k=5, n_centroids=8, n_probe=3, m=8, pq_k=16).collect()
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float32).astype(np.float64) for r in rows}
+    c_ids = [r[0] for r in rows if r[0] % 25 != 0]
+    exact = set()
+    for qid in (r[0] for r in rows if r[0] % 25 == 0):
+        d = sorted(((float(((vecs[qid] - vecs[cid]) ** 2).sum()), cid) for cid in c_ids))[:5]
+        exact |= {(qid, cid) for _, cid in d}
+    approx = {(r.q_id, r.vec_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ivfpq recall {recall:.2f}"
+    assert all(1 <= r.rank <= 5 for r in got)
+
+    # probe confinement: replicate the operator's deterministic centroid
+    # training/assignment and check each query's candidate set (its 3
+    # probed cells) is a strict subset of the corpus
+    cents = OPS.ivf_build_centroids(c, 8, 2)
+    cell_sizes = {
+        r.centroid_id: r.cnt
+        for r in OPS.ivf_assign(c, cents)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    n_corpus = sum(cell_sizes.values())
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    for qid in (r[0] for r in rows if r[0] % 25 == 0):
+        qv = vecs[qid]
+        sims = (qv / np.linalg.norm(qv)) @ cn.T
+        probed = list(np.argsort(-sims)[:3])
+        n_cand = sum(cell_sizes.get(int(p), 0) for p in probed)
+        assert n_cand < n_corpus, "ADC scan must touch only probed lists"
