@@ -167,3 +167,83 @@ def test_parquet_changelog_compaction_fuzz(ops, spark):
             spark,
             reopen=lambda: ParquetStore(Path(tmp)).changelog_entry("cl", bucket_size=4),
         )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-operator fuzz: view_as_of / validity_intervals / incremental_agg
+# against the python model over randomized (uncompacted) churn histories.
+# ---------------------------------------------------------------------------
+_CHURN = st.lists(
+    st.one_of(
+        st.tuples(st.just("add"), st.integers(1, 3)),
+        st.tuples(st.just("reorg"), st.integers(1, 3)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _pview_at(rows, t) -> dict:
+    return _pview([r for r in rows if r["indx"] <= t])
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_CHURN, fracs=st.lists(st.floats(0.0, 1.0), min_size=1, max_size=3))
+def test_temporal_operators_fuzz(ops, fracs, spark):
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import (
+        incremental_agg,
+        validity_intervals,
+        view_as_of,
+    )
+
+    entry = InMemStore().changelog_entry("cl")
+    chain = _Chain()
+    for op in ops:
+        if op[0] == "add":
+            chain.add(entry, op[1])
+        elif chain.blocks:
+            chain.reorg(entry, op[1], 0)
+    rows = chain.full
+    if not rows:
+        return
+    cdf = spark.createDataFrame(rows)
+
+    # time-travel at arbitrary instants (boundaries included)
+    n = len(rows)
+    instants = sorted({0, n - 1, *(int(f * (n - 1)) for f in fracs)})
+    for t in instants:
+        got = {
+            (r.block_hash, r.tx_index, r.log_index): r.indx
+            for r in view_as_of(cdf, t).collect()
+        }
+        want = {k: v[0] for k, v in _pview_at(rows, t).items()}
+        assert got == want, f"view_as_of({t})"
+
+    # SCD2 intervals: per-key min add / min remove, live set == final view
+    iv = {
+        (r.block_hash, r.tx_index, r.log_index): (r.valid_from, r.valid_to)
+        for r in validity_intervals(cdf).collect()
+    }
+    model_iv: dict = {}
+    for r in rows:
+        k = (r["block_hash"], r["tx_index"], r["log_index"])
+        frm, to = model_iv.get(k, (None, None))
+        if r["change_type"] == "add":
+            frm = r["indx"] if frm is None else min(frm, r["indx"])
+        else:
+            to = r["indx"] if to is None else min(to, r["indx"])
+        model_iv[k] = (frm, to)
+    assert iv == model_iv
+    assert {k for k, (_, to) in iv.items() if to is None} == set(_pview(rows))
+
+    # IVM identity per block
+    got_agg = {
+        r.block_num: r.n_live for r in incremental_agg(cdf, keys=("block_num",)).collect()
+    }
+    want_agg: dict = {}
+    for k, (indx, _tx) in _pview(rows).items():
+        bn = next(r["block_num"] for r in rows if r["indx"] == indx)
+        want_agg[bn] = want_agg.get(bn, 0) + 1
+    assert got_agg == want_agg
