@@ -95,6 +95,7 @@ _POST_WINDOW = (
     "q14_promo_effect",
     "stats_quantiles",
     "heavy_hitter_users",
+    "ts_sax_motifs",
 )
 
 

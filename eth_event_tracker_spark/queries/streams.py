@@ -354,3 +354,87 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity via SAX: per-user hourly value series →
+# z-normalize → PAA (8 equal time segments, mean per segment — integer
+# position arithmetic, so segmentation is engine-identical) → discretize
+# against the fixed gaussian breakpoints (alphabet 4) → the series
+# becomes an 8-char WORD, and similar series meet through an equality
+# join on the word — the same candidates-by-equality discipline as every
+# dedup/ANN tier (a pairwise correlation join would be quadratic in
+# users).  Scale: two user-keyed shuffles, then a vocab-sized word table.
+# ---------------------------------------------------------------------------
+_SAX_SEGS = 8
+
+
+@register(
+    "ts_sax_motifs",
+    f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+znorm AS (
+  SELECT user_id, hr,
+         CASE WHEN stddev_pop(v) OVER w = 0 THEN 0.0
+              ELSE (v - avg(v) OVER w) / stddev_pop(v) OVER w END AS z,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS rn,
+         COUNT(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY user_id)
+),
+paa AS (
+  SELECT user_id, (rn - 1) * {_SAX_SEGS} // cnt AS seg, AVG(z) AS pz
+  FROM znorm GROUP BY user_id, (rn - 1) * {_SAX_SEGS} // cnt
+),
+sym AS (
+  SELECT user_id, seg,
+         CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0 THEN 'b'
+              WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS s
+  FROM paa
+),
+words AS (
+  SELECT user_id, string_agg(s, '' ORDER BY seg) AS sax_word
+  FROM sym GROUP BY user_id
+)
+SELECT sax_word, COUNT(*) AS n_users
+FROM words GROUP BY sax_word
+""",
+    doc="SAX time-series words: z-normalize + 8-segment PAA + gaussian-breakpoint symbols; motifs meet by word equality",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("hr")
+    z = F.when(F.stddev_pop("v").over(w) == 0, F.lit(0.0)).otherwise(
+        (F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w)
+    )
+    znorm = hourly.select(
+        "user_id",
+        z.alias("z"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    paa = znorm.groupBy(
+        "user_id", F.expr(f"(rn - 1) * {_SAX_SEGS} DIV cnt").alias("seg")
+    ).agg(F.avg("z").alias("pz"))
+    pz = F.col("pz")
+    sym = paa.withColumn(
+        "s",
+        F.when(pz < -0.6745, "a").when(pz < 0, "b").when(pz < 0.6745, "c").otherwise("d"),
+    )
+    words = (
+        sym.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seg", "s"))).alias("seq"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.expr("transform(seq, x -> x.s)")).alias("sax_word"),
+        )
+    )
+    return words.groupBy("sax_word").agg(F.count("*").alias("n_users"))

@@ -50,6 +50,7 @@ POST_WINDOW_ORACLES = (
     "q14_promo_effect",
     "stats_quantiles",
     "heavy_hitter_users",
+    "ts_sax_motifs",
 )
 
 
