@@ -96,6 +96,8 @@ _POST_WINDOW = (
     "stats_quantiles",
     "heavy_hitter_users",
     "ts_sax_motifs",
+    "funnel_conversion",
+    "cohort_retention",
 )
 
 

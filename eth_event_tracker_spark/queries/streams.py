@@ -438,3 +438,103 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return words.groupBy("sax_word").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: ordered step matching (view → click → purchase) per
+# user via conditional MIN timestamps — the decorrelated form of "did
+# step N happen AFTER step N-1".  One user-keyed aggregate; no
+# self-joins (the naive per-step join chain is k-1 shuffles of the fact
+# table — this is one).
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+WITH steps AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END AS s3
+  FROM steps
+)
+SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_view_click_buy,
+       COUNT(*) AS n_users
+FROM flags
+""",
+    doc="funnel: ordered view→click→purchase via conditional MINs, one user-keyed aggregate",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_buy") > F.col("t_click"))
+    return steps.agg(
+        F.sum(s1.cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_view_click"),
+        F.sum(s3.cast("long")).alias("n_view_click_buy"),
+        F.count("*").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-activity week × weeks-since
+# activity matrix — first activity via one user-keyed MIN (broadcast
+# back), then a (cohort, age) count.  The standard product-analytics
+# rollup, two shuffles total.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_age
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_age, COUNT(*) AS n_active_users
+FROM activity GROUP BY cohort_week, week_age
+""",
+    doc="cohort retention matrix: first-week cohorts x weeks-since-first activity",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", "ts"))
+                        - F.unix_timestamp("cohort_week")
+                    )
+                    / (7 * 86400)
+                )
+            ).alias("week_age"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_age").agg(
+        F.count("*").alias("n_active_users")
+    )

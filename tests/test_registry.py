@@ -51,6 +51,8 @@ POST_WINDOW_ORACLES = (
     "stats_quantiles",
     "heavy_hitter_users",
     "ts_sax_motifs",
+    "funnel_conversion",
+    "cohort_retention",
 )
 
 
