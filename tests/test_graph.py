@@ -1,0 +1,46 @@
+"""PageRank vs a pure-python power-iteration model."""
+
+from __future__ import annotations
+
+from eth_event_tracker_spark.operators.graph import pagerank
+
+
+def _model(edges, damping=0.85, n_iters=20, tol=1e-6):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iters):
+        dangling = sum(r for v, r in rank.items() if v not in out)
+        base = (1 - damping) / n + damping * dangling / n
+        new = {v: base for v in nodes}
+        for s, dsts in out.items():
+            share = rank[s] / len(dsts)
+            for d in dsts:
+                new[d] += damping * share
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta < tol:
+            break
+    return rank
+
+
+def test_pagerank_matches_model_with_dangling(spark):
+    # 1→2, 1→3, 2→3, 4→1; node 3 dangles (no out-edges)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iters=30).collect()}
+    want = _model(edges, n_iters=30)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, f"node {v}: {got[v]} vs {want[v]}"
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "ranks must sum to 1 (dangling mass kept)"
+
+
+def test_pagerank_ring_is_uniform(spark):
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(ring, "src long, dst long")
+    got = [r.rank for r in pagerank(df, n_iters=40).collect()]
+    assert all(abs(r - 1 / 6) < 1e-9 for r in got)
