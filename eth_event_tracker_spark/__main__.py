@@ -1,0 +1,150 @@
+"""CLI — the consumer surface the reference's README example wires by
+hand (README.md:36-67: flag-parse endpoint/target, open a store, build
+the tracker, sync, consume events).
+
+    python -m eth_event_tracker_spark track \
+        --endpoint mock:300 --target 0xaaaa... --store ./deposit.store
+    python -m eth_event_tracker_spark sql \
+        --store ./deposit.store --target 0xaaaa... \
+        "SELECT COUNT(*) AS n FROM tracked_logs"
+    python -m eth_event_tracker_spark query --list
+    python -m eth_event_tracker_spark query --name q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01
+
+``--endpoint mock:N`` synthesizes an N-block deterministic chain (the
+sandbox has no node); any ``http(s)://`` endpoint uses the JSON-RPC
+provider unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _provider(endpoint: str):
+    if endpoint.startswith("mock:"):
+        from .sources.mock_chain import MockProvider
+
+        prov = MockProvider()
+        prov.advance(int(endpoint.split(":", 1)[1]), logs_per_block=2)
+        return prov
+    if endpoint.startswith(("http://", "https://")):
+        from .sources.rpc_provider import JsonRpcProvider
+
+        return JsonRpcProvider(endpoint)
+    raise SystemExit(f"unsupported endpoint {endpoint!r} (mock:N or http[s]://)")
+
+
+def _config(args) -> "FilterConfig":
+    from .config import FilterConfig
+
+    return FilterConfig(
+        addresses=tuple(args.target or ()),
+        topics=tuple(args.sig or ()),
+        start_block=args.start,
+        batch_size=args.batch_size,
+        max_block_backlog=args.backlog,
+    )
+
+
+def _cmd_track(args) -> int:
+    from .store import ParquetStore
+    from .streaming import Tracker
+
+    prov = _provider(args.endpoint)
+    store = ParquetStore(args.store)
+    cfg = _config(args)
+
+    def progress(p: dict) -> None:
+        print(
+            f"[{p['phase']}] height {p['height']} / target {p['target']}"
+            + (" (synced)" if p["synced"] else ""),
+            flush=True,
+        )
+
+    t = Tracker(prov, store, cfg, on_progress=progress)
+    events = t.sync()
+    for _ in range(args.poll):
+        events += t.poll()
+    added = sum(len(e.added) for e in events)
+    removed = sum(len(e.removed) for e in events)
+    last = t.get_last_block()
+    print(
+        f"done: filter {cfg.filter_hash[:12]} — {added} adds, {removed} retractions, "
+        f"head {last.number if last else '-'} — store at {args.store}"
+    )
+    return 0
+
+
+def _cmd_sql(args) -> int:
+    from .session import get_spark
+    from .sql import register_store_views
+    from .store import ParquetStore
+
+    spark = get_spark()
+    views = register_store_views(spark, ParquetStore(args.store), _config(args).filter_hash)
+    print(f"views: {', '.join(views)}", file=sys.stderr)
+    df = spark.sql(args.statement)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .queries import all_queries
+
+    qs = all_queries()
+    if args.list:
+        for name in qs:
+            print(name)
+        return 0
+    if not args.name or args.name not in qs:
+        raise SystemExit(f"unknown query {args.name!r} (use --list)")
+    from .session import get_spark
+
+    df = qs[args.name](get_spark(), args.sf_dir)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="eth_event_tracker_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def filter_flags(p):
+        p.add_argument("--target", action="append", help="contract address (repeatable)")
+        p.add_argument("--sig", action="append", help="positional topic (repeatable; '' = wildcard)")
+        p.add_argument("--start", type=int, default=0)
+        p.add_argument("--batch-size", type=int, default=100)
+        p.add_argument("--backlog", type=int, default=10)
+
+    tp = sub.add_parser("track", help="sync a filter into a store (reference README main)")
+    tp.add_argument("--endpoint", required=True, help="mock:N or http[s]://node")
+    tp.add_argument("--store", required=True)
+    tp.add_argument("--poll", type=int, default=0, help="head poll cycles after sync")
+    filter_flags(tp)
+    tp.set_defaults(fn=_cmd_track)
+
+    sp = sub.add_parser("sql", help="SQL over a tracked store (tracked_logs / tracked_changelog)")
+    sp.add_argument("--store", required=True)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.add_argument("statement")
+    filter_flags(sp)
+    sp.set_defaults(fn=_cmd_sql)
+
+    qp = sub.add_parser("query", help="run a registry query against fixture tables")
+    qp.add_argument("--name")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("--limit", type=int, default=20)
+    qp.add_argument("--list", action="store_true")
+    qp.set_defaults(fn=_cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

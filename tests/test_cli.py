@@ -1,0 +1,34 @@
+"""CLI surface: the reference README's flag-parsed main as subcommands."""
+
+from __future__ import annotations
+
+import json
+
+from eth_event_tracker_spark.__main__ import main
+
+
+def test_cli_track_then_sql(tmp_path, capsys, spark):
+    store = str(tmp_path / "clistore")
+    rc = main(["track", "--endpoint", "mock:30", "--store", store, "--poll", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "done: filter" in out and "60 adds" in out
+
+    rc = main(
+        ["sql", "--store", store, "--limit", "5",
+         "SELECT COUNT(*) AS n, MAX(block_num) AS head FROM tracked_logs"]
+    )
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row == {"n": 60, "head": 30}
+
+
+def test_cli_query_list_and_run(capsys, spark):
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 70
+
+    assert main(["query", "--name", "sort_limit_topk", "--limit", "3"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    json.loads(lines[0])
