@@ -93,20 +93,44 @@ def _cmd_sql(args) -> int:
 
 
 def _cmd_query(args) -> int:
-    from .queries import all_queries
+    from .queries import all_oracles, all_queries
 
     qs = all_queries()
     if args.list:
+        oracles = all_oracles()
         for name in qs:
-            print(name)
+            print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
         return 0
     if not args.name or args.name not in qs:
         raise SystemExit(f"unknown query {args.name!r} (use --list)")
     from .session import get_spark
 
-    df = qs[args.name](get_spark(), args.sf_dir)
+    spark = get_spark()
+    df = qs[args.name](spark, args.sf_dir)
     for row in df.limit(args.limit).collect():
         print(json.dumps(row.asDict(), default=str))
+    if args.verify:
+        oracle = all_oracles().get(args.name)
+        if oracle is None:
+            print(f"{args.name}: rows-only (no SQL oracle; bounds pinned in pytest)", file=sys.stderr)
+            return 0
+        import duckdb
+
+        try:
+            from tests.oracle_harness import compare  # the driver-gate comparator
+        except ImportError as exc:  # running outside the repo root
+            raise SystemExit("--verify needs the repo's tests/ package on sys.path") from exc
+
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+            )
+        compare(df, con, oracle, args.name)
+        print(f"{args.name}: VERIFIED vs DuckDB oracle at {args.sf_dir}", file=sys.stderr)
     return 0
 
 
@@ -140,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     qp.add_argument("--limit", type=int, default=20)
     qp.add_argument("--list", action="store_true")
+    qp.add_argument("--verify", action="store_true", help="cross-check vs the DuckDB oracle")
     qp.set_defaults(fn=_cmd_query)
 
     args = ap.parse_args(argv)

@@ -32,3 +32,13 @@ def test_cli_query_list_and_run(capsys, spark):
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 3
     json.loads(lines[0])
+
+
+def test_cli_query_verify(capsys, spark):
+    assert main(["query", "--name", "kv_prefix_scan", "--verify", "--limit", "1"]) == 0
+    err = capsys.readouterr().err
+    assert "VERIFIED vs DuckDB oracle" in err
+
+    # rows-only entries report their pytest-pinned status instead
+    assert main(["query", "--name", "approx_distinct_parts", "--verify", "--limit", "1"]) == 0
+    assert "rows-only" in capsys.readouterr().err
