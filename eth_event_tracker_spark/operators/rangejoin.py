@@ -69,3 +69,53 @@ def binned_interval_join(
     )
     refine = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
     return p.join(iv, on="_bin", how="inner").where(refine).drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner-join interval rows that OVERLAP: ``l_start < r_end AND
+    r_start < l_end`` (half-open on both sides) — the two-sided
+    generalization of :func:`binned_interval_join`, still never a cross
+    product.
+
+    Both sides explode to their covered bins and meet by bin equality.
+    Unlike the point case, an overlapping pair can now share SEVERAL
+    bins; the standard dedup-free trick keeps a pair only in the ONE
+    bin containing ``greatest(l_start, r_start)`` — the first bin where
+    both intervals are live — so no post-join distinct over the
+    replicated rows is needed.  Replication factor is ceil(len/W)+1 per
+    side; pick W near the typical interval length."""
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"interval_overlap_join: overlapping columns {sorted(clash)}")
+    for c in ("_bin", "_lbin", "_rbin"):
+        if c in left.columns or c in right.columns:
+            raise ValueError(f"interval_overlap_join: {c!r} is reserved")
+    w = int(bin_width)
+    if w <= 0:
+        raise ValueError("interval_overlap_join: bin_width must be positive seconds")
+
+    def bins(df, start, end):
+        lo = F.floor(F.unix_timestamp(F.col(start)) / w)
+        # half-open end: an interval touching a bin boundary exactly does
+        # not extend into that bin
+        hi = F.floor((F.unix_timestamp(F.col(end)) - 1) / w)
+        return df.withColumn("_bin", F.explode(F.sequence(lo, F.greatest(lo, hi))))
+
+    l = bins(left, l_start, l_end)
+    r = bins(right, r_start, r_end)
+    joined = l.join(r, "_bin")
+    meet_bin = F.floor(
+        F.greatest(F.unix_timestamp(F.col(l_start)), F.unix_timestamp(F.col(r_start))) / w
+    )
+    overlap = (F.unix_timestamp(F.col(l_start)) < F.unix_timestamp(F.col(r_end))) & (
+        F.unix_timestamp(F.col(r_start)) < F.unix_timestamp(F.col(l_end))
+    )
+    return joined.where(overlap & (F.col("_bin") == meet_bin)).drop("_bin")

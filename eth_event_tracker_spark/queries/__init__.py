@@ -98,6 +98,7 @@ _POST_WINDOW = (
     "ts_sax_motifs",
     "funnel_conversion",
     "cohort_retention",
+    "sessions_overlap_incidents",
 )
 
 

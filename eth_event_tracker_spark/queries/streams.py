@@ -538,3 +538,70 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_age").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-OVERLAP join (both sides intervals, no equality key): which
+# users' sessions overlapped an "incident" user's sessions.  Spark side
+# runs operators/rangejoin.interval_overlap_join — bin-exploded equality
+# join, pair kept only in the bin of greatest(starts), never a cross
+# product (plan-linted).  DuckDB verifies with its native IEJoin
+# inequality join.  Sessions are padded 60 s so single-event sessions
+# are non-empty intervals; comparisons at second granularity both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "sessions_overlap_incidents",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(MIN(ts))) AS BIGINT) AS s,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) + 60 AS e
+  FROM numbered GROUP BY user_id, session_id
+),
+inc AS (SELECT * FROM sessions WHERE user_id % 100 = 0),
+oth AS (SELECT * FROM sessions WHERE user_id % 100 <> 0),
+pairs AS (
+  SELECT inc.user_id AS inc_user, oth.user_id AS other_user
+  FROM inc JOIN oth ON inc.s < oth.e AND oth.s < inc.e
+)
+SELECT inc_user, COUNT(*) AS n_overlap_sessions, COUNT(DISTINCT other_user) AS n_users
+FROM pairs GROUP BY inc_user
+""",
+    doc="interval-overlap join (both sides intervals) via binned equality; oracle = DuckDB IEJoin",
+)
+def sessions_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+
+    sessions = sessionize_events_batch(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        (F.col("session_end") + F.expr("INTERVAL 60 SECONDS")).alias("session_close"),
+    )
+    inc = sessions.where(F.col("user_id") % 100 == 0).select(
+        F.col("user_id").alias("inc_user"),
+        F.col("session_start").alias("is_"),
+        F.col("session_close").alias("ie"),
+    )
+    oth = sessions.where(F.col("user_id") % 100 != 0).select(
+        F.col("user_id").alias("other_user"),
+        F.col("session_start").alias("os"),
+        F.col("session_close").alias("oe"),
+    )
+    pairs = interval_overlap_join(inc, oth, "is_", "ie", "os", "oe", bin_width=600)
+    return pairs.groupBy("inc_user").agg(
+        F.count("*").alias("n_overlap_sessions"),
+        F.countDistinct("other_user").alias("n_users"),
+    )

@@ -128,3 +128,49 @@ def test_matches_model_on_random_inputs(spark, pts, ivs, w):
         if s <= p < s + ln
     )
     assert sorted((r.p_id, r.iv_id) for r in got.collect()) == want
+
+
+def _mk_intervals(spark, rows, start, end, prefix):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=e))
+        for i, (s, e) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, f"{prefix}_id long, {start} timestamp, {end} timestamp")
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Half-open overlap vs brute force across bin widths; touching
+    endpoints excluded; empty/negative intervals match nothing; no
+    duplicate pairs despite multi-bin spans."""
+    import random
+
+    from eth_event_tracker_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(5)
+    lrows = [(rng.randrange(0, 500), rng.randrange(0, 500)) for _ in range(60)]
+    rrows = [(rng.randrange(0, 500), rng.randrange(0, 500)) for _ in range(60)]
+    lrows += [(10, 20), (20, 30), (50, 50), (70, 60)]  # touching, empty, negative
+    rrows += [(20, 30), (10, 20), (45, 55), (55, 75)]
+    l = _mk_intervals(spark, lrows, "ls", "le", "l")
+    r = _mk_intervals(spark, rrows, "rs", "re", "r")
+
+    want = {
+        (i, j)
+        for i, (a, b) in enumerate(lrows)
+        for j, (c, d) in enumerate(rrows)
+        if a < d and c < b
+    }
+    for width in (7, 64, 1000):
+        got = {
+            (row.l_id, row.r_id)
+            for row in interval_overlap_join(l, r, "ls", "le", "rs", "re", width).collect()
+        }
+        assert got == want, f"width {width}"
+
+    from .test_plans import plan_of
+
+    plan = plan_of(interval_overlap_join(l, r, "ls", "le", "rs", "re", 64))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

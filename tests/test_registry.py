@@ -53,6 +53,7 @@ POST_WINDOW_ORACLES = (
     "ts_sax_motifs",
     "funnel_conversion",
     "cohort_retention",
+    "sessions_overlap_incidents",
 )
 
 
