@@ -39,19 +39,41 @@ def start_finalized_ingest(
     store,
     config: FilterConfig,
     checkpoint_dir: str,
+    metrics_log: list | None = None,
 ):
     """Streaming query: web3logs → idempotent entry append.
 
     ``store`` is any Store backend whose entries implement ``append_df``
     and ``tail_df`` (parquet and JDBC both do) — the ingest and its
-    replay guard are backend-agnostic."""
+    replay guard are backend-agnostic.
+
+    ``metrics_log``: optional list; each micro-batch appends one dict of
+    OBSERVED metrics (Spark ``Observation`` — computed inside the write
+    job itself, no second pass over the batch): rows admitted past the
+    replay guard and their block range.  This is the C-5 progress
+    surface for the streaming path — a monitoring hook reads the list
+    (or ships it to its metrics backend) without touching the data."""
+    from pyspark.sql import Observation
+
     from ..sources.web3_source import register
 
     register(spark)
     entry = store.entry(config.filter_hash)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        entry.append_df(dedup_against_tail(spark, entry, batch_df))
+        admitted = dedup_against_tail(spark, entry, batch_df)
+        if metrics_log is None:
+            entry.append_df(admitted)
+            return
+        obs = Observation(f"ingest_{batch_id}")
+        admitted = admitted.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min("block_num").alias("min_block"),
+            F.max("block_num").alias("max_block"),
+        )
+        entry.append_df(admitted)
+        metrics_log.append({"batch_id": batch_id, **obs.get})
 
     reader = (
         spark.readStream.format("web3logs")

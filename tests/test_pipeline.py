@@ -509,3 +509,29 @@ def test_incremental_agg_equals_reconstruct_then_aggregate(spark, tmp_path):
         assert all(v > 0 for v in got.values())
     finally:
         cdf.unpersist()
+
+
+def test_ingest_observed_metrics(spark, tmp_path):
+    """Observation metrics ride the write job itself: per-batch admitted
+    counts sum to the stored rows, block ranges are sane, and a replayed
+    run observes zero admissions."""
+    prov = MockProvider()
+    prov.advance(40, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+    store = ParquetStore(tmp_path / "store")
+    cfg = FilterConfig(batch_size=15, max_block_backlog=10)
+
+    log: list[dict] = []
+    q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"), metrics_log=log)
+    _drain(q)
+    rows = store.entry(cfg.filter_hash).all_logs()
+    assert sum(m["n_admitted"] for m in log) == len(rows)
+    assert all(m["min_block"] <= m["max_block"] for m in log if m["n_admitted"])
+    assert max(m["max_block"] for m in log if m["n_admitted"]) == 30
+
+    log2: list[dict] = []
+    q = start_finalized_ingest(spark, cdir, store, cfg, str(tmp_path / "ckpt"), metrics_log=log2)
+    _drain(q)
+    assert sum(m["n_admitted"] for m in log2) == 0
+    assert len(store.entry(cfg.filter_hash).all_logs()) == len(rows)
