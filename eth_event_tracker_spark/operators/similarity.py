@@ -233,13 +233,35 @@ def ivf_build_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "np.ndarray":
-    """Deterministic mini k-means: seed centroids from an id-stratified
-    sample, then ``n_iters`` Lloyd rounds where assignment is an
-    Arrow-batched argmax (numpy) and the update is a Spark groupBy mean —
-    both distributed, no driver-side data pass beyond the k×d centroid
-    matrix itself."""
-    first = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    cents = np.stack([np.array(r[1], dtype=np.float64) for r in first])
+    """Deterministic mini k-means: seed centroids by greedy
+    farthest-point (k-center) selection over a bounded id-ordered sample
+    — naive first-k seeding collapses when the data's id order is
+    correlated with its clusters (all seeds land in one cluster and the
+    minority clusters never get a centroid) — then ``n_iters`` Lloyd
+    rounds where assignment is an Arrow-batched argmax (numpy) and the
+    update is a Spark groupBy mean — both distributed, no driver-side
+    data pass beyond the sample and the k×d centroid matrix."""
+    n_sample = max(n_centroids, min(256, 32 * n_centroids))
+    # hash-ordered sample: an id-ordered prefix is whatever the data's id
+    # layout correlates with (ingest time, topic, source) — hash order is
+    # a deterministic unbiased subset of any corpus
+    first = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), id_col)
+        .limit(n_sample)
+        .collect()
+    )
+    sample = np.stack([np.array(r[1], dtype=np.float64) for r in first])
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    min_sim = sn @ sn[0]
+    while len(chosen) < min(n_centroids, len(sample)):
+        nxt = int(np.argmin(min_sim))  # farthest by cosine; ties → lowest index
+        chosen.append(nxt)
+        min_sim = np.maximum(min_sim, sn @ sn[nxt])
+    while len(chosen) < n_centroids:  # degenerate: fewer sample rows than k
+        chosen.append(chosen[len(chosen) % len(sample)])
+    cents = sample[chosen].copy()
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
         means = (

@@ -511,3 +511,86 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]], text_col: str = "t
     for a, b in merges:
         out = out.withColumn("bpe_syms", _merge_pair_fold(a, b, "bpe_syms"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed TF-IDF vectors + topic-balanced sampling — the
+# cluster-then-rebalance shape (D4 / DoReMi-class corpus mixing): embed
+# cheaply without a model, cluster, then cap dominant topics so the
+# training mix is not whatever the crawl happened to over-collect.
+# ---------------------------------------------------------------------------
+def hashed_tfidf_vectors(
+    df: DataFrame, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, vector array<double>): signed feature hashing of smooth
+    TF-IDF weights into a fixed ``dim`` — no vocabulary table, no model.
+    Index = xxhash64(term) mod dim; sign = one more hash bit (the
+    classic bias-cancelling trick).  All JVM: the token stream
+    aggregates to (doc, term, tf) with map-side combine, idf is a
+    term-keyed aggregate over that table, and the vector assembles via
+    map_from_entries + one sequence transform.  L2-normalized so the
+    vectors drop into every cosine operator (k-means, SemDeDup, PQ)."""
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
+    n_docs = df.select(id_col).distinct().agg(F.count("*").alias("_n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.pmod(F.xxhash64("term"), F.lit(dim)).cast("int").alias("idx"),
+            (
+                F.when(F.pmod(F.xxhash64("term", F.lit(1)), F.lit(2)) == 0, F.lit(1.0)).otherwise(-1.0)
+                * F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    cells = weighted.groupBy(id_col, "idx").agg(F.sum("w").alias("v"))
+    vec = (
+        cells.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m"))
+        .select(
+            id_col,
+            F.expr(f"transform(sequence(0, {dim - 1}), i -> coalesce(m[i], 0D))").alias("raw"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform("raw", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return vec.select(
+        id_col,
+        F.when(norm == 0, F.col("raw"))
+        .otherwise(F.transform("raw", lambda x: x / norm))
+        .alias("vector"),
+    )
+
+
+def topic_balanced_sample(
+    df: DataFrame,
+    n_topics: int = 8,
+    per_topic_cap: int = 1000,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each discovered topic cluster at ``per_topic_cap`` docs:
+    hashed TF-IDF vectors → mini k-means (the IVF trainer — driver holds
+    only k×dim floats) → per-cluster deterministic hash cap (the
+    per-stratum-cap shape with centroid_id as the stratum).  Returns the
+    surviving rows of ``df``; composes with curate() like any filter."""
+    from .similarity import ivf_assign, ivf_build_centroids
+    from .splits import per_stratum_cap
+
+    vecs = hashed_tfidf_vectors(df, dim, text_col, id_col).localCheckpoint(eager=False)
+    cents = ivf_build_centroids(vecs, n_topics, 2, id_col, "vector")
+    assigned = ivf_assign(vecs, cents, id_col, "vector").select(id_col, "centroid_id")
+    kept = per_stratum_cap(
+        df.join(assigned, id_col), per_topic_cap, stratum_col="centroid_id", key_col=id_col
+    )
+    return kept.drop("centroid_id")

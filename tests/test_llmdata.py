@@ -1267,3 +1267,49 @@ def test_ivfpq_recall_and_probe_confinement(spark):
         probed = list(np.argsort(-sims)[:3])
         n_cand = sum(cell_sizes.get(int(p), 0) for p in probed)
         assert n_cand < n_corpus, "ADC scan must touch only probed lists"
+
+
+def test_hashed_tfidf_vectors_properties(spark):
+    """Unit-norm, fixed dim, deterministic, and vocab-disjoint topic
+    groups land near-orthogonal while same-vocab docs stay close."""
+    import numpy as np
+
+    from eth_event_tracker_spark.operators.text import hashed_tfidf_vectors
+
+    topics = {
+        "chem": "acid base molecule reaction catalyst bond electron orbital",
+        "law": "court judge statute plaintiff verdict appeal contract tort",
+    }
+    rows = []
+    for i in range(20):
+        t = "chem" if i < 10 else "law"
+        w = topics[t].split()
+        rows.append((i, " ".join(w[i % 4 :] + w[: i % 4] + w[:3])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: np.array(r.vector) for r in hashed_tfidf_vectors(df, dim=32).collect()}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in out.values())
+    assert all(len(v) == 32 for v in out.values())
+    out2 = {r.doc_id: np.array(r.vector) for r in hashed_tfidf_vectors(df, dim=32).collect()}
+    assert all((out[k] == out2[k]).all() for k in out)
+    intra = np.mean([out[0] @ out[j] for j in range(1, 10)])
+    cross = np.mean([out[0] @ out[j] for j in range(10, 20)])
+    assert intra > 0.8 and cross < 0.3, (intra, cross)
+
+
+def test_topic_balanced_sample_caps_dominant_topic(spark):
+    from eth_event_tracker_spark.operators.text import topic_balanced_sample
+
+    chem = "acid base molecule reaction catalyst bond electron orbital"
+    law = "court judge statute plaintiff verdict appeal contract tort"
+    rows = [(i, chem + f" filler{i % 5}") for i in range(90)]  # dominant topic
+    rows += [(100 + i, law + f" word{i % 5}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = topic_balanced_sample(df, n_topics=2, per_topic_cap=10, dim=32)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert len(ids) <= 20
+    n_law = sum(1 for i in ids if i >= 100)
+    assert n_law == 10, "minority topic must survive whole"
+    assert sum(1 for i in ids if i < 100) <= 10, "dominant topic must be capped"
+    # deterministic under rerun
+    ids2 = {r.doc_id for r in topic_balanced_sample(df, n_topics=2, per_topic_cap=10, dim=32).select("doc_id").collect()}
+    assert ids == ids2
