@@ -1062,3 +1062,15 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _pc(docs).orderBy(F.desc("n_pairs"), "pair").limit(50)
+
+
+@register(
+    "topic_balanced_docs",
+    None,
+    "hashed-TFIDF k-means topic clusters, dominant topics capped (rows-only extra)",
+)
+def topic_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import topic_balanced_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return topic_balanced_sample(docs, n_topics=8, per_topic_cap=40, dim=32)

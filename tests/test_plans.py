@@ -302,7 +302,7 @@ _SCALAR_BROADCAST_OK = {
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate
 # tiers, each pytest-pinned to an exact JVM twin.
-_ARROW_SEAM_OK = {"embedding_cosine_topk_fast", "embedding_ann"}
+_ARROW_SEAM_OK = {"embedding_cosine_topk_fast", "embedding_ann", "topic_balanced_docs"}
 
 
 def test_registry_wide_plan_lint(spark, sf_dir):

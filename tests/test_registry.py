@@ -22,6 +22,7 @@ ROWS_ONLY_EXTRAS = {
     "embedding_ann",
     "embedding_near_dup_lsh",
     "embedding_pq_topk",
+    "topic_balanced_docs",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
