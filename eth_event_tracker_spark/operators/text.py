@@ -594,3 +594,49 @@ def topic_balanced_sample(
         df.join(assigned, id_col), per_topic_cap, stratum_col="centroid_id", key_col=id_col
     )
     return kept.drop("centroid_id")
+
+
+def fuzzy_pairs(
+    df: DataFrame, col: str, max_dist: int = 2, q: int = 2
+) -> DataFrame:
+    """All DISTINCT value pairs within Levenshtein distance
+    ``max_dist`` — the data-cleaning fuzzy join — without an O(n²)
+    distance join.
+
+    Candidates meet through a q-gram equality join: one edit destroys at
+    most ``q`` q-grams, so two strings of min length L > q·max_dist +
+    q − 1 within distance ``max_dist`` are GUARANTEED to share a q-gram
+    — any-shared-gram candidate generation is a strict superset, and the
+    exact ``levenshtein`` refine keeps truth only.  Shorter strings are
+    excluded (raise the guarantee bound, not silently miss them:
+    pre-bucket them separately if they matter — at q=2, d=2 that is
+    strings of ≤ 5 chars).  The length filter |len_a − len_b| ≤ d prunes
+    before the distance computation."""
+    min_len = q * max_dist + q  # strictly greater than q*d + q - 1
+    vals = (
+        df.select(F.col(col).alias("s"))
+        .where(F.col("s").isNotNull())
+        .distinct()
+        .where(F.char_length("s") >= min_len)
+        .localCheckpoint(eager=False)
+    )
+    grams = vals.select(
+        "s",
+        F.explode(
+            F.expr(f"transform(sequence(1, char_length(s) - {q - 1}), i -> substr(s, i, {q}))")
+        ).alias("g"),
+    ).distinct()
+    a = grams.select(F.col("s").alias("s_a"), "g")
+    b = grams.select(F.col("s").alias("s_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(F.col("s_a") < F.col("s_b"))
+        .select("s_a", "s_b")
+        .distinct()
+        .where(
+            F.abs(F.char_length("s_a") - F.char_length("s_b")) <= max_dist
+        )
+    )
+    return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).where(
+        F.col("dist") <= max_dist
+    )

@@ -99,6 +99,7 @@ _POST_WINDOW = (
     "funnel_conversion",
     "cohort_retention",
     "sessions_overlap_incidents",
+    "fuzzy_part_names",
 )
 
 

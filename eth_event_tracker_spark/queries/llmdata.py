@@ -1074,3 +1074,26 @@ def topic_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return topic_balanced_sample(docs, n_topics=8, per_topic_cap=40, dim=32)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) join: near-identical part names via the q-gram
+# candidate superset + exact levenshtein refine (operators/text.py).
+# Oracle = DuckDB's O(n²) levenshtein self-join over the (small) distinct
+# name set — the hash match proves the banded path loses no pair.
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_part_names",
+    """
+WITH names AS (SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= 6)
+SELECT a.s AS s_a, b.s AS s_b, CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM names a JOIN names b
+  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+""",
+    doc="fuzzy join: q-gram candidate superset + levenshtein refine == exhaustive distance join",
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name", max_dist=2)

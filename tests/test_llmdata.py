@@ -1313,3 +1313,33 @@ def test_topic_balanced_sample_caps_dominant_topic(spark):
     # deterministic under rerun
     ids2 = {r.doc_id for r in topic_balanced_sample(df, n_topics=2, per_topic_cap=10, dim=32).select("doc_id").collect()}
     assert ids == ids2
+
+
+def test_fuzzy_pairs_matches_brute_force(spark):
+    from eth_event_tracker_spark.operators.text import fuzzy_pairs
+
+    names = [
+        "widget", "widgets", "wìdget", "gadget", "gadgets", "bracket",
+        "brackets", "rocket", "socket", "sprocket", "sprockets", "gizmo",
+        "gizmos", "small ring", "small rings", "smal ring", "red widget",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        want = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev(a, b) <= d and len(a) >= 2 * d + 2 and len(b) >= 2 * d + 2
+        }
+        want = {(min(a, b), max(a, b), x) for a, b, x in want}
+        got = {(r.s_a, r.s_b, r.dist) for r in fuzzy_pairs(df, "name", max_dist=d).collect()}
+        assert got == want, f"d={d}: {got ^ want}"

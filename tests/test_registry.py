@@ -55,6 +55,7 @@ POST_WINDOW_ORACLES = (
     "funnel_conversion",
     "cohort_retention",
     "sessions_overlap_incidents",
+    "fuzzy_part_names",
 )
 
 
