@@ -712,10 +712,16 @@ ranked AS (
          ROW_NUMBER() OVER (PARTITION BY block_hash, tx_index, log_index
                             ORDER BY indx DESC) AS rn
   FROM changelog),
-live AS (SELECT address, value FROM ranked WHERE rn = 1 AND change_type = 'add')
-SELECT address, COUNT(*) AS n_live,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM live GROUP BY address
+live AS (SELECT address, value FROM ranked WHERE rn = 1 AND change_type = 'add'),
+agg AS (
+  SELECT address, COUNT(*) AS n_live,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
+  FROM live GROUP BY address)
+SELECT address, n_live, sum_value,
+       sum_value / n_live AS avg_value,
+       sum_sq / n_live - (sum_value / n_live) * (sum_value / n_live) AS var_value
+FROM agg
 """,
     doc="CDC incremental aggregate: signed ±1 maintenance == reconstruct-then-aggregate",
 )

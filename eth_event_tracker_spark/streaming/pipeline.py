@@ -226,10 +226,23 @@ def incremental_agg(
     w = F.when(F.col("change_type") == "add", F.lit(1)).otherwise(F.lit(-1))
     aggs = [F.sum(w).alias("n_live")]
     if value_col is not None:
-        aggs.append(
-            F.sum(F.col(value_col).cast("decimal(18,4)") * w).cast("double").alias("sum_value")
+        v = F.col(value_col).cast("decimal(18,4)")
+        # first two signed moments: every ALGEBRAIC aggregate (sum, avg,
+        # variance) is maintainable from deltas; retractions cancel the
+        # moments exactly because the decimal sums are order-independent
+        aggs.append(F.sum(v * w).cast("double").alias("sum_value"))
+        aggs.append(F.sum(v * v * w).cast("double").alias("sum_sq"))
+    out = changelog.groupBy(*keys).agg(*aggs).where(F.col("n_live") > 0)
+    if value_col is not None:
+        mean = F.col("sum_value") / F.col("n_live")
+        out = out.select(
+            *keys,
+            "n_live",
+            "sum_value",
+            mean.alias("avg_value"),
+            (F.col("sum_sq") / F.col("n_live") - mean * mean).alias("var_value"),
         )
-    return changelog.groupBy(*keys).agg(*aggs).where(F.col("n_live") > 0)
+    return out
 
 
 def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
