@@ -107,6 +107,11 @@ def _cmd_query(args) -> int:
 
     spark = get_spark()
     df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        )
+        return 0
     for row in df.limit(args.limit).collect():
         print(json.dumps(row.asDict(), default=str))
     if args.verify:
@@ -165,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--limit", type=int, default=20)
     qp.add_argument("--list", action="store_true")
     qp.add_argument("--verify", action="store_true", help="cross-check vs the DuckDB oracle")
+    qp.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     qp.set_defaults(fn=_cmd_query)
 
     args = ap.parse_args(argv)

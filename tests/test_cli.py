@@ -42,3 +42,9 @@ def test_cli_query_verify(capsys, spark):
     # rows-only entries report their pytest-pinned status instead
     assert main(["query", "--name", "approx_distinct_parts", "--verify", "--limit", "1"]) == 0
     assert "rows-only" in capsys.readouterr().err
+
+
+def test_cli_query_explain(capsys, spark):
+    assert main(["query", "--name", "q5_local_supplier_volume", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "BroadcastHashJoin" in out
