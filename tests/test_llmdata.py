@@ -1343,3 +1343,38 @@ def test_fuzzy_pairs_matches_brute_force(spark):
         want = {(min(a, b), max(a, b), x) for a, b, x in want}
         got = {(r.s_a, r.s_b, r.dist) for r in fuzzy_pairs(df, "name", max_dist=d).collect()}
         assert got == want, f"d={d}: {got ^ want}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    names=st.lists(st.text(alphabet="abc", min_size=6, max_size=10), min_size=2, max_size=15),
+    d=st.integers(1, 2),
+)
+def test_fuzzy_pairs_fuzz_vs_model(names, d, spark):
+    """Random small-alphabet strings (forcing dense near-matches) vs the
+    DP levenshtein model — the q-gram candidate stage must lose nothing."""
+    from eth_event_tracker_spark.operators.text import fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    uniq = sorted(set(names))
+    min_len = 2 * d + 2
+    want = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if len(a) >= min_len and len(b) >= min_len and lev(a, b) <= d
+    }
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r.s_a, r.s_b, r.dist) for r in fuzzy_pairs(df, "name", max_dist=d).collect()}
+    assert got == want

@@ -174,3 +174,33 @@ def test_interval_overlap_join_matches_brute_force(spark):
 
     plan = plan_of(interval_overlap_join(l, r, "ls", "le", "rs", "re", 64))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_IVALS = st.lists(
+    st.tuples(st.integers(0, 120), st.integers(0, 120)), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_IVALS, rrows=_IVALS, width=st.sampled_from([3, 17, 50, 200]))
+def test_interval_overlap_join_fuzz(lrows, rrows, width, spark):
+    """Randomized interval sets (degenerate/empty/negative included) vs
+    the brute-force half-open overlap model at randomized bin widths."""
+    from eth_event_tracker_spark.operators.rangejoin import interval_overlap_join
+
+    l = _mk_intervals(spark, lrows, "ls", "le", "l")
+    r = _mk_intervals(spark, rrows, "rs", "re", "r")
+    want = {
+        (i, j)
+        for i, (a, b) in enumerate(lrows)
+        for j, (c, d) in enumerate(rrows)
+        if a < d and c < b
+    }
+    got = {
+        (row.l_id, row.r_id)
+        for row in interval_overlap_join(l, r, "ls", "le", "rs", "re", width).collect()
+    }
+    assert got == want
