@@ -100,6 +100,7 @@ _POST_WINDOW = (
     "cohort_retention",
     "sessions_overlap_incidents",
     "fuzzy_part_names",
+    "join_full_outer",
 )
 
 

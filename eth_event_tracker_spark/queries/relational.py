@@ -869,3 +869,55 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", min_count=60, d=4, w=4096)
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the reconciliation shape: two filtered per-nation
+# rollups outer-joined so one-sided nations survive with null-filled
+# counterparts.  Completes the join-type matrix (inner/left/semi/anti/
+# cross-broadcast/as-of/range/overlap/fuzzy are covered elsewhere).
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    """
+WITH hi_cust AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+lo_supp AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_poor_suppliers
+  FROM supplier WHERE s_acctbal < 500 GROUP BY s_nationkey
+)
+SELECT COALESCE(h.nk, l.nk) AS nationkey,
+       COALESCE(h.n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(l.n_poor_suppliers, 0) AS n_poor_suppliers,
+       CAST(CASE WHEN h.nk IS NULL THEN 'supplier_only'
+                 WHEN l.nk IS NULL THEN 'customer_only'
+                 ELSE 'both' END AS STRING) AS presence
+FROM hi_cust h FULL OUTER JOIN lo_supp l ON h.nk = l.nk
+""",
+    doc="FULL OUTER reconciliation of two filtered rollups (null-filled one-sided keys)",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("h_nk"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 500)
+        .groupBy(F.col("s_nationkey").alias("l_nk"))
+        .agg(F.count("*").alias("n_poor_suppliers"))
+    )
+    j = c.join(s, c.h_nk == s.l_nk, "full_outer")
+    return j.select(
+        F.coalesce("h_nk", "l_nk").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_poor_suppliers", F.lit(0)).alias("n_poor_suppliers"),
+        F.when(F.col("h_nk").isNull(), "supplier_only")
+        .when(F.col("l_nk").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

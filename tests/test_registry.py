@@ -56,6 +56,7 @@ POST_WINDOW_ORACLES = (
     "cohort_retention",
     "sessions_overlap_incidents",
     "fuzzy_part_names",
+    "join_full_outer",
 )
 
 
