@@ -158,3 +158,45 @@ def test_heavy_hitters_exact_even_with_tiny_sketch(spark):
         truth[k] = truth.get(k, 0) + 1
     want = {(k, c) for k, c in truth.items() if c >= 54}
     assert got == want and want, "exactness must survive a collision-heavy sketch"
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty-input robustness across the round-5 operators: empty in →
+    empty (or identity) out, correct schema, no exceptions."""
+    from eth_event_tracker_spark.operators.rangejoin import interval_overlap_join
+    from eth_event_tracker_spark.operators.sketches import cms_build, heavy_hitters
+    from eth_event_tracker_spark.operators.text import (
+        bpe_pair_counts,
+        bpe_train,
+        fuzzy_pairs,
+        hashed_tfidf_vectors,
+    )
+    from eth_event_tracker_spark.streaming.pipeline import (
+        incremental_agg,
+        validity_intervals,
+        view_as_of,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert fuzzy_pairs(empty_docs, "text").count() == 0
+    assert bpe_pair_counts(empty_docs).count() == 0
+    assert bpe_train(empty_docs, n_merges=3) == []
+    assert hashed_tfidf_vectors(empty_docs, dim=8).count() == 0
+
+    empty_keys = spark.createDataFrame([], "key string")
+    assert cms_build(empty_keys, "key", d=2, w=8).count() == 0
+    assert heavy_hitters(empty_keys, "key", min_count=1).count() == 0
+
+    iv = spark.createDataFrame([], "l_id long, ls timestamp, le timestamp")
+    rv = spark.createDataFrame(
+        [(1,)], "r_id long"
+    ).selectExpr("r_id", "timestamp'2024-01-01' AS rs", "timestamp'2024-01-02' AS re")
+    assert interval_overlap_join(iv, rv, "ls", "le", "rs", "re", 60).count() == 0
+
+    clog = spark.createDataFrame(
+        [], "block_hash string, tx_index long, log_index long, block_num long, "
+        "change_type string, indx long"
+    )
+    assert view_as_of(clog, 10).count() == 0
+    assert validity_intervals(clog).count() == 0
+    assert incremental_agg(clog, keys=("block_num",)).count() == 0
