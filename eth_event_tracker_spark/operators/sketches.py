@@ -79,18 +79,24 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str, d: int 
 def heavy_hitters(
     df: DataFrame, key_col: str, min_count: int, d: int = 4, w: int = 4096
 ) -> DataFrame:
-    """Keys appearing at least ``min_count`` times — the two-pass
-    sketch-then-verify shape.
+    """Keys appearing at least ``min_count`` times — sketch-then-verify.
 
-    Pass 1 builds the CMS and keeps candidate keys whose ESTIMATE clears
-    the bar; one-sided error makes this a guaranteed superset (no false
-    negatives, ever).  Pass 2 exact-counts ONLY the candidates (semi
-    join, then one aggregate over the filtered rows) and applies the
-    exact bar.  The result is EXACT — collisions cost pass-2 work, never
-    correctness — while per-executor state in pass 1 stays d·w however
-    many distinct keys the data has; the classic CM use (Cormode 2005
-    §4).  For min_count above ~N/w the candidate set is collision-thin;
-    the tighter w is, the more pass-2 verification rides along."""
+    Candidate keys are those whose CMS ESTIMATE clears the bar;
+    one-sided error makes this a guaranteed superset (no false
+    negatives, ever), and the exact verification pass (semi join + one
+    aggregate over candidate rows) keeps truth only — collisions cost
+    verify work, never correctness (pinned in tests with a deliberately
+    collision-saturated sketch).
+
+    Honest scale framing: in THIS batch form the candidate enumeration
+    scans the same data an exact GROUP BY ... HAVING would, so the win
+    is not the batch pass — it is that the SKETCH, not the data, is
+    what you keep.  Combined with the streaming partial-sketch log
+    (streaming/sketch.py), frequency queries over any later candidate
+    set ("which of today's keys were heavy over the whole month") read
+    d·w·n_batches counter rows instead of re-scanning history; the
+    registry query uses the batch identity to hash-verify the
+    build→estimate→verify arithmetic end-to-end."""
     sketch = cms_build(df, key_col, d=d, w=w)
     distinct_keys = df.select(key_col).distinct()
     cands = (
