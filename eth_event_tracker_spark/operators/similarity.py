@@ -663,9 +663,16 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> "np.ndarray":
     """Per-subspace Lloyd k-means on a deterministic bounded sample
-    (first ``n_train`` by id — TakeOrdered, never a full collect).
+    (``n_train`` rows by HASH order — TakeOrdered, never a full collect;
+    an id-ordered prefix would train the codebooks on whatever the id
+    layout correlates with, the same bias fixed in ivf_build_centroids).
     Returns codebooks shaped (m, k, d/m) float64."""
-    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_train).collect()
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col), id_col)
+        .limit(n_train)
+        .collect()
+    )
     x = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
     d = x.shape[1]
     if d % m:
