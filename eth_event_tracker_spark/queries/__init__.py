@@ -101,6 +101,7 @@ _POST_WINDOW = (
     "sessions_overlap_incidents",
     "fuzzy_part_names",
     "join_full_outer",
+    "q19_disjunctive_join",
 )
 
 

@@ -921,3 +921,36 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 — disjunctive join predicates: OR-of-ANDs over both join
+# sides.  Catalyst extracts the common `l_partkey = p_partkey` equality
+# into the join key and leaves the disjunction as a post-join filter —
+# the optimizer shape this slot exists to pin (a naive engine treats the
+# whole OR as a non-equi join condition and cross-joins).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_join",
+    f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 15 AND l.l_quantity >= 10)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 30 AND l.l_quantity >= 20)
+   OR (p.p_type = 'PROMO' AND l.l_quantity >= 40)
+""",
+    doc="TPC-H Q19-style OR-of-ANDs join predicate (equality extracted to the join key)",
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+    )

@@ -57,6 +57,7 @@ POST_WINDOW_ORACLES = (
     "sessions_overlap_incidents",
     "fuzzy_part_names",
     "join_full_outer",
+    "q19_disjunctive_join",
 )
 
 
