@@ -39,6 +39,8 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
+    if n == 0:  # empty edge list → empty ranking, not ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("node").agg(F.count("*").alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iters):

@@ -181,9 +181,15 @@ def ann_lsh_topk(
     multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact cosine rerank restricted to same-bucket
     candidates (equality join on the LSH bucket — never a cross join).
+
+    ``exclude_self`` (the one convention, applied to EVERY tier — round-5
+    advice): True drops q_id == c_id pairs (queries drawn from the
+    corpus must not return themselves); pass False when queries and
+    corpus come from different tables whose id spaces may coincide.
 
     ``multiprobe=1`` additionally probes every bucket at Hamming distance
     1 from the query's bucket (flip each plane bit) — the standard
@@ -206,7 +212,9 @@ def ann_lsh_topk(
     cb = lsh_bucket(corpus, n_planes, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "bucket"
     )
-    cand = qb.join(cb, "bucket").where(F.col("q_id") != F.col("c_id"))
+    cand = qb.join(cb, "bucket")
+    if exclude_self:
+        cand = cand.where(F.col("q_id") != F.col("c_id"))
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -251,6 +259,8 @@ def ivf_build_centroids(
         .limit(n_sample)
         .collect()
     )
+    if not first:
+        raise ValueError("ivf_build_centroids: corpus is empty — nothing to cluster")
     sample = np.stack([np.array(r[1], dtype=np.float64) for r in first])
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     chosen = [0]
@@ -303,6 +313,7 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF ANN: assign corpus to centroids once (the 'index build' — at
     100 TB this is a partitioned write clustered by centroid_id), then for
@@ -313,7 +324,9 @@ def ivf_topk(
     corpus_tagged = ivf_assign(corpus, cents, id_col, vec_col).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id"
     )
-    return _ivf_probe_rerank(queries, cents, corpus_tagged, k, n_probe, id_col, vec_col)
+    return _ivf_probe_rerank(
+        queries, cents, corpus_tagged, k, n_probe, id_col, vec_col, exclude_self
+    )
 
 
 def _ivf_probe_rerank(
@@ -324,6 +337,7 @@ def _ivf_probe_rerank(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe ``n_probe`` nearest centroids per query and exact-rerank the
     probed buckets — shared by the build-inline and persisted-index
@@ -344,7 +358,9 @@ def _ivf_probe_rerank(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
         .withColumn("centroid_id", F.explode(probe_of(F.col("qv"))))
     )
-    cand = qb.join(corpus_tagged, "centroid_id").where(F.col("q_id") != F.col("c_id"))
+    cand = qb.join(corpus_tagged, "centroid_id")
+    if exclude_self:
+        cand = cand.where(F.col("q_id") != F.col("c_id"))
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
@@ -437,6 +453,7 @@ def ivf_topk_indexed(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Probe a persisted IVF index (see :func:`ivf_write_index`).
     Identical output contract to :func:`ivf_topk` over the same corpus
@@ -449,7 +466,7 @@ def ivf_topk_indexed(
         ]
     )
     tagged = spark.read.parquet(f"{path}/vectors")
-    return _ivf_probe_rerank(queries, cents, tagged, k, n_probe, id_col, vec_col)
+    return _ivf_probe_rerank(queries, cents, tagged, k, n_probe, id_col, vec_col, exclude_self)
 
 
 def cosine_near_dup_pairs(
@@ -673,15 +690,27 @@ def pq_train(
         .limit(n_train)
         .collect()
     )
+    if not sample:
+        raise ValueError("pq_train: corpus is empty — nothing to train on")
     x = np.stack([np.asarray(r[1], dtype=np.float64) for r in sample])
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
+    if x.shape[0] < k:
+        # fewer sample rows than centroids (round-5 advice: used to crash
+        # on a numpy shape mismatch) — pad seeds by cycling the sample,
+        # the same degenerate-corpus policy as ivf_build_centroids;
+        # surplus centroids collapse onto duplicated seeds and encode/ADC
+        # still function (argmin picks the first minimum)
+        reps = -(-k // x.shape[0])  # ceil
+        x_seed = np.tile(x, (reps, 1))[:k]
+    else:
+        x_seed = x
     books = np.empty((m, k, dsub))
     for s in range(m):
         xs = x[:, s * dsub : (s + 1) * dsub]
-        cents = xs[:k].copy()  # deterministic seed: first k sample rows
+        cents = x_seed[:k, s * dsub : (s + 1) * dsub].copy()  # deterministic seed
         for _ in range(n_iters):
             d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
@@ -756,6 +785,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC search + exact rerank.
 
@@ -765,7 +795,10 @@ def pq_adc_topk(
     indexed-transform fold — the raw vectors are read only for the
     ``shortlist·k`` candidates per query that survive, which are exactly
     reranked on true squared distance.  Output: (q_id, vec_id, dist,
-    rank ≤ k) — ties broken by id, like every other tier."""
+    rank ≤ k) — ties broken by id, and ``exclude_self`` (default True)
+    drops q_id == c_id pairs, like every other tier (round-5 advice:
+    this tier used to lack the filter, so corpus-drawn queries returned
+    themselves at rank 1; pass False for cross-table id spaces)."""
     m, n_cent, dsub = codebooks.shape
     qrows = queries.select(id_col, vec_col).collect()
     lut_rows = []
@@ -793,6 +826,8 @@ def pq_adc_topk(
             "0D, (acc, x) -> acc + x)"
         ).alias("adc_dist"),
     )
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
     short = (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -895,6 +930,7 @@ def pq_topk_indexed(
     shortlist: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Search a persisted PQ index — identical output contract to
     :func:`pq_adc_topk` with the same codebooks."""
@@ -903,7 +939,14 @@ def pq_topk_indexed(
         F.col("c_id").alias(id_col), "pq_codes", F.col("cv").alias(vec_col)
     )
     return pq_adc_topk(
-        queries, stored, books, k=k, shortlist=shortlist, id_col=id_col, vec_col=vec_col
+        queries,
+        stored,
+        books,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_self=exclude_self,
     )
 
 
@@ -918,6 +961,7 @@ def ivfpq_topk(
     shortlist: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the two scale levers composed — IVF probing bounds WHICH
     rows a query touches (~n_probe/n_centroids of the corpus, equality
@@ -966,7 +1010,9 @@ def ivfpq_topk(
             f"aggregate(transform(pq_codes, (c, s) -> element_at(lut, s * {n_cent} + c + 1)), "
             "0D, (acc, x) -> acc + x)"
         ).alias("adc_dist"),
-    ).where(F.col("q_id") != F.col("c_id"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
     short = (
         scored.withColumn("_rn", F.row_number().over(w))

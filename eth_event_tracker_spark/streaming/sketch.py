@@ -2,23 +2,121 @@
 state, stored as a LOG of per-batch partial sketches.
 
 The CMS's partial-aggregate property (operators/sketches.py) makes the
-exactly-once story trivial: each micro-batch writes its OWN d×w partial
-under ``<path>/parts/batch=<id>`` — no read-modify-write of shared
-state, so a replayed batch is detected by its directory existing and
-skipped (idempotent), and a crash between write and checkpoint commit
-just re-runs an overwrite of identical content.  Query-time
-``read_sketch`` merges the log with one groupBy — bounded by
-d·w·n_batches rows regardless of stream volume — and ``compact_sketch``
-folds the log back to a single partial whenever n_batches grows."""
+exactly-once story simple — each micro-batch writes its OWN d×w partial
+under ``<path>/parts/batch=<id>`` with no read-modify-write of shared
+state — but two crash windows need explicit handling (round-5 advice):
+
+* **Durability is the ``_SUCCESS`` marker, not directory existence.**  A
+  crash mid-write leaves a partial ``batch=<id>`` dir; a replay must NOT
+  treat it as durable (silent undercount).  ``_durable`` checks the
+  marker; a marker-less leftover is deleted and rewritten, and
+  ``read_sketch`` merges only durable parts so a half-written batch is
+  never half-counted at query time.
+* **Compaction persists a high-watermark.**  ``compact_sketch`` deletes
+  the per-batch dirs it folds, so a batch replayed AFTER compaction no
+  longer finds its dir — without a watermark it would re-append rows
+  already folded into the compacted part (double count).  The compacted
+  ``parts`` dir carries a ``_WATERMARK`` file holding the max folded
+  batch_id; ``upsert`` skips any batch at or below it.  (Underscore
+  prefix → invisible to Spark's file listing, like ``_SUCCESS``.)
+
+Compaction itself is a staged write + two-rename swap; the crash window
+between the renames (no ``parts`` dir at all — round-5 advice, low) is
+closed by ``_recover``, which every entry point runs first: a staged dir
+carrying ``_COMMIT`` is rolled forward, an orphaned ``_old_parts`` is
+rolled back, anything else stale is discarded.  Paths here are
+driver-local (tests); on a cluster the same protocol runs against a DFS
+via its atomic-rename API.
+
+Query-time ``read_sketch`` merges the log with one groupBy — bounded by
+d·w·n_batches rows regardless of stream volume."""
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_build
+
+_STAGE = "_stage_parts"
+_OLD = "_old_parts"
+_COMMIT = "_COMMIT"
+_WATERMARK = "_WATERMARK"
+
+
+def _durable(part_dir: str) -> bool:
+    """A part is durable iff its Spark ``_SUCCESS`` marker exists."""
+    return os.path.exists(os.path.join(part_dir, "_SUCCESS"))
+
+
+def _durable_parts(path: str) -> list[str]:
+    parts_dir = os.path.join(path, "parts")
+    if not os.path.isdir(parts_dir):
+        return []
+    return sorted(
+        os.path.join(parts_dir, d)
+        for d in os.listdir(parts_dir)
+        if d.startswith("batch=") and _durable(os.path.join(parts_dir, d))
+    )
+
+
+def _watermark(path: str) -> int:
+    """Max batch_id already folded into the compacted part (-2 if never
+    compacted — batch ids start at 0 and the compacted part is -1)."""
+    wm_file = os.path.join(path, "parts", _WATERMARK)
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            return int(fh.read().strip())
+    return -2
+
+
+def _recover(path: str) -> None:
+    """Finish or roll back an interrupted compaction swap.
+
+    Invariants: the swap (rename parts→_old_parts, rename stage→parts)
+    only starts after the staged dir is fully written and marked
+    ``_COMMIT``; therefore if ``parts`` is missing, a ``_COMMIT``-marked
+    stage is complete and is rolled FORWARD, else an ``_old_parts`` is
+    rolled BACK.  If ``parts`` exists, any stage/_old_parts leftovers are
+    pre-commit or post-swap debris and are discarded."""
+    parts = os.path.join(path, "parts")
+    stage = os.path.join(path, _STAGE)
+    old = os.path.join(path, _OLD)
+    if not os.path.exists(parts):
+        if os.path.exists(os.path.join(stage, _COMMIT)):
+            os.rename(stage, parts)  # roll forward
+        elif os.path.exists(old):
+            os.rename(old, parts)  # roll back
+    for leftover in (stage, old):
+        if os.path.exists(parts) and os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def append_partial(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> None:
+    """The idempotent per-batch append (foreachBatch body, module-level so
+    the crash-window semantics are unit-testable without a stream):
+    skip if already folded by compaction (watermark) or already durable
+    (``_SUCCESS``); a marker-less partial leftover is deleted and
+    rewritten."""
+    _recover(path)
+    if batch_id <= _watermark(path):
+        return  # replayed batch already folded into the compacted part
+    part_dir = f"{path}/parts/batch={batch_id}"
+    if _durable(part_dir):  # checkpoint replay → already durable
+        return
+    if os.path.exists(part_dir):  # crash mid-write: partial, rewrite
+        shutil.rmtree(part_dir)
+    cms_build(batch_df, key_col, d=d, w=w).write.mode("overwrite").parquet(part_dir)
 
 
 def start_sketch_ingest(
@@ -32,13 +130,11 @@ def start_sketch_ingest(
     w: int = 1024,
     available_now: bool = False,
 ):
-    """File-stream → per-batch partial CMS appends."""
+    """File-stream → per-batch partial CMS appends (exactly-once: see
+    module docstring for the durability + watermark protocol)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        part_dir = f"{path}/parts/batch={batch_id}"
-        if os.path.exists(part_dir):  # checkpoint replay → already durable
-            return
-        cms_build(batch_df, key_col, d=d, w=w).write.mode("overwrite").parquet(part_dir)
+        append_partial(batch_df, batch_id, path, key_col, d=d, w=w)
 
     reader = spark.readStream.schema(schema).parquet(input_dir)
     writer = reader.writeStream.foreachBatch(upsert).option(
@@ -50,23 +146,44 @@ def start_sketch_ingest(
 
 
 def read_sketch(spark: SparkSession, path: str) -> DataFrame:
-    """The merged sketch: one groupBy over the partial log."""
-    parts = spark.read.parquet(f"{path}/parts")
+    """The merged sketch: one groupBy over the DURABLE partial log."""
+    _recover(path)
+    durable = _durable_parts(path)
+    if not durable:
+        return spark.createDataFrame([], "row INT, col BIGINT, cnt BIGINT")
+    parts = spark.read.parquet(*durable)
     return parts.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
 def compact_sketch(spark: SparkSession, path: str) -> None:
-    """Fold the partial log into one part (cell-wise sums are
+    """Fold the durable partial log into one part (cell-wise sums are
     associative, so the merged sketch is unchanged — asserted in tests).
-    Staged write + atomic swap, same discipline as the parquet store's
-    changelog compaction."""
-    import shutil
 
-    merged = read_sketch(spark, path)
-    stage = f"{path}/_stage_parts"
+    Staged write + ``_COMMIT`` marker + two-rename swap; ``_recover``
+    (run by every entry point) closes the between-renames crash window.
+    The staged dir carries the new ``_WATERMARK`` — max folded batch_id —
+    so post-compaction replays of folded batches are skipped, not
+    double-counted."""
+    _recover(path)
+    durable = _durable_parts(path)
+    if not durable:
+        return
+    new_wm = max(
+        [_watermark(path)]
+        + [int(os.path.basename(p).split("=", 1)[1]) for p in durable]
+    )
+    merged = spark.read.parquet(*durable).groupBy("row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    stage = os.path.join(path, _STAGE)
+    if os.path.exists(stage):
+        shutil.rmtree(stage)
     merged.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch=-1")
-    old = f"{path}/parts"
-    tmp_old = f"{path}/_old_parts"
-    os.rename(old, tmp_old)
-    os.rename(stage, old)
-    shutil.rmtree(tmp_old)
+    with open(os.path.join(stage, _WATERMARK), "w") as fh:
+        fh.write(str(new_wm))
+    with open(os.path.join(stage, _COMMIT), "w") as fh:
+        fh.write("1")
+    old = os.path.join(path, _OLD)
+    os.rename(os.path.join(path, "parts"), old)
+    os.rename(stage, os.path.join(path, "parts"))
+    shutil.rmtree(old)

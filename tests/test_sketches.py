@@ -119,7 +119,130 @@ def test_streaming_sketch_equals_batch_and_survives_replay(spark, tmp_path):
     got3 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(tmp_path / "sk")).collect()}
     assert got3 == want
     import os
-    assert len(os.listdir(tmp_path / "sk" / "parts")) == 1
+    part_dirs = [d for d in os.listdir(tmp_path / "sk" / "parts") if d.startswith("batch=")]
+    assert part_dirs == ["batch=-1"]
+
+
+def test_sketch_partial_write_is_not_durable(spark, tmp_path):
+    """A crash mid-write leaves a batch dir WITHOUT _SUCCESS; the replay
+    must rewrite it (round-5 advice: a bare existence check would skip it
+    and silently undercount), and read_sketch must never count it."""
+    import shutil
+
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import append_partial, read_sketch
+
+    path = tmp_path / "sk"
+    df = spark.createDataFrame([(i, f"k{i % 5}") for i in range(50)], "event_id long, key string")
+    append_partial(df, 0, str(path), "key", d=3, w=64)
+
+    # simulate a crash mid-write of batch 1: full content, marker removed
+    df2 = spark.createDataFrame([(i, f"k{i % 3}") for i in range(30)], "event_id long, key string")
+    append_partial(df2, 1, str(path), "key", d=3, w=64)
+    (path / "parts" / "batch=1" / "_SUCCESS").unlink()
+
+    # query time: the partial batch is invisible, not half-counted
+    want0 = {(r.row, r.col): r.cnt for r in cms_build(df, "key", d=3, w=64).collect()}
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got == want0
+
+    # replay of batch 1 rewrites (does not skip) the marker-less leftover
+    append_partial(df2, 1, str(path), "key", d=3, w=64)
+    whole = df.unionByName(df2)
+    want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
+    got2 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got2 == want
+
+    # and a durable replay is still a skip: delete nothing, append again
+    append_partial(df2, 1, str(path), "key", d=3, w=64)
+    got3 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got3 == want
+    shutil.rmtree(path)
+
+
+def test_sketch_replay_after_compaction_uses_watermark(spark, tmp_path):
+    """compact_sketch deletes the batch dirs it folds; a batch replayed
+    AFTER compaction must be skipped via the persisted high-watermark,
+    not re-appended (round-5 advice: double count)."""
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import (
+        append_partial,
+        compact_sketch,
+        read_sketch,
+    )
+
+    path = tmp_path / "sk"
+    dfs = [
+        spark.createDataFrame([(i, f"k{i % m}") for i in range(40)], "event_id long, key string")
+        for m in (3, 5, 7)
+    ]
+    for bi, df in enumerate(dfs):
+        append_partial(df, bi, str(path), "key", d=3, w=64)
+    compact_sketch(spark, str(path))
+
+    whole = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
+
+    # replay every folded batch: all below the watermark → no-ops
+    for bi, df in enumerate(dfs):
+        append_partial(df, bi, str(path), "key", d=3, w=64)
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got == want, "post-compaction replay must not double-count"
+
+    # a genuinely NEW batch above the watermark still appends, and a
+    # second compaction folds it and advances the watermark
+    df3 = spark.createDataFrame([(i, f"k{i % 2}") for i in range(20)], "event_id long, key string")
+    append_partial(df3, 3, str(path), "key", d=3, w=64)
+    compact_sketch(spark, str(path))
+    append_partial(df3, 3, str(path), "key", d=3, w=64)  # replay again
+    whole2 = whole.unionByName(df3)
+    want2 = {(r.row, r.col): r.cnt for r in cms_build(whole2, "key", d=3, w=64).collect()}
+    got2 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got2 == want2
+
+
+def test_sketch_compaction_swap_crash_recovery(spark, tmp_path):
+    """The swap's crash windows (round-5 advice): a committed stage with
+    no parts dir is rolled FORWARD; an orphaned _old_parts is rolled
+    BACK; stale pre-commit debris next to a live parts dir is discarded."""
+    import os
+    import shutil
+
+    from eth_event_tracker_spark.streaming.sketch import (
+        append_partial,
+        compact_sketch,
+        read_sketch,
+    )
+
+    path = tmp_path / "sk"
+    df = spark.createDataFrame([(i, f"k{i % 4}") for i in range(40)], "event_id long, key string")
+    append_partial(df, 0, str(path), "key", d=3, w=64)
+    want = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+
+    # crash between the two renames: parts moved aside, committed stage
+    # present.  Build the committed stage by running a real compaction,
+    # then rewinding to the mid-swap state.
+    compact_sketch(spark, str(path))
+    os.rename(path / "parts", path / "_stage_parts")  # stage = compacted
+    append_partial(df, 0, str(path), "key", d=3, w=64)  # recovery ran first
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got == want, "committed stage must roll forward"
+    assert not os.path.exists(path / "_stage_parts")
+
+    # orphaned _old_parts (crash before stage committed, after parts
+    # moved aside — rollback path)
+    os.rename(path / "parts", path / "_old_parts")
+    got2 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got2 == want, "orphaned _old_parts must roll back"
+    assert not os.path.exists(path / "_old_parts")
+
+    # stale uncommitted stage next to live parts → discarded
+    (path / "_stage_parts").mkdir()
+    (path / "_stage_parts" / "junk").write_text("x")
+    got3 = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got3 == want
+    assert not os.path.exists(path / "_stage_parts")
+    shutil.rmtree(path)
 
 
 def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir):
@@ -200,3 +323,86 @@ def test_new_operators_handle_empty_inputs(spark):
     assert view_as_of(clog, 10).count() == 0
     assert validity_intervals(clog).count() == 0
     assert incremental_agg(clog, keys=("block_num",)).count() == 0
+
+    # graph.py was the one round-5 module left out of this sweep
+    # (round-5 advice: pagerank raised ZeroDivisionError on 1.0 / n)
+    from eth_event_tracker_spark.operators.graph import pagerank
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    pr = pagerank(empty_edges, n_iters=3)
+    assert pr.count() == 0
+    assert [f.name for f in pr.schema.fields] == ["node", "rank"]
+
+
+def test_degenerate_corpora_for_trainers(spark):
+    """pq_train / ivf_build_centroids on corpora smaller than k (round-5
+    advice: pq_train crashed on a numpy shape mismatch) and on empty
+    corpora (clear error, not np.stack internals)."""
+    import numpy as np
+    import pytest
+
+    from eth_event_tracker_spark.operators import similarity as OPS
+
+    # 3 rows, k=16 centroids: seeds pad by cycling the sample
+    rows = [(i, [float(i), float(i + 1), 0.5, -1.0] * 8) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = OPS.pq_train(df, m=8, k=16, n_train=64)
+    assert books.shape == (8, 16, 4)
+    assert np.isfinite(books).all()
+    # the trained codebooks still encode: 3 rows → 3 code vectors in range
+    codes = OPS.pq_encode(df, books).select("pq_codes").collect()
+    assert len(codes) == 3 and all(0 <= c < 16 for r in codes for c in r[0])
+
+    cents = OPS.ivf_build_centroids(df, n_centroids=16, n_iters=1)
+    assert cents.shape == (16, 32) and np.isfinite(cents).all()
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        OPS.pq_train(empty)
+    with pytest.raises(ValueError, match="empty"):
+        OPS.ivf_build_centroids(empty)
+
+
+def test_pq_tiers_exclude_self_consistently(spark):
+    """Self-exclusion is one convention across ALL ANN tiers (round-5
+    advice: pq_adc_topk returned corpus-drawn queries at rank 1 while
+    ivfpq filtered unconditionally).  Default True drops q_id == c_id;
+    exclude_self=False admits coinciding ids from distinct tables."""
+    import numpy as np
+
+    from eth_event_tracker_spark.operators import similarity as OPS
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 4)  # queries DRAWN FROM the corpus
+
+    books = OPS.pq_train(df, m=8, k=16, n_train=40)
+    codes = OPS.pq_encode(df, books)
+
+    got = OPS.pq_adc_topk(q, codes, books, k=3).collect()
+    assert all(r.q_id != r.vec_id for r in got), "self-match must be excluded by default"
+    assert {r.q_id for r in got} == {0, 1, 2, 3}
+
+    kept = OPS.pq_adc_topk(q, codes, books, k=3, exclude_self=False).collect()
+    selfs = [r for r in kept if r.q_id == r.vec_id]
+    assert len(selfs) == 4 and all(r.rank == 1 and r.dist == 0.0 for r in selfs), (
+        "exclude_self=False must admit the exact self-match at rank 1"
+    )
+
+    got2 = OPS.ivfpq_topk(q, df, k=3, n_centroids=4, n_probe=4, m=8, pq_k=16).collect()
+    assert all(r.q_id != r.vec_id for r in got2)
+    kept2 = OPS.ivfpq_topk(
+        q, df, k=3, n_centroids=4, n_probe=4, m=8, pq_k=16, exclude_self=False
+    ).collect()
+    assert any(r.q_id == r.vec_id and r.rank == 1 for r in kept2)
+
+    got3 = OPS.ann_lsh_topk(q, df, k=3, n_planes=4).collect()
+    assert all(r.q_id != r.c_id for r in got3)
+    kept3 = OPS.ann_lsh_topk(q, df, k=3, n_planes=4, exclude_self=False).collect()
+    assert any(r.q_id == r.c_id and r.rank == 1 for r in kept3)
+
+    got4 = OPS.ivf_topk(q, df, k=3, n_centroids=4, n_probe=4).collect()
+    assert all(r.q_id != r.c_id for r in got4)
+    kept4 = OPS.ivf_topk(q, df, k=3, n_centroids=4, n_probe=4, exclude_self=False).collect()
+    assert any(r.q_id == r.c_id and r.rank == 1 for r in kept4)
