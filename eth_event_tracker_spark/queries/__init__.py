@@ -102,6 +102,23 @@ _POST_WINDOW = (
     "fuzzy_part_names",
     "join_full_outer",
     "q19_disjunctive_join",
+    # round 6: TPC-H completion (all 22 now covered)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_suppliers_waiting",
+    "q22_global_sales",
+    "temperature_mix_langs",
+    "triangle_count_cosupply",
 )
 
 
@@ -109,7 +126,7 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import chain, relational, streams, llmdata  # noqa: F401
+    from . import chain, relational, streams, llmdata, tpch  # noqa: F401
 
     ordered = sorted(
         REGISTRY.items(),

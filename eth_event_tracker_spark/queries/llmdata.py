@@ -1097,3 +1097,32 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import fuzzy_pairs
 
     return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixing (operators/sampling.temperature_mix): the
+# pre-training mixture heuristic — post-mix counts ∝ √n_lang.  The
+# keep-rate is one sqrt of one division (IEEE-correctly-rounded on both
+# engines) and the keep test stays in double arithmetic end to end, so
+# the sampled set hash-matches DuckDB exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mix_langs",
+    f"""
+WITH counts AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(_n) AS _nmin FROM counts),
+rates AS (SELECT lang, sqrt(CAST(_nmin AS DOUBLE) / CAST(_n AS DOUBLE)) AS _k
+          FROM counts, mn)
+SELECT doc_id, lang, source
+FROM documents JOIN rates USING (lang)
+WHERE CAST({duck_hash60_inline("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
+        / 1152921504606846976.0 < _k
+""",
+    doc="temperature (T=2) source mixing: downsample strata to √n proportions, "
+    "deterministic hash keep-test — reproducible across engines/reruns",
+)
+def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, stratum_col="lang").select("doc_id", "lang", "source")

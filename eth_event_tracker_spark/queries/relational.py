@@ -954,3 +954,52 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(F.sum(_revenue()).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.triangle_count) over the top-500
+# co-supply graph: suppliers ranked by shared-part count (deterministic
+# TakeOrdered — a scale-stable edge set at every SF, unlike an absolute
+# co-supply threshold), then the degree-oriented wedge-close count.
+# Oracle mirrors the orientation exactly via row-value comparison.
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_count_cosupply",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          ORDER BY cnt DESC, a, b LIMIT 500),
+deg AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
+        GROUP BY v),
+ori AS (SELECT CASE WHEN (da.d, pairs.a) < (db.d, pairs.b) THEN pairs.a ELSE pairs.b END AS u,
+               CASE WHEN (da.d, pairs.a) < (db.d, pairs.b) THEN pairs.b ELSE pairs.a END AS w
+        FROM pairs JOIN deg da ON da.v = pairs.a JOIN deg db ON db.v = pairs.b),
+closed AS (SELECT 1 AS one
+           FROM (SELECT o1.u, o1.w AS v1, o2.w AS v2
+                 FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.w <> o2.w) wedges
+           WHERE EXISTS (SELECT 1 FROM ori WHERE ori.u = wedges.v1 AND ori.w = wedges.v2))
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM closed) AS n_triangles
+""",
+    doc="exact triangle count, degree-oriented wedge join (skew-bounded out-degree) over the top-500 co-supply pairs",
+)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p2 = ps.select(F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk"))
+    edges = (
+        ps.join(p2, (ps.l_partkey == p2._pk) & (ps.l_suppkey < p2._sk))
+        .groupBy(F.col("l_suppkey").alias("src"), F.col("_sk").alias("dst"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "src", "dst")
+        .limit(500)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)

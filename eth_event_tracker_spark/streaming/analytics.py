@@ -138,3 +138,44 @@ def stateful_running_counts_tws(stream_df: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "30 minutes",
+    horizon: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the user's prior
+    view within ``horizon`` — the canonical watermarked two-stream join.
+
+    Both sides carry a watermark and the join condition pairs the
+    equality key (user_id) with a TIME-RANGE predicate, which is what
+    lets the engine bound state: a buffered view row can be evicted once
+    the purchase-side watermark passes view_ts + horizon, so state is
+    O(rate × horizon) per key range, not O(stream).  ``join_type``
+    'left_outer' additionally emits view rows with no matching purchase
+    AFTER their join window closes (the engine needs the watermark to
+    know no future purchase can match) — nulls on the purchase side.
+
+    Scale shape: both streams shuffle once on user_id (co-partitioned
+    state store); the range predicate is evaluated within the matched
+    key partition.  The batch twin (same expressions over static
+    DataFrames) is what tests pin against."""
+    v = views.select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return v.join(p, cond, join_type).select(
+        "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"
+    )

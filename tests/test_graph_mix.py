@@ -1,0 +1,172 @@
+"""Round-6 operators: triangle_count (degree-oriented wedge join) and
+temperature_mix (√n mixture flattening)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from eth_event_tracker_spark.operators.graph import triangle_count
+from eth_event_tracker_spark.operators.sampling import temperature_mix
+
+
+def _brute_triangles(edges: set[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = 0
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            n += 1
+    return n
+
+
+def test_triangle_count_matches_brute_force(spark):
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.2}
+    # feed duplicates, reversals, and self-loops: the operator must
+    # canonicalize (dedup + undirect + drop loops) before counting
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in list(edges)[:20]] + [(5, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = triangle_count(df).first()
+    assert got.n_triangles == _brute_triangles(edges)
+    assert got.n_edges == len(edges)
+
+
+def test_triangle_count_hub_graph(spark):
+    """A star hub (worst case for naive src-keyed wedge joins) plus a
+    ring: degree orientation points every spoke INTO the hub, so the
+    hub contributes zero wedges — count stays exact and the wedge set
+    stays linear, not O(hub_degree²)."""
+    hub_edges = [(0, i) for i in range(1, 41)]
+    ring = [(i, i + 1) for i in range(1, 40)] + [(40, 1)]
+    df = spark.createDataFrame(hub_edges + ring, "src long, dst long")
+    got = triangle_count(df).first()
+    # each ring edge forms exactly one triangle with the hub
+    assert got.n_triangles == _brute_triangles(set(hub_edges + ring)) == 40
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = triangle_count(empty).first()
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)
+    # bipartite graph: never a triangle
+    bip = spark.createDataFrame(
+        [(a, 100 + b) for a in range(5) for b in range(5)], "src long, dst long"
+    )
+    assert triangle_count(bip).first().n_triangles == 0
+
+
+def test_temperature_mix_flattens_to_sqrt_proportions(spark):
+    import math
+
+    rows = []
+    sizes = {"en": 3200, "fr": 800, "de": 200}
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_mix(df, stratum_col="lang")
+    counts = {r.lang: r.c for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # smallest stratum survives whole (k = 1.0)
+    assert counts["de"] == 200
+    # others land near sqrt(n_min * n_s) within binomial noise (4σ)
+    for lang in ("en", "fr"):
+        expect = math.sqrt(200 * sizes[lang])
+        sd = math.sqrt(sizes[lang] * 0.25)  # p(1-p) ≤ 1/4
+        assert abs(counts[lang] - expect) < 4 * sd, (lang, counts[lang], expect)
+    # deterministic: a rerun (and a repartition) keeps the identical set
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in temperature_mix(df.repartition(13), stratum_col="lang").collect()}
+    assert ids1 == ids2
+
+
+def _write_events(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([base + dt.timedelta(minutes=r[2]) for r in rows],
+                           pa.timestamp("us")),
+        }
+    )
+    pq.write_table(table, str(path))
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream join == the batch join over the same
+    data (inner), and the left-outer arm emits unmatched views with null
+    purchase once the watermark passes their join window."""
+    from eth_event_tracker_spark.streaming.analytics import stream_stream_attribution
+
+    views = [  # (event_id, user_id, minute)
+        (1, 1, 0), (2, 2, 0), (3, 3, 5), (4, 4, 10), (5, 1, 200),
+    ]
+    purchases = [  # user 1 buys 30min after view; user 3 at 50min; user 2 too late (90min)
+        (101, 1, 30), (102, 3, 55), (103, 2, 95), (104, 9, 40),
+    ]
+    vdir, pdir = tmp_path / "v", tmp_path / "p"
+    vdir.mkdir(); pdir.mkdir()
+    _write_events(vdir / "a.parquet", views)
+    _write_events(pdir / "a.parquet", purchases)
+
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run(join_type, out_name):
+        vs = spark.readStream.schema(schema).parquet(str(vdir))
+        ps = spark.readStream.schema(schema).parquet(str(pdir))
+        q = (
+            stream_stream_attribution(vs, ps, join_type=join_type)
+            .writeStream.format("memory")
+            .queryName(out_name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{out_name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+        return spark.table(out_name)
+
+    # batch twin: identical expressions over static frames
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    bv = spark.createDataFrame(
+        [(e, u, base + dt.timedelta(minutes=m)) for e, u, m in views], schema
+    )
+    bp = spark.createDataFrame(
+        [(e, u, base + dt.timedelta(minutes=m)) for e, u, m in purchases], schema
+    )
+    want = {
+        (r.user_id, r.view_id, r.purchase_id)
+        for r in stream_stream_attribution(bv, bp, join_type="inner").collect()
+    }
+    got = {(r.user_id, r.view_id, r.purchase_id) for r in run("inner", "ss_inner").collect()}
+    assert got == want and (1, 1, 101) in got and (3, 3, 102) in got
+    assert (2, 2, 103) not in got, "95min > 1h horizon must not match"
+
+    # left outer: after a watermark-advancing flush file, the unmatched
+    # old views emit with null purchase
+    run("left_outer", "ss_outer")
+    _write_events(vdir / "flush_v.parquet", [(900, 99, 600)])
+    _write_events(pdir / "flush_p.parquet", [(901, 99, 600)])
+    outer = run("left_outer", "ss_outer2")
+    rows = {(r.user_id, r.view_id, r.purchase_id) for r in spark.table("ss_outer").unionByName(outer).collect()}
+    matched = {(u, v) for (u, v, p) in rows if p is not None}
+    assert {(1, 1), (3, 3)} <= matched
+    unmatched = {(u, v) for (u, v, p) in rows if p is None}
+    assert {(2, 2), (4, 4)} <= unmatched, f"unmatched views must emit nulls, got {rows}"

@@ -298,6 +298,16 @@ _SCALAR_BROADCAST_OK = {
     "changelog_incremental_agg",
     # broadcast of the per-query ADC lookup tables (|queries| rows)
     "embedding_pq_topk",
+    # TPC-H scalar-threshold subqueries: 1-row (total, n) / avg-balance
+    # scalar broadcast against the grouped side with an INEQUALITY
+    # predicate, so Catalyst cannot rewrite to BHJ (q15's equality
+    # version does get rewritten); the nested-loop side is 1 row
+    "q11_important_stock",
+    "q22_global_sales",
+    # 1-row broadcast scalars: min stratum count (mix rate), and the
+    # (n_nodes, n_edges) count rows assembled onto the triangle row
+    "temperature_mix_langs",
+    "triangle_count_cosupply",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate
