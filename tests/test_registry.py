@@ -58,6 +58,23 @@ POST_WINDOW_ORACLES = (
     "fuzzy_part_names",
     "join_full_outer",
     "q19_disjunctive_join",
+    # round 6: TPC-H completion + graph/mixing
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q17_small_qty_revenue",
+    "q20_part_promotion",
+    "q21_suppliers_waiting",
+    "q22_global_sales",
+    "temperature_mix_langs",
+    "triangle_count_cosupply",
 )
 
 
