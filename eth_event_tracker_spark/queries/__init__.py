@@ -119,6 +119,9 @@ _POST_WINDOW = (
     "q22_global_sales",
     "temperature_mix_langs",
     "triangle_count_cosupply",
+    "window_rank_family",
+    "agg_cube_grouping",
+    "join_null_safe",
 )
 
 

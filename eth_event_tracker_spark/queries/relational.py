@@ -992,14 +992,144 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    p2 = ps.select(F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk"))
+    # pair generation WITHOUT a self-join: per-part supplier lists are
+    # bounded (~26 suppliers/part at every SF), so sort_array + a nested
+    # transform explodes each part's ordered pairs locally — one shuffle
+    # on l_partkey instead of a join shuffle plus a probe
+    li = load_table(spark, sf_dir, "lineitem")
+    # the repartition matters: AQE coalesces the post-groupBy exchange by
+    # the SMALL list-table size, but the explode below blows each row up
+    # ~325× — without re-spreading, millions of pair rows land on two
+    # tasks.  Explode-after-exchange defeats size-based coalescing; give
+    # the blowup its parallelism explicitly.
+    lists = (
+        li.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .repartition(32)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     edges = (
-        ps.join(p2, (ps.l_partkey == p2._pk) & (ps.l_suppkey < p2._sk))
-        .groupBy(F.col("l_suppkey").alias("src"), F.col("_sk").alias("dst"))
+        pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "src", "dst")
         .limit(500)
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# The remaining rank-function family in one query: ntile, rank,
+# dense_rank, percent_rank, cume_dist over a deterministic total order
+# (price, orderkey tiebreak).  percent_rank/cume_dist are divisions of
+# exact integers — bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_family",
+    """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist() OVER w AS cdist
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="rank-function family (ntile/rank/dense_rank/percent_rank/cume_dist) on a deterministic order",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE + GROUPING flags: all four aggregation levels of
+# (returnflag, linestatus) in one pass — the partial-aggregate engine
+# expands the grouping sets map-side; the grouping flags disambiguate
+# real NULLs from rolled-up dimensions.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube_grouping",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over (returnflag, linestatus) with GROUPING flags — all 4 levels in one pass",
+)
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_lines"),
+        _sum_dec("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): the last join
+# PREDICATE semantic in the matrix.  Keys are NULLIF-derived (the
+# fixtures carry no NULLs): customers and suppliers bucket by
+# round(acctbal/1000), negative balances collapse to NULL — a plain
+# equality would silently drop the NULL bucket on both sides, <=> pairs
+# them.  Null-safe equality IS a hashable key (NULL is one more key
+# value), so this stays a hash join, not a nested loop — plan-linted.
+# ---------------------------------------------------------------------------
+@register(
+    "join_null_safe",
+    """
+WITH cb AS (SELECT NULLIF(CAST(floor(c_acctbal / 1000) AS BIGINT), -1) AS bal_bucket,
+                   COUNT(*) AS n_customers
+            FROM customer GROUP BY 1),
+     sb AS (SELECT NULLIF(CAST(floor(s_acctbal / 1000) AS BIGINT), -1) AS bal_bucket,
+                   COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY 1)
+SELECT cb.bal_bucket, n_customers, n_suppliers
+FROM cb JOIN sb ON cb.bal_bucket IS NOT DISTINCT FROM sb.bal_bucket
+""",
+    doc="null-safe equality join (<=>): NULL keys pair instead of silently dropping; still a hash join",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def buckets(table: str, pre: str, out: str):
+        df = load_table(spark, sf_dir, table)
+        b = F.nullif(
+            F.floor(F.col(f"{pre}_acctbal") / 1000).cast("bigint"), F.lit(-1)
+        ).alias("bal_bucket")
+        return df.groupBy(b).agg(F.count("*").alias(out))
+
+    cb = buckets("customer", "c", "n_customers")
+    sb = buckets("supplier", "s", "n_suppliers").withColumnRenamed("bal_bucket", "_sbb")
+    return cb.join(sb, cb.bal_bucket.eqNullSafe(F.col("_sbb"))).select(
+        "bal_bucket", "n_customers", "n_suppliers"
+    )

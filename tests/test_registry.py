@@ -75,6 +75,9 @@ POST_WINDOW_ORACLES = (
     "q22_global_sales",
     "temperature_mix_langs",
     "triangle_count_cosupply",
+    "window_rank_family",
+    "agg_cube_grouping",
+    "join_null_safe",
 )
 
 
