@@ -235,3 +235,119 @@ def test_scale_10x_no_quadratic_cliff(spark):
             "replica's worth of rows each — anything else means "
             "cross-replica contamination"
         )
+
+
+@pytest.mark.slow
+def test_tpch_scale_10x_relational_tier(spark, tmp_path):
+    """10× scale smoke for the round-6 relational tier: replicate the
+    sf0.01 tables with SHIFTED key spaces (replica i adds i·10M to every
+    key, suffixes supplier names) — per-replica structure is preserved
+    exactly, so replica-local queries must scale counts EXACTLY 10×
+    while runtimes stay near-linear.  Exercises the REAL registry code:
+    tables are written as parquet under a tmp sf_dir and the registered
+    query functions run unmodified.
+
+    Covered: q17 (threshold decorrelation — n_lines exactly 10×), q13
+    (outer-join distribution — every bucket exactly 10×), q21
+    (semi/anti residuals — per-supplier waits invariant under
+    replication), triangle_count_cosupply (pair-gen explode +
+    orientation at 10× the parts)."""
+    from eth_event_tracker_spark.queries import REGISTRY, _load
+    from eth_event_tracker_spark.tables import load_table
+
+    _load()
+    src = "/root/testdata/sf0.01"
+    OFF = 10_000_000
+
+    def rep_lineitem(df, i):
+        return df.select(
+            (F.col("l_orderkey") + i * OFF).alias("l_orderkey"),
+            (F.col("l_partkey") + i * OFF).alias("l_partkey"),
+            (F.col("l_suppkey") + i * OFF).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+
+    def rep_orders(df, i):
+        return df.select(
+            (F.col("o_orderkey") + i * OFF).alias("o_orderkey"),
+            (F.col("o_custkey") + i * OFF).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+
+    def rep_customer(df, i):
+        return df.select(
+            (F.col("c_custkey") + i * OFF).alias("c_custkey"),
+            F.concat("c_name", F.lit(f"_r{i}")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+
+    def rep_supplier(df, i):
+        return df.select(
+            (F.col("s_suppkey") + i * OFF).alias("s_suppkey"),
+            F.concat("s_name", F.lit(f"_r{i}")).alias("s_name"),
+            "s_nationkey", "s_acctbal",
+        )
+
+    def rep_part(df, i):
+        return df.select(
+            (F.col("p_partkey") + i * OFF).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        )
+
+    reps = {
+        "lineitem": rep_lineitem,
+        "orders": rep_orders,
+        "customer": rep_customer,
+        "supplier": rep_supplier,
+        "part": rep_part,
+    }
+    for scale, n_rep in (("x1", 1), ("x10", REP)):
+        d = tmp_path / scale
+        d.mkdir()
+        for name, fn in reps.items():
+            base = load_table(spark, src, name)
+            out = fn(base, 0)
+            for i in range(1, n_rep):
+                out = out.unionByName(fn(base, i))
+            out.write.parquet(str(d / f"{name}.parquet"))
+        for dim in ("nation", "region"):
+            load_table(spark, src, dim).write.parquet(str(d / f"{dim}.parquet"))
+
+    names = (
+        "q17_small_qty_revenue",
+        "q13_customer_distribution",
+        "q21_suppliers_waiting",
+        "triangle_count_cosupply",
+    )
+    res: dict[str, dict[str, object]] = {}
+    times: dict[str, dict[str, float]] = {}
+    for scale in ("x1", "x10"):
+        sf = str(tmp_path / scale)
+        res[scale], times[scale] = {}, {}
+        for name in names:
+            t0 = time.perf_counter()
+            res[scale][name] = REGISTRY[name].fn(spark, sf).collect()
+            times[scale][name] = time.perf_counter() - t0
+
+    for name in names:
+        t1, t10 = times["x1"][name], times["x10"][name]
+        ratio = t10 / max(t1, 0.5)
+        print(f"# {name}: 1x {t1:.2f}s | 10x {t10:.2f}s (ratio {ratio:.1f}x)",
+              file=sys.stderr)
+        assert ratio < MAX_RATIO, f"{name}: super-linear blowup ({ratio:.1f}x)"
+
+    # exact replica-locality invariants
+    n1 = {r["c_count"]: r["custdist"] for r in res["x1"]["q13_customer_distribution"]}
+    n10 = {r["c_count"]: r["custdist"] for r in res["x10"]["q13_customer_distribution"]}
+    assert n10 == {k: REP * v for k, v in n1.items()}, "q13 buckets must scale exactly 10x"
+
+    q17_1 = res["x1"]["q17_small_qty_revenue"][0]
+    q17_10 = res["x10"]["q17_small_qty_revenue"][0]
+    assert q17_10["n_lines"] == REP * q17_1["n_lines"], "q17 qualifying lines must scale exactly 10x"
+
+    # q21: per-replica waits are identical; the top-20 cut at 10x holds
+    # tied copies of the 1x leaders — the max numwait is invariant
+    w1 = max(r["numwait"] for r in res["x1"]["q21_suppliers_waiting"])
+    w10 = max(r["numwait"] for r in res["x10"]["q21_suppliers_waiting"])
+    assert w1 == w10, "replica-local waits must not change under replication"
