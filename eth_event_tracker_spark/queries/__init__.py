@@ -122,6 +122,7 @@ _POST_WINDOW = (
     "window_rank_family",
     "agg_cube_grouping",
     "join_null_safe",
+    "events_attribution_join",
 )
 
 

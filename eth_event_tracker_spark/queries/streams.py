@@ -605,3 +605,36 @@ def sessions_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap_sessions"),
         F.countDistinct("other_user").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution join — the BATCH TWIN of the streaming stream-stream join
+# (streaming/analytics.stream_stream_attribution): identical expressions
+# over static frames, so the oracle hash-check here verifies the exact
+# semantics the watermarked streaming form executes incrementally
+# (pytest pins streaming == this twin on shared data).
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_join",
+    """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       v.ts AS view_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND v.event_type = 'view'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+    doc="purchase-to-view attribution join (equality + time-range) — batch twin of the watermarked stream-stream join",
+)
+def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.analytics import stream_stream_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return stream_stream_attribution(views, purchases, join_type="inner")

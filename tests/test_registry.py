@@ -78,6 +78,7 @@ POST_WINDOW_ORACLES = (
     "window_rank_family",
     "agg_cube_grouping",
     "join_null_safe",
+    "events_attribution_join",
 )
 
 
