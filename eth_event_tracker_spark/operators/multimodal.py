@@ -127,3 +127,44 @@ def frame_sample_stub(assets: DataFrame, every_n: int = 10) -> DataFrame:
         "asset_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_no"),
     )
+
+
+RESIZE_SCHEMA = "asset_id long, width int, height int, thumb binary"
+
+
+def resize_stub(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image-resize seam: Arrow-batched mapInPandas emitting fixed-size
+    thumbnails — the same contract a Pillow ``Image.resize`` body would
+    satisfy (binary in → binary of exactly width·height bytes out, one
+    Arrow batch at a time, zero shuffle).  The stub derives the thumb
+    deterministically (sha256 of the payload, cycled to length), so
+    tests can pin byte-exact outputs; a production deploy swaps ONLY the
+    body.  Images only — other modalities pass through untouched
+    upstream."""
+    import hashlib
+
+    import pandas as pd
+
+    n = width * height
+
+    def thumbs(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+
+            def make(b) -> bytes:
+                digest = hashlib.sha256(bytes(b)).digest()
+                reps = -(-n // len(digest))
+                return (digest * reps)[:n]
+
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "thumb": payloads.map(make),
+                }
+            )
+
+    return assets.where(F.col("modality") == "image").mapInPandas(
+        thumbs, schema=RESIZE_SCHEMA
+    )

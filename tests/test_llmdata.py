@@ -173,6 +173,14 @@ def test_multimodal_plumbing(spark, sf_dir):
     vids = assets.where(F.col("modality") == "video").count()
     assert frames.select("asset_id").distinct().count() == vids
 
+    # resize seam: images only, fixed-size binary out, deterministic
+    thumbs = OPM.resize_stub(assets, width=8, height=4).collect()
+    n_img = assets.where(F.col("modality") == "image").count()
+    assert len(thumbs) == n_img and n_img > 0
+    assert all(len(r.thumb) == 8 * 4 and r.width == 8 and r.height == 4 for r in thumbs)
+    again = {r.asset_id: bytes(r.thumb) for r in OPM.resize_stub(assets, 8, 4).collect()}
+    assert {r.asset_id: bytes(r.thumb) for r in thumbs} == again
+
 
 def test_decoder_seam_matches_native_features(spark, sf_dir):
     """The mapInPandas decoder seam must emit exactly what the native
