@@ -170,3 +170,36 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
     assert {(1, 1), (3, 3)} <= matched
     unmatched = {(u, v) for (u, v, p) in rows if p is None}
     assert {(2, 2), (4, 4)} <= unmatched, f"unmatched views must emit nulls, got {rows}"
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-STATIC join (dimension enrichment of a live stream): the
+    static side rides a broadcast into every micro-batch — no state
+    store, no watermark needed (completes the streaming join matrix
+    alongside the stream-stream test above)."""
+    from pyspark.sql import functions as F
+
+    events = [(1, 1, 0), (2, 2, 1), (3, 1, 2), (4, 9, 3)]  # user 9 has no dim row
+    edir = tmp_path / "ev"
+    edir.mkdir()
+    _write_events(edir / "a.parquet", events)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "user_id long, tier string"
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(edir))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_static")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+
+    got = {(r.event_id, r.tier) for r in spark.table("ss_static").collect()}
+    assert got == {(1, "gold"), (3, "gold"), (2, "silver"), (4, None)}
