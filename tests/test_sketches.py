@@ -406,3 +406,81 @@ def test_pq_tiers_exclude_self_consistently(spark):
     assert all(r.q_id != r.c_id for r in got4)
     kept4 = OPS.ivf_topk(q, df, k=3, n_centroids=4, n_probe=4, exclude_self=False).collect()
     assert any(r.q_id == r.c_id and r.rank == 1 for r in kept4)
+
+
+def test_sketch_log_model_fuzz(spark, tmp_path):
+    """Model-based fuzz of the streaming sketch log (the round-5 advice
+    module): random interleavings of append / replay / compact /
+    crash-at-every-window, checked after each step against an exact
+    python counter model.  Crashes simulated: partial write (marker
+    removed), mid-swap (parts renamed aside with committed stage),
+    stale stage debris."""
+    import os
+    import random
+    import shutil
+    from collections import Counter
+
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import (
+        append_partial,
+        compact_sketch,
+        read_sketch,
+    )
+
+    rng = random.Random(37)
+    path = tmp_path / "sk"
+    D, W = 3, 32
+
+    model: Counter = Counter()  # durable batches' key counts
+    batches: dict[int, list[str]] = {}
+    next_batch = 0
+
+    def batch_df(keys):
+        return spark.createDataFrame([(k,) for k in keys], "key string")
+
+    def check():
+        got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+        if not model:
+            assert got == {}
+            return
+        whole = batch_df(list(model.elements()))
+        want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=D, w=W).collect()}
+        assert got == want, "merged sketch diverged from the exact model"
+
+    for step in range(40):
+        op = rng.choice(["append", "replay", "partial", "compact", "swap_crash", "stale"])
+        if op == "append":
+            keys = [f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 15))]
+            bid = next_batch
+            next_batch += 1
+            append_partial(batch_df(keys), bid, str(path), "key", d=D, w=W)
+            batches[bid] = keys
+            model.update(keys)
+        elif op == "replay" and batches:
+            bid = rng.choice(list(batches))
+            append_partial(batch_df(batches[bid]), bid, str(path), "key", d=D, w=W)
+            # model unchanged: replay must be a no-op
+        elif op == "partial" and batches:
+            # crash mid-write of the NEXT batch: full dir, marker gone
+            keys = [f"k{rng.randrange(12)}" for _ in range(rng.randrange(1, 10))]
+            bid = next_batch
+            next_batch += 1
+            append_partial(batch_df(keys), bid, str(path), "key", d=D, w=W)
+            marker = path / "parts" / f"batch={bid}" / "_SUCCESS"
+            marker.unlink()
+            # the stream replays it (foreachBatch re-runs after a crash)
+            append_partial(batch_df(keys), bid, str(path), "key", d=D, w=W)
+            batches[bid] = keys
+            model.update(keys)
+        elif op == "compact" and model:
+            compact_sketch(spark, str(path))
+        elif op == "swap_crash" and model:
+            compact_sketch(spark, str(path))
+            # rewind to the mid-swap state: parts aside as committed stage
+            os.rename(path / "parts", path / "_stage_parts")
+        elif op == "stale" and (path / "parts").exists():
+            (path / "_stage_parts").mkdir(exist_ok=True)
+            (path / "_stage_parts" / "junk").write_text("x")
+        check()
+    assert model, "fuzz must have exercised at least one append"
+    shutil.rmtree(path)
