@@ -270,9 +270,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Range-frame window: trailing 1-hour aggregates per user — the
 # VALUE-defined frame (RANGE BETWEEN), complementing the row-defined
-# frames of window_running_sum.  The frame is a function of the ORDER
-# value (epoch seconds), so ties contribute their full peer group in
-# both engines and the result is order-deterministic.
+# frames of window_running_sum.  The ORDER value is exact integer
+# MICROSECONDS (unix_micros / epoch_us): the fixtures carry sub-second
+# timestamps, and the round-5 form (Spark unix_timestamp vs DuckDB
+# epoch()) compared TRUNCATED seconds against FRACTIONAL seconds —
+# frames agreed at sf0.01's sparsity but diverged at sf0.1 density
+# (caught by the sf0.1 driver sim).  Integer micros are bit-exact on
+# both engines and lose no precision.
 # ---------------------------------------------------------------------------
 @register(
     "window_range_frame_1h",
@@ -282,8 +286,8 @@ SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
 FROM events
 WINDOW w AS (
-  PARTITION BY user_id ORDER BY epoch(ts)
-  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
 )
 """,
     doc="trailing 1-hour per-user window (RANGE frame over epoch "
@@ -293,8 +297,8 @@ def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
