@@ -131,3 +131,32 @@ def test_quantile_cuts_timestamp_support(spark, sf_dir):
     assert cuts["ts"] == sorted(cuts["ts"])
     keyed = zorder_key(ev, ["ts", "value"], bits=3, cuts=cuts)
     assert keyed.where("_zkey < 0").count() == 0
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Directory-level partition pruning (complementing the z-order
+    min/max FILE skipping above): a hive-partitioned write + an equality
+    filter must prune at the file INDEX — the plan carries the predicate
+    in PartitionFilters and the scan lists only the matching partition's
+    files, so unmatched partitions cost zero I/O and zero tasks."""
+    from eth_event_tracker_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    q = spark.read.parquet(out).where("event_type = 'view'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # the scan's selected partition count is 1 of n_types
+    n_types = ev.select("event_type").distinct().count()
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan) or re.search(
+        r"SelectedPartitions: (\d+)", plan
+    )
+    if m:  # plan-string format varies by version; the filter assert above is the contract
+        assert int(m.group(1)) == 1
+    # correctness: pruned read == filtered full read
+    assert q.count() == ev.where("event_type = 'view'").count() > 0
