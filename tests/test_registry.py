@@ -152,3 +152,20 @@ def test_semantic_dedup_extra_still_verified(spark, sf_dir):
     ids = [r.vec_id for r in kept]
     assert 0 < len(ids) <= n_corpus
     assert len(ids) == len(set(ids))
+
+
+def test_catalog_is_fresh():
+    """docs/CATALOG.md must match the current registry (regenerate with
+    tools/catalog_report.py after registry changes)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import catalog_report
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "CATALOG.md")
+    with open(path) as fh:
+        on_disk = fh.read()
+    assert on_disk == catalog_report.render(), (
+        "docs/CATALOG.md is stale — run: python tools/catalog_report.py"
+    )
