@@ -90,3 +90,48 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         expr = F.when(F.col(stratum_col) == s, F.lit(int(r * _HASH_SPACE))).otherwise(expr)
     return df.where(hash60(F.col(key_col).cast("string"), seed) < expr)
+
+
+def temperature_upsample(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The UPSAMPLING half of temperature mixing: repeat each stratum's
+    rows toward √n proportions relative to the LARGEST stratum (the
+    repeat-factor recipe real pre-training mixtures apply to tail
+    sources, where `temperature_mix` shrinks the head instead).  Target
+    factor k_s = √(n_max / n_s) ≥ 1: every row emits floor(k_s) copies
+    (repeat_idx 0..floor-1) plus one more with probability
+    k_s − floor(k_s), decided by the engine-portable hash60 keyed on
+    (key, repeat marker) — deterministic, repartition-stable, and
+    bit-reproducible in the DuckDB oracle (k_s is one IEEE sqrt of one
+    exact-integer division; the fractional test never leaves double
+    arithmetic).
+
+    Scale: |strata|-row aggregate broadcast onto one scan; the explode
+    multiplies rows by k_s with zero shuffle.  Output adds
+    ``repeat_idx`` so downstream shuffles (training-shard writes)
+    spread the copies."""
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    nmax = counts.agg(F.max("_n").alias("_nmax"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        stratum_col,
+        F.sqrt(F.col("_nmax").cast("double") / F.col("_n").cast("double")).alias("_k"),
+    )
+    whole = F.floor("_k").cast("int")
+    frac = F.col("_k") - F.floor("_k")
+    extra_test = (
+        hash60(F.concat(F.col(key_col).cast("string"), F.lit(":rep")), seed).cast("double")
+        / F.lit(float(_HASH_SPACE))
+        < frac
+    )
+    n_copies = (whole + extra_test.cast("int")).alias("_copies")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("_copies", n_copies)
+        .where(F.col("_copies") > 0)
+        .withColumn("repeat_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_k", "_copies")
+    )

@@ -123,6 +123,7 @@ _POST_WINDOW = (
     "agg_cube_grouping",
     "join_null_safe",
     "events_attribution_join",
+    "temperature_upsample_langs",
 )
 
 

@@ -1126,3 +1126,37 @@ def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mix(docs, stratum_col="lang").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Temperature UPSAMPLING (operators/sampling.temperature_upsample): the
+# repeat-factor half of mixture flattening — tail strata emit ⌈√(nmax/n)⌉
+# copies (floor deterministic + fractional by hash), head stays at 1×.
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_upsample_langs",
+    f"""
+WITH counts AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang),
+mx AS (SELECT MAX(_n) AS _nmax FROM counts),
+rates AS (SELECT lang, sqrt(CAST(_nmax AS DOUBLE) / CAST(_n AS DOUBLE)) AS _k
+          FROM counts, mx),
+sized AS (SELECT doc_id, lang, source, _k,
+                 CAST(floor(_k) AS INT)
+                 + CASE WHEN CAST({duck_hash60_inline("CAST(doc_id AS VARCHAR) || ':rep'", "0")} AS DOUBLE)
+                          / 1152921504606846976.0 < _k - floor(_k)
+                        THEN 1 ELSE 0 END AS _copies
+          FROM documents JOIN rates USING (lang))
+SELECT doc_id, lang, source, CAST(gs.repeat_idx AS BIGINT) AS repeat_idx
+FROM sized, LATERAL (SELECT unnest(range(0, _copies)) AS repeat_idx) gs
+WHERE _copies > 0
+""",
+    doc="temperature (T=2) upsampling: tail strata repeat toward sqrt-n proportions, "
+    "floor copies + hash-decided fractional copy — deterministic across engines",
+)
+def temperature_upsample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_upsample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_upsample(docs, stratum_col="lang").select(
+        "doc_id", "lang", "source", F.col("repeat_idx").cast("long").alias("repeat_idx")
+    )

@@ -203,3 +203,40 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
 
     got = {(r.event_id, r.tier) for r in spark.table("ss_static").collect()}
     assert got == {(1, "gold"), (3, "gold"), (2, "silver"), (4, None)}
+
+
+def test_temperature_upsample_repeats_toward_sqrt(spark):
+    import math
+
+    from eth_event_tracker_spark.operators.sampling import temperature_upsample
+
+    sizes = {"en": 3200, "fr": 800, "de": 200}
+    rows, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    up = temperature_upsample(df, stratum_col="lang")
+    counts = {r.lang: r.c for r in up.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # the LARGEST stratum emits exactly one copy per row (k = 1.0)
+    assert counts["en"] == 3200
+    # tail strata land near sqrt(n_max * n_s) within binomial noise on
+    # the fractional copy (4 sigma)
+    for lang in ("fr", "de"):
+        expect = math.sqrt(3200 * sizes[lang])
+        sd = math.sqrt(sizes[lang] * 0.25)
+        assert abs(counts[lang] - expect) < 4 * sd, (lang, counts[lang], expect)
+    # every row keeps >= 1 copy with contiguous repeat_idx from 0
+    per = up.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.min("repeat_idx").alias("lo"), F.max("repeat_idx").alias("hi")
+    )
+    bad = per.where((F.col("lo") != 0) | (F.col("hi") != F.col("c") - 1)).count()
+    assert bad == 0 and per.count() == len(rows)
+    # deterministic under repartition
+    a = sorted((r.doc_id, r.repeat_idx) for r in up.collect())
+    b = sorted(
+        (r.doc_id, r.repeat_idx)
+        for r in temperature_upsample(df.repartition(7), stratum_col="lang").collect()
+    )
+    assert a == b

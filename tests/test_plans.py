@@ -304,9 +304,11 @@ _SCALAR_BROADCAST_OK = {
     # version does get rewritten); the nested-loop side is 1 row
     "q11_important_stock",
     "q22_global_sales",
-    # 1-row broadcast scalars: min stratum count (mix rate), and the
-    # (n_nodes, n_edges) count rows assembled onto the triangle row
+    # 1-row broadcast scalars: min/max stratum count (mix/upsample
+    # rates), and the (n_nodes, n_edges) count rows assembled onto the
+    # triangle row
     "temperature_mix_langs",
+    "temperature_upsample_langs",
     "triangle_count_cosupply",
 }
 

@@ -79,6 +79,7 @@ POST_WINDOW_ORACLES = (
     "agg_cube_grouping",
     "join_null_safe",
     "events_attribution_join",
+    "temperature_upsample_langs",
 )
 
 
