@@ -29,6 +29,44 @@ import sys
 import time
 
 
+def median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def capped_summary(
+    runs: dict[str, list[float]], n_runs: int, sf: float, max_line: int
+) -> dict:
+    """The one-line summary dict, with per-query entries added
+    slowest-first until its compact JSON serialization would exceed
+    ``max_line`` bytes.  ``value``/``value_median`` always cover every
+    query.  Unit-tested (tests/test_bench_emit.py) because the r04 AND
+    r05 bench lines both outgrew the driver's tail-capture window and
+    were recorded unparsed."""
+    best = {name: round(min(vals), 3) for name, vals in runs.items()}
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(min(v) for v in runs.values()), 3),
+        "value_median": round(sum(median(v) for v in runs.values()), 3),
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(best),
+        "queries_omitted": len(best),
+        "full": "bench_full.json",
+        "n_runs": n_runs,
+        "sf": sf,
+    }
+    for name in sorted(best, key=best.get, reverse=True):
+        trial = dict(out)
+        trial["queries"] = {**out["queries"], name: best[name]}
+        trial["queries_omitted"] = out["n_queries"] - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > max_line:
+            break
+        out = trial
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -96,11 +134,6 @@ def main() -> None:
 
     timed("tracker_sync_2k_blocks", tracker_run)
 
-    def median(vals: list[float]) -> float:
-        s = sorted(vals)
-        n = len(s)
-        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-
     best = {name: round(min(vals), 3) for name, vals in runs.items()}
     medians = {name: round(median(vals), 3) for name, vals in runs.items()}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -121,25 +154,7 @@ def main() -> None:
     # cut its head off: per-query entries added slowest-first until the
     # byte budget is reached; the totals always cover every query
     max_line = int(os.environ.get("SPARK_GRAFT_BENCH_MAXLINE", "1600"))
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(min(v) for v in runs.values()), 3),
-        "value_median": round(sum(median(v) for v in runs.values()), 3),
-        "unit": "sec",
-        "queries": {},
-        "n_queries": len(best),
-        "queries_omitted": len(best),
-        "full": "bench_full.json",
-        "n_runs": n_runs,
-        "sf": sf,
-    }
-    for name in sorted(best, key=best.get, reverse=True):
-        trial = dict(out)
-        trial["queries"] = {**out["queries"], name: best[name]}
-        trial["queries_omitted"] = out["n_queries"] - len(trial["queries"])
-        if len(json.dumps(trial, separators=(",", ":"))) > max_line:
-            break
-        out = trial
+    out = capped_summary(runs, n_runs, sf, max_line)
     print(json.dumps(out, separators=(",", ":")))
 
 
