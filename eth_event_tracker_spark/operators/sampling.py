@@ -97,6 +97,7 @@ def temperature_upsample(
     stratum_col: str = "lang",
     key_col: str = "doc_id",
     seed: int = 0,
+    max_repeat: float = 16.0,
 ) -> DataFrame:
     """The UPSAMPLING half of temperature mixing: repeat each stratum's
     rows toward √n proportions relative to the LARGEST stratum (the
@@ -110,6 +111,13 @@ def temperature_upsample(
     exact-integer division; the fractional test never leaves double
     arithmetic).
 
+    ``max_repeat`` clamps k_s (default 16×): with a pathological
+    nmax/n ratio the raw factor is unbounded — a one-row stratum next
+    to a billion-row one would explode a runaway number of copies and,
+    past a few epochs' worth, repeats stop helping training anyway
+    (standard mixture recipes cap the repeat factor for the same
+    reason).
+
     Scale: |strata|-row aggregate broadcast onto one scan; the explode
     multiplies rows by k_s with zero shuffle.  Output adds
     ``repeat_idx`` so downstream shuffles (training-shard writes)
@@ -118,7 +126,10 @@ def temperature_upsample(
     nmax = counts.agg(F.max("_n").alias("_nmax"))
     rates = counts.crossJoin(F.broadcast(nmax)).select(
         stratum_col,
-        F.sqrt(F.col("_nmax").cast("double") / F.col("_n").cast("double")).alias("_k"),
+        F.least(
+            F.sqrt(F.col("_nmax").cast("double") / F.col("_n").cast("double")),
+            F.lit(float(max_repeat)),
+        ).alias("_k"),
     )
     whole = F.floor("_k").cast("int")
     frac = F.col("_k") - F.floor("_k")

@@ -1138,7 +1138,8 @@ def temperature_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH counts AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang),
 mx AS (SELECT MAX(_n) AS _nmax FROM counts),
-rates AS (SELECT lang, sqrt(CAST(_nmax AS DOUBLE) / CAST(_n AS DOUBLE)) AS _k
+rates AS (SELECT lang, LEAST(sqrt(CAST(_nmax AS DOUBLE) / CAST(_n AS DOUBLE)),
+                             CAST(16 AS DOUBLE)) AS _k
           FROM counts, mx),
 sized AS (SELECT doc_id, lang, source, _k,
                  CAST(floor(_k) AS INT)

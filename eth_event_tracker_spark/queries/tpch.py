@@ -91,9 +91,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     ).join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
     mins = eup.groupBy(F.col("l_partkey").alias("_pk")).agg(F.min("cost").alias("_mincost"))
+    # NO explicit broadcast on mins: it has one row per QUALIFYING part,
+    # which at 100 TB can be millions — AQE picks broadcast only when the
+    # runtime size allows (at these fixtures it does)
     return (
         eup.join(
-            F.broadcast(mins),
+            mins,
             (eup.l_partkey == F.col("_pk")) & (eup.cost == F.col("_mincost")),
         )
         .select(
