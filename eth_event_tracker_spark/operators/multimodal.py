@@ -83,6 +83,17 @@ def decode_features(assets: DataFrame) -> DataFrame:
 
     import pandas as pd
 
+    def _null_ok(fn):
+        # NULL payload → NULL features, matching the JVM twin (F.length
+        # etc. are null-propagating); one bad row must not fail the
+        # whole Arrow batch (round-6 advice, low).
+        def guarded(b):
+            if b is None or (isinstance(b, float) and pd.isna(b)):
+                return None
+            return fn(b)
+
+        return guarded
+
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
@@ -90,12 +101,18 @@ def decode_features(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "header_magic": payloads.map(lambda b: bytes(b[:2]).hex()),
-                    "fake_width": payloads.map(lambda b: 16 * (1 + b[2] % 64)).astype("int64"),
-                    "fake_height": payloads.map(lambda b: 16 * (1 + b[3] % 64)).astype("int64"),
+                    "byte_len": payloads.map(_null_ok(len)).astype("Int64"),
+                    "header_magic": payloads.map(_null_ok(lambda b: bytes(b[:2]).hex())),
+                    "fake_width": payloads.map(
+                        _null_ok(lambda b: 16 * (1 + b[2] % 64))
+                    ).astype("Int64"),
+                    "fake_height": payloads.map(
+                        _null_ok(lambda b: 16 * (1 + b[3] % 64))
+                    ).astype("Int64"),
                     "checksum": payloads.map(
-                        lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
+                        _null_ok(
+                            lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
+                        )
                     ),
                 }
             )
@@ -151,7 +168,12 @@ def resize_stub(assets: DataFrame, width: int = 64, height: int = 64) -> DataFra
         for pdf in batches:
             payloads = pdf["payload"]
 
-            def make(b) -> bytes:
+            def make(b):
+                # NULL payload → NULL thumb, matching the binary-in
+                # contract a real Pillow body needs too: one bad row must
+                # not fail the whole Arrow batch (round-6 advice, low).
+                if b is None or (isinstance(b, float) and pd.isna(b)):
+                    return None
                 digest = hashlib.sha256(bytes(b)).digest()
                 reps = -(-n // len(digest))
                 return (digest * reps)[:n]

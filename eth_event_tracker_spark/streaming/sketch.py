@@ -28,13 +28,30 @@ rolled back, anything else stale is discarded.  Paths here are
 driver-local (tests); on a cluster the same protocol runs against a DFS
 via its atomic-rename API.
 
+**Compaction vs. active ingest (round-6 advice, medium).**  Both
+``append_partial`` (the foreachBatch body — driver-side) and
+``compact_sketch`` run on the driver, so they are serialized with an
+advisory ``flock`` on ``<path>/_LOCK``: a batch can no longer land
+between compaction's listing and its swap, and an append can no longer
+recreate ``parts/`` mid-swap (which made ``os.rename(stage, parts)``
+raise).  ``flock`` is crash-safe (kernel releases it with the process)
+and works across driver processes on one host; a multi-driver DFS
+deployment would swap in the DFS's lease/lock primitive at the same
+seam.  As a belt-and-braces backstop — e.g. a legacy writer without the
+lock, or a crash between the swap and the old-dir cleanup —
+``_rescue_old`` moves any durable ``batch=<id>`` dir **above the
+watermark** out of ``_old_parts`` back into ``parts`` before the old
+dir is discarded, so a committed-but-unfolded batch is never lost.
+
 Query-time ``read_sketch`` merges the log with one groupBy — bounded by
 d·w·n_batches rows regardless of stream volume."""
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +62,22 @@ _STAGE = "_stage_parts"
 _OLD = "_old_parts"
 _COMMIT = "_COMMIT"
 _WATERMARK = "_WATERMARK"
+_LOCK = "_LOCK"
+
+
+@contextmanager
+def _ingest_lock(path: str):
+    """Advisory exclusive lock serializing append/compact/recover on one
+    sketch log.  Kernel-released on crash (no stale-lock window); see the
+    module docstring for the multi-driver caveat."""
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, _LOCK), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _durable(part_dir: str) -> bool:
@@ -73,6 +106,35 @@ def _watermark(path: str) -> int:
     return -2
 
 
+def _rescue_old(path: str) -> None:
+    """Move durable above-watermark batch dirs stranded in ``_old_parts``
+    back into ``parts`` (a batch appended concurrently with a legacy,
+    unlocked compaction — or present when a crash hit between the swap
+    and the old-dir cleanup — is committed in the stream checkpoint and
+    must survive; round-6 advice, medium)."""
+    parts = os.path.join(path, "parts")
+    old = os.path.join(path, _OLD)
+    if not (os.path.isdir(parts) and os.path.isdir(old)):
+        return
+    wm = _watermark(path)
+    for name in os.listdir(old):
+        if not name.startswith("batch="):
+            continue
+        try:
+            batch_id = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        src = os.path.join(old, name)
+        if batch_id <= wm or not _durable(src):
+            continue  # folded into the compacted part, or never durable
+        dst = os.path.join(parts, name)
+        if os.path.exists(dst):
+            if _durable(dst):
+                continue  # already durable in the new log
+            shutil.rmtree(dst)  # half-written rewrite loses to durable old
+        os.rename(src, dst)
+
+
 def _recover(path: str) -> None:
     """Finish or roll back an interrupted compaction swap.
 
@@ -80,8 +142,10 @@ def _recover(path: str) -> None:
     only starts after the staged dir is fully written and marked
     ``_COMMIT``; therefore if ``parts`` is missing, a ``_COMMIT``-marked
     stage is complete and is rolled FORWARD, else an ``_old_parts`` is
-    rolled BACK.  If ``parts`` exists, any stage/_old_parts leftovers are
-    pre-commit or post-swap debris and are discarded."""
+    rolled BACK.  If ``parts`` exists, durable above-watermark batches
+    are first rescued out of ``_old_parts`` (``_rescue_old``), then any
+    stage/_old_parts leftovers — pre-commit or post-swap debris — are
+    discarded."""
     parts = os.path.join(path, "parts")
     stage = os.path.join(path, _STAGE)
     old = os.path.join(path, _OLD)
@@ -90,6 +154,7 @@ def _recover(path: str) -> None:
             os.rename(stage, parts)  # roll forward
         elif os.path.exists(old):
             os.rename(old, parts)  # roll back
+    _rescue_old(path)
     for leftover in (stage, old):
         if os.path.exists(parts) and os.path.exists(leftover):
             shutil.rmtree(leftover)
@@ -107,16 +172,21 @@ def append_partial(
     the crash-window semantics are unit-testable without a stream):
     skip if already folded by compaction (watermark) or already durable
     (``_SUCCESS``); a marker-less partial leftover is deleted and
-    rewritten."""
-    _recover(path)
-    if batch_id <= _watermark(path):
-        return  # replayed batch already folded into the compacted part
-    part_dir = f"{path}/parts/batch={batch_id}"
-    if _durable(part_dir):  # checkpoint replay → already durable
-        return
-    if os.path.exists(part_dir):  # crash mid-write: partial, rewrite
-        shutil.rmtree(part_dir)
-    cms_build(batch_df, key_col, d=d, w=w).write.mode("overwrite").parquet(part_dir)
+    rewritten.  Serialized against ``compact_sketch`` by the ingest
+    lock so the append can neither be swept into ``_old_parts`` nor
+    recreate ``parts/`` mid-swap."""
+    with _ingest_lock(path):
+        _recover(path)
+        if batch_id <= _watermark(path):
+            return  # replayed batch already folded into the compacted part
+        part_dir = f"{path}/parts/batch={batch_id}"
+        if _durable(part_dir):  # checkpoint replay → already durable
+            return
+        if os.path.exists(part_dir):  # crash mid-write: partial, rewrite
+            shutil.rmtree(part_dir)
+        cms_build(batch_df, key_col, d=d, w=w).write.mode("overwrite").parquet(
+            part_dir
+        )
 
 
 def start_sketch_ingest(
@@ -147,8 +217,9 @@ def start_sketch_ingest(
 
 def read_sketch(spark: SparkSession, path: str) -> DataFrame:
     """The merged sketch: one groupBy over the DURABLE partial log."""
-    _recover(path)
-    durable = _durable_parts(path)
+    with _ingest_lock(path):
+        _recover(path)
+        durable = _durable_parts(path)
     if not durable:
         return spark.createDataFrame([], "row INT, col BIGINT, cnt BIGINT")
     parts = spark.read.parquet(*durable)
@@ -163,27 +234,33 @@ def compact_sketch(spark: SparkSession, path: str) -> None:
     (run by every entry point) closes the between-renames crash window.
     The staged dir carries the new ``_WATERMARK`` — max folded batch_id —
     so post-compaction replays of folded batches are skipped, not
-    double-counted."""
-    _recover(path)
-    durable = _durable_parts(path)
-    if not durable:
-        return
-    new_wm = max(
-        [_watermark(path)]
-        + [int(os.path.basename(p).split("=", 1)[1]) for p in durable]
-    )
-    merged = spark.read.parquet(*durable).groupBy("row", "col").agg(
-        F.sum("cnt").alias("cnt")
-    )
-    stage = os.path.join(path, _STAGE)
-    if os.path.exists(stage):
-        shutil.rmtree(stage)
-    merged.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch=-1")
-    with open(os.path.join(stage, _WATERMARK), "w") as fh:
-        fh.write(str(new_wm))
-    with open(os.path.join(stage, _COMMIT), "w") as fh:
-        fh.write("1")
-    old = os.path.join(path, _OLD)
-    os.rename(os.path.join(path, "parts"), old)
-    os.rename(stage, os.path.join(path, "parts"))
-    shutil.rmtree(old)
+    double-counted.  Holds the ingest lock for the whole
+    list→fold→swap, so a concurrent ``append_partial`` waits instead of
+    landing a batch that the swap would silently sweep away (round-6
+    advice, medium); ``_rescue_old`` additionally saves any stranded
+    durable batch before the old dir is removed."""
+    with _ingest_lock(path):
+        _recover(path)
+        durable = _durable_parts(path)
+        if not durable:
+            return
+        new_wm = max(
+            [_watermark(path)]
+            + [int(os.path.basename(p).split("=", 1)[1]) for p in durable]
+        )
+        merged = spark.read.parquet(*durable).groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        stage = os.path.join(path, _STAGE)
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch=-1")
+        with open(os.path.join(stage, _WATERMARK), "w") as fh:
+            fh.write(str(new_wm))
+        with open(os.path.join(stage, _COMMIT), "w") as fh:
+            fh.write("1")
+        old = os.path.join(path, _OLD)
+        os.rename(os.path.join(path, "parts"), old)
+        os.rename(stage, os.path.join(path, "parts"))
+        _rescue_old(path)
+        shutil.rmtree(old)

@@ -8,10 +8,11 @@ the physical plan instead of executing (same flag as the CLI's
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TPCH = (
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",

@@ -196,6 +196,31 @@ def test_decoder_seam_matches_native_features(spark, sf_dir):
 
 
 
+def test_multimodal_null_payload_is_per_row_not_per_batch(spark):
+    """A NULL payload must null out that row's features/thumb, not fail
+    the whole Arrow batch/task (round-6 advice, low) — and the decoder
+    seam must keep matching the null-propagating native path."""
+    rows = [
+        (1, "image", bytes([0xFE, 0xED, 7, 11]) + b"x" * 60),
+        (2, "image", None),
+        (3, "audio", None),
+        (4, "video", bytes([0xFE, 0xED, 2, 3]) + b"y" * 250),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+
+    native = {tuple(r) for r in OPM.extract_features(assets).collect()}
+    seam = {tuple(r) for r in OPM.decode_features(assets).collect()}
+    assert native == seam
+    by_id = {r.asset_id: r for r in OPM.decode_features(assets).collect()}
+    assert by_id[2].byte_len is None and by_id[2].checksum is None
+    assert by_id[1].header_magic == "feed"
+
+    thumbs = {r.asset_id: r.thumb for r in OPM.resize_stub(assets, 8, 4).collect()}
+    assert set(thumbs) == {1, 2}  # images only, null row included
+    assert thumbs[2] is None
+    assert len(thumbs[1]) == 32
+
+
 def test_decode_stub_gated():
     import pytest
 

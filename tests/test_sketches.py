@@ -245,6 +245,136 @@ def test_sketch_compaction_swap_crash_recovery(spark, tmp_path):
     shutil.rmtree(path)
 
 
+def test_sketch_rescues_batch_swept_by_unlocked_compaction(spark, tmp_path):
+    """Round-6 advice (medium): a durable batch appended between a
+    compaction's listing and its swap used to be swept into _old_parts
+    and rmtree'd — its checkpoint offset already committed → silent
+    permanent undercount.  The locked paths can no longer interleave,
+    but _rescue_old must still save a stranded durable above-watermark
+    batch (legacy writer, or crash between swap and cleanup)."""
+    import os
+    import shutil
+
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import append_partial, read_sketch
+
+    path = tmp_path / "sk"
+    dfs = [
+        spark.createDataFrame(
+            [(i, f"k{i % m}") for i in range(30)], "event_id long, key string"
+        )
+        for m in (3, 5, 7, 2)
+    ]
+    append_partial(dfs[0], 0, str(path), "key", d=3, w=64)
+    append_partial(dfs[1], 1, str(path), "key", d=3, w=64)
+    from eth_event_tracker_spark.streaming.sketch import compact_sketch
+
+    compact_sketch(spark, str(path))  # folds 0,1 → watermark 1
+
+    # Rebuild the exact mid-crash state of an UNLOCKED compaction that
+    # listed only batch=-1, while batches 2 and 3 landed concurrently:
+    # stage = copy of the compacted parts (wm still 1), then 2,3 appended,
+    # then swap, crash before rmtree(_old_parts).
+    shutil.copytree(path / "parts", path / "_stage_copy")
+    append_partial(dfs[2], 2, str(path), "key", d=3, w=64)
+    append_partial(dfs[3], 3, str(path), "key", d=3, w=64)
+    os.rename(path / "parts", path / "_old_parts")
+    os.rename(path / "_stage_copy", path / "parts")
+
+    # recovery (run by read_sketch) must rescue batches 2 and 3 out of
+    # _old_parts — they are durable and above the watermark
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    whole = dfs[0].unionByName(dfs[1]).unionByName(dfs[2]).unionByName(dfs[3])
+    want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
+    assert got == want, "stranded durable batches must be rescued, not lost"
+    assert not os.path.exists(path / "_old_parts")
+    assert sorted(
+        d for d in os.listdir(path / "parts") if d.startswith("batch=")
+    ) == ["batch=-1", "batch=2", "batch=3"]
+    shutil.rmtree(path)
+
+
+def test_sketch_ingest_lock_is_exclusive(tmp_path):
+    """The append/compact serialization primitive itself: while one
+    holder owns <path>/_LOCK, a second flock attempt blocks (checked
+    non-blockingly), and succeeds after release."""
+    import fcntl
+    import os
+    import threading
+
+    from eth_event_tracker_spark.streaming.sketch import _ingest_lock
+
+    path = str(tmp_path / "sk")
+    held = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with _ingest_lock(path):
+            held.set()
+            release.wait(timeout=30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(timeout=30)
+    fd = os.open(os.path.join(path, "_LOCK"), os.O_RDWR)
+    try:
+        import pytest
+
+        with pytest.raises(BlockingIOError):
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        release.set()
+        t.join(timeout=30)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # now free
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
+
+
+def test_sketch_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
+    """End-to-end on the fixed paths: an append racing a compaction (two
+    threads, shared session) serializes on the ingest lock; whichever
+    order the kernel picks, the merged sketch counts every batch."""
+    import shutil
+    import threading
+
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import (
+        append_partial,
+        compact_sketch,
+        read_sketch,
+    )
+
+    path = tmp_path / "sk"
+    dfs = [
+        spark.createDataFrame(
+            [(i, f"k{i % m}") for i in range(30)], "event_id long, key string"
+        )
+        for m in (3, 5, 7)
+    ]
+    append_partial(dfs[0], 0, str(path), "key", d=3, w=64)
+    append_partial(dfs[1], 1, str(path), "key", d=3, w=64)
+
+    errs: list[BaseException] = []
+
+    def compact():
+        try:
+            compact_sketch(spark, str(path))
+        except BaseException as e:  # surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=compact)
+    t.start()
+    append_partial(dfs[2], 2, str(path), "key", d=3, w=64)
+    t.join(timeout=120)
+    assert not t.is_alive() and not errs, errs
+
+    whole = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(path)).collect()}
+    assert got == want
+    shutil.rmtree(path)
+
+
 def test_percentile_approx_tracks_exact_quantiles(spark, sf_dir):
     """The mergeable quantile sketch (percentile_approx — the 100 TB
     form) stays within its accuracy budget of the exact interpolated
