@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .operators import dedup as OPD
 from .operators import text as OPT
-from .operators.sampling import stratified_sample
+from .operators.sampling import stratified_sample, temperature_upsample
 from .operators.splits import leakage_safe_split, per_stratum_cap
 
 
@@ -50,7 +50,7 @@ class CurationResult:
 
     kept: DataFrame  # curated docs (doc_id, text=redacted, lang, source, ...)
     packed: DataFrame  # chunk manifest + packing plan (doc_id, chunk_id, chunk, n_words, shard, seq_id)
-    dropped: DataFrame  # ledger: (doc_id, stage, reason) for every dropped doc
+    dropped: DataFrame  # ledger: (doc_id, stage, reason) per dropped doc (plus one row per upsampled extra copy, reason="upsampled_copy")
     dup_pairs: DataFrame  # verified near-dup pairs with cluster ids
     stages: list[str] = field(default_factory=list)
 
@@ -77,6 +77,8 @@ def curate(
     jaccard_threshold: float = 0.8,
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 0.0,
+    upsample: bool = False,
+    upsample_max_repeat: float = 16.0,
     stratum_col: str = "lang",
     source_cap: int | None = None,
     cap_stratum_col: str = "source",
@@ -94,9 +96,17 @@ def curate(
     enables the unigram-LM quality filter (docs whose mean token
     log-prob under the corpus's own unigram model falls below the
     threshold are dropped — gibberish and rare-token soup score low);
-    ``mix_rates`` enables the mixture-sampling stage; ``source_cap``
-    enables the per-stratum cap (at most that many docs per
-    ``cap_stratum_col`` value);
+    ``mix_rates`` enables the mixture-sampling stage; ``upsample``
+    enables the UPSAMPLING half of mixture flattening (round-6 advice
+    #4): tail ``stratum_col`` strata are repeated toward √n proportions
+    via :func:`operators.sampling.temperature_upsample`, the repeat
+    factor clamped at ``upsample_max_repeat``; ``kept`` gains a
+    ``repeat_idx`` column, each extra copy is recorded in the ledger
+    (stage ``temperature_upsample``, reason ``upsampled_copy`` — an
+    addition ledger, not a drop), and chunk+pack carries ``repeat_idx``
+    through so copies spread across training shards instead of packing
+    back-to-back; ``source_cap`` enables the per-stratum cap (at most
+    that many docs per ``cap_stratum_col`` value);
     ``split_weights`` (e.g. ``{"train": .9, "val": .05, "test": .05}``)
     adds a text-coherent ``split`` column to ``kept`` — each skips
     cleanly when omitted.
@@ -225,10 +235,34 @@ def curate(
         stages.append("split_assign")
         cur = leakage_safe_split(cur, split_weights, coherence_col="text")
 
+    # 6c. temperature upsampling: repeat tail strata toward √n -------------
+    # After the split so a doc's copies inherit ONE split (copies
+    # straddling train/eval would be self-contamination by construction).
+    if upsample:
+        stages.append("temperature_upsample")
+        cur = temperature_upsample(
+            cur, stratum_col=stratum_col, max_repeat=upsample_max_repeat
+        )
+        ledgers.append(
+            _ledger(
+                cur.where(F.col("repeat_idx") > 0),
+                "temperature_upsample",
+                F.lit("upsampled_copy"),
+            )
+        )
+
     # 7. chunk + pack ------------------------------------------------------
     stages.append("chunk_pack")
-    chunks = OPT.chunk_documents(cur, chunk_words=chunk_words, overlap=overlap)
-    packed = OPT.pack_sequences(chunks, budget_words=budget_words, n_shards=n_shards)
+    pass_cols = ("repeat_idx",) if upsample else ()
+    chunks = OPT.chunk_documents(
+        cur, chunk_words=chunk_words, overlap=overlap, keep_cols=pass_cols
+    )
+    packed = OPT.pack_sequences(
+        chunks,
+        budget_words=budget_words,
+        n_shards=n_shards,
+        salt_col="repeat_idx" if upsample else None,
+    )
 
     dropped = ledgers[0]
     for extra in ledgers[1:]:

@@ -86,9 +86,14 @@ def pagerank(
     src), sum inbound mass per dst, add the teleport term plus the
     redistributed mass of dangling nodes (nodes with no out-edges —
     dropping it would leak probability and ranks stop summing to 1).
-    Stops early when the L1 delta falls under ``tol`` (one scalar
-    ``first()`` per round — bounded driver data).  Returns
-    (node, rank); ranks sum to 1."""
+    Stops early when the L1 delta falls under ``tol``.
+
+    ONE driver action per round (round-6 advice #3): the dangling mass
+    of the current ranks and the L1 delta vs the previous round come
+    out of a single aggregate over one joined frame, so the
+    convergence check runs at the top of the NEXT round — identical
+    final ranks, half the job launches.  Returns (node, rank); ranks
+    sum to 1."""
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst")).localCheckpoint(
         eager=False
     )
@@ -101,18 +106,24 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("node").agg(F.count("*").alias("_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev = None
     for _ in range(n_iters):
+        frame = ranks.join(out_deg, "node", "left")
+        aggs = [F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))).alias("_dangling")]
+        check_delta = tol is not None and prev is not None
+        if check_delta:
+            frame = frame.join(prev.select("node", F.col("rank").alias("_old")), "node")
+            aggs.append(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"))
+        row = frame.agg(*aggs).first()  # the round's single driver action
+        if check_delta and row["_delta"] is not None and row["_delta"] < tol:
+            break
+        base = (1.0 - damping) / n + damping * (row["_dangling"] or 0.0) / n
         contribs = (
             ranks.join(out_deg, "node")
             .join(e, "node")
             .select(F.col("_dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("mass"))
         )
         inbound = contribs.groupBy("node").agg(F.sum("mass").alias("in_mass"))
-        dangling = (
-            ranks.join(out_deg, "node", "left_anti").agg(F.sum("rank").alias("d")).first()[0]
-            or 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             nodes.join(inbound, "node", "left")
             .select(
@@ -123,15 +134,6 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        if tol is not None:
-            delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "_old"), "node")
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("d"))
-                .first()[0]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = new_ranks
+        prev = ranks
+        ranks = new_ranks
     return ranks

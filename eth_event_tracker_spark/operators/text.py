@@ -260,11 +260,13 @@ def chunk_documents(
     overlap: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into overlapping word windows — the training
     pre-chunking op. Stride = chunk_words - overlap; the final partial
-    window is kept. Pure explode, no shuffle; rows: (id, chunk_id, chunk,
-    n_words)."""
+    window is kept. Pure explode, no shuffle; rows: (id, *keep_cols,
+    chunk_id, chunk, n_words).  ``keep_cols`` carries row-level columns
+    (e.g. an upsampled corpus's ``repeat_idx``) through the explode."""
     stride = chunk_words - overlap
     assert stride > 0
     ws = words(F.col(text_col))
@@ -274,9 +276,10 @@ def chunk_documents(
         F.array_join(F.slice(ws, i * stride + 1, chunk_words), " ").alias("chunk"),
     ))
     return (
-        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        df.select(F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(chunks).alias("c"))
         .select(
             id_col,
+            *keep_cols,
             F.col("c.chunk_id").alias("chunk_id"),
             F.col("c.chunk").alias("chunk"),
             F.size(F.split("c.chunk", " ")).cast("long").alias("n_words"),
@@ -290,6 +293,7 @@ def pack_sequences(
     budget_words: int = 64,
     n_shards: int = 32,
     id_col: str = "doc_id",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Assign chunks to fixed-budget training sequences: first-fit
     contiguous packing in deterministic (doc, chunk) order — the step that
@@ -303,11 +307,21 @@ def pack_sequences(
     streaming first-fit approximation real packers use; sequences are
     therefore ≥ budget_words only when a single chunk overflows alone.
     Rows gain (shard, seq_id); seq_id is shard-local.
+
+    ``salt_col`` folds a second column (e.g. an upsampled corpus's
+    ``repeat_idx``) into the shard hash and the packing order, so a
+    doc's repeated copies spread across shards instead of landing
+    back-to-back in one training sequence.
     """
-    shard = (hash60(F.col(id_col).cast("string"), 1) % n_shards).alias("shard")
+    shard_key = F.col(id_col).cast("string")
+    order_cols = [id_col, "chunk_id"]
+    if salt_col is not None:
+        shard_key = F.concat_ws(":", shard_key, F.col(salt_col).cast("string"))
+        order_cols = [id_col, salt_col, "chunk_id"]
+    shard = (hash60(shard_key, 1) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col, "chunk_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_words").over(w), F.lit(0))

@@ -563,10 +563,16 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q21 — suppliers who kept orders waiting: EXISTS + NOT EXISTS on the
-# same fact with inequality residuals — semi then anti, both equi-keyed
-# on l_orderkey with the supplier-inequality as a join residual (no
-# cross product; the order key carries the shuffle).
+# Q21 — suppliers who kept orders waiting.  Both correlated subqueries
+# are ORDER-level facts: EXISTS(other supplier) ⟺ the order has ≥2
+# distinct suppliers (min≠max), NOT EXISTS(other R-supplier) ⟺ the
+# order has exactly ONE distinct R-supplier (min_r = max_r) — and for a
+# qualifying order that lone R-supplier IS every qualifying row's
+# supplier, so numwait = Σ per-order R-row counts grouped by it.  One
+# groupBy(l_orderkey) therefore replaces the semi+anti self-joins: at
+# 100 TB lineitem is shuffled ONCE (map-side partial min/max/sum), vs
+# three l_orderkey exchanges in the naive plan (round-6 advice #2);
+# plan-asserted in tests/test_tpch.py.
 # ---------------------------------------------------------------------------
 @register(
     "q21_suppliers_waiting",
@@ -597,29 +603,23 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     fo = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    l1 = (
-        li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .select("l_orderkey", "l_suppkey", "s_name")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    stats = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("_mn"),
+        F.max("l_suppkey").alias("_mx"),
+        F.min(r_supp).alias("_mnr"),
+        F.max(r_supp).alias("_mxr"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_n_r_rows"),
     )
-    others = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk"))
-    others_r = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("_okr"), F.col("l_suppkey").alias("_skr")
-    )
+    # ≥2 distinct suppliers AND exactly one distinct R-supplier (plain
+    # ==, NOT null-safe: no-R orders have NULL _mnr and must drop out)
+    qual = stats.where(
+        (F.col("_mn") != F.col("_mx")) & (F.col("_mnr") == F.col("_mxr"))
+    ).join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     return (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
-            "left_semi",
-        )
-        .join(
-            others_r,
-            (F.col("l_orderkey") == F.col("_okr")) & (F.col("l_suppkey") != F.col("_skr")),
-            "left_anti",
-        )
+        qual.join(F.broadcast(sup), F.col("_mnr") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("_n_r_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

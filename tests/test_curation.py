@@ -194,3 +194,54 @@ def test_curate_lm_quality_stage(spark, sf_dir):
     res2 = curate(corpus)
     assert "lm_quality" not in res2.stages
     assert res2.dropped.where("stage = 'lm_quality'").count() == 0
+
+
+def test_curate_temperature_upsample_stage(spark):
+    """Round-6 advice #4: the upsampling half of mixture flattening wired
+    into curate().  A tail stratum's post-pipeline count reflects the
+    CLAMPED repeat factor; every extra copy lands in the ledger; copies
+    carry repeat_idx through chunk+pack and spread across shards."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+
+    def make(doc_id, lang):
+        # 25 unique-ish words: clears the quality gate, never near-dups
+        text = " ".join(f"w{doc_id}q{rng.randint(0, 9)}t{j}" for j in range(25))
+        return (doc_id, text, lang, "synthetic", len(text))
+
+    rows = (
+        [make(i, "en") for i in range(600)]          # head: k = 1 exactly
+        + [make(1000 + i, "de") for i in range(6)]    # √(600/6) = 10 exactly
+        + [make(2000 + i, "yo") for i in range(2)]    # √(600/2) ≈ 17.3 → clamp 16
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    res = curate(docs, upsample=True, upsample_max_repeat=16.0)
+    assert "temperature_upsample" in res.stages
+
+    kept = res.kept.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    assert by_lang == {"en": 600, "de": 60, "yo": 32}, by_lang
+
+    # every extra copy (repeat_idx > 0) is ledgered as an addition
+    extra = res.dropped.where("stage = 'temperature_upsample'").collect()
+    assert len(extra) == (600 + 60 + 32) - 608
+    assert all(r.reason == "upsampled_copy" for r in extra)
+
+    # copies are distinguishable downstream and spread across shards
+    packed = res.packed
+    assert "repeat_idx" in packed.columns
+    tail = packed.where(F.col("doc_id") == 2000)
+    assert tail.select("repeat_idx").distinct().count() == 16
+    assert tail.select("shard").distinct().count() > 1, "copies must not share one shard"
+
+    # without the knob: no stage, no ledger rows, no repeat_idx column
+    res2 = curate(docs)
+    assert "temperature_upsample" not in res2.stages
+    assert "repeat_idx" not in res2.kept.columns
+    assert res2.dropped.where("stage = 'temperature_upsample'").count() == 0

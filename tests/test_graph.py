@@ -44,3 +44,30 @@ def test_pagerank_ring_is_uniform(spark):
     df = spark.createDataFrame(ring, "src long, dst long")
     got = [r.rank for r in pagerank(df, n_iters=40).collect()]
     assert all(abs(r - 1 / 6) < 1e-9 for r in got)
+
+
+def test_pagerank_one_driver_action_per_round(spark, monkeypatch):
+    """Round-6 advice #3: dangling mass + convergence delta come out of
+    ONE aggregate — exactly one .first() per iteration, not two."""
+    # patch the concrete class (pyspark.sql.DataFrame is abstract in 4.x)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"first": 0}
+    orig = DataFrame.first
+
+    def counting_first(self):
+        calls["first"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "first", counting_first)
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    # far-from-converged budget: every round runs → n_iters actions
+    pagerank(df, n_iters=5, tol=1e-300).collect()
+    assert calls["first"] == 5, f"expected 1 action/round, saw {calls['first']}/5 rounds"
+
+    # tol=None: still one action per round (the dangling mass)
+    calls["first"] = 0
+    pagerank(df, n_iters=3, tol=None).collect()
+    assert calls["first"] == 3

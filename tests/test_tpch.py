@@ -34,10 +34,12 @@ def test_tpch_decorrelation_plan_shapes(spark, sf_dir):
     p16 = plan_of(REGISTRY["q16_parts_supplier_relation"].fn(spark, sf_dir))
     assert "LeftAnti" in p16
 
-    # Q21: EXISTS + NOT EXISTS → semi AND anti, both equi-keyed on the
-    # order key (the supplier inequality is a residual, not a cross join)
+    # Q21: both correlated subqueries fold into ONE groupBy(l_orderkey)
+    # over lineitem — the fact table is scanned (and shuffled) exactly
+    # once (round-6 advice #2); the orders-status EXISTS stays a semi
     p21 = plan_of(REGISTRY["q21_suppliers_waiting"].fn(spark, sf_dir))
-    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert p21.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+    assert "LeftSemi" in p21
     assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21
 
     # Q6: all three filters reach the parquet scan
