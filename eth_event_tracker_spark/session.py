@@ -13,7 +13,25 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+# The 100 TB streaming state provider: RocksDB spills keyed state to local
+# disk (the default HDFSBackedStateStoreProvider holds every key in executor
+# heap — a non-starter for wide keyed state), and changelog checkpointing
+# uploads per-batch deltas instead of full snapshots.  Ships inside Spark's
+# distribution (rocksdbjni) — no extra dependency.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "eth-event-tracker-spark",
+    *,
+    shuffle_partitions: int | None = None,
+    state_store: str | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     Scale notes:
@@ -24,6 +42,10 @@ def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: 
     - Arrow on: every Pandas UDF / mapInPandas transfer is columnar.
     - Session timezone pinned to UTC so timestamp semantics match the
       DuckDB oracle and are cluster-locale-independent.
+    - ``state_store="rocksdb"`` (or env ``SPARK_GRAFT_STATE_STORE=rocksdb``)
+      applies :data:`ROCKSDB_STATE_CONF` — the streaming state provider a
+      100 TB deployment runs (round-6 advice #5).  Session-level conf, so
+      it also works on an existing session via ``spark.conf.set``.
     """
     # make the package importable inside executor Python workers (needed by
     # the custom data source class, which tasks unpickle by module path)
@@ -57,4 +79,7 @@ def get_spark(app_name: str = "eth-event-tracker-spark", *, shuffle_partitions: 
         # deployment sizes driver/executor memory in its submit conf.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if (state_store or os.environ.get("SPARK_GRAFT_STATE_STORE", "")).lower() == "rocksdb":
+        for k, v in ROCKSDB_STATE_CONF.items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -390,6 +390,7 @@ class ParquetEntry:
 
     # -- changelog retention compaction --------------------------------------
     _CC_STAGING = "_cc_staging"
+    _TT_HORIZON = "_TT_HORIZON"
 
     def compact_changelog(self, spark, finalized_below: int) -> dict:
         """Store-level changelog retention: rewrite the bucket(s) holding
@@ -449,7 +450,8 @@ class ParquetEntry:
         if staging.exists():
             shutil.rmtree(staging)  # stale pre-commit leftovers
         src = [str(f) for k in affected for f in self._bucket_files(k)]
-        pruned = prune_changelog(spark.read.parquet(*src), finalized_below)
+        before_df = spark.read.parquet(*src)
+        pruned = prune_changelog(before_df, finalized_below)
         (
             pruned.select(*self.columns)
             .withColumn("bucket", (F.col("indx") / self.bucket_size).cast("long"))
@@ -457,6 +459,22 @@ class ParquetEntry:
             .write.partitionBy("bucket")
             .parquet(str(staging))
         )
+        # Time-travel horizon (round-6 advice #6): reconstruction at an
+        # instant below the max PRUNED indx would silently omit the
+        # collapsed history, so persist that bound — staged before the
+        # commit marker, installed by the same idempotent swap — and let
+        # view_as_of(exact_from=...) raise below it.  Anti-join over the
+        # affected buckets only (indx is unique), a bounded extra job.
+        dropped_max = (
+            before_df.join(pruned.select("indx"), "indx", "left_anti")
+            .agg(F.max("indx"))
+            .first()[0]
+        )
+        if dropped_max is not None:
+            new_horizon = max(self.time_travel_horizon(), int(dropped_max))
+            (staging / self._TT_HORIZON).write_text(
+                json.dumps({"exact_from_indx": new_horizon})
+            )
         staged = {
             int(p.name.split("=", 1)[1])
             for p in staging.iterdir()
@@ -484,15 +502,28 @@ class ParquetEntry:
         }
 
     def _cc_finish_swap(self, staging: Path) -> None:
-        """Swap staged bucket dirs into place, then clear staging.
-        Idempotent resume point for post-_COMMIT crash recovery."""
+        """Swap staged bucket dirs (and the staged time-travel horizon)
+        into place, then clear staging.  Idempotent resume point for
+        post-_COMMIT crash recovery."""
         for p in sorted(staging.iterdir()):
             if p.is_dir() and p.name.startswith("bucket="):
                 target = self.path / p.name
                 if target.exists():
                     shutil.rmtree(target)
                 os.rename(p, target)
+        staged_horizon = staging / self._TT_HORIZON
+        if staged_horizon.exists():
+            os.replace(staged_horizon, self.path / self._TT_HORIZON)
         shutil.rmtree(staging)
+
+    def time_travel_horizon(self) -> int:
+        """Smallest changelog indx at which ``view_as_of`` reconstruction
+        is exact (0 = never compacted, full history intact).  Advanced by
+        ``compact_changelog`` to the max indx it pruned away."""
+        p = self.path / self._TT_HORIZON
+        if p.exists():
+            return int(json.loads(p.read_text())["exact_from_indx"])
+        return 0
 
     def all_logs(self) -> list[dict]:
         """Driver-side full read, ordered by indx (test/verification helper)."""

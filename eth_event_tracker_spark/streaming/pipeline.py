@@ -135,7 +135,15 @@ def current_view(changelog: DataFrame) -> DataFrame:
     )
 
 
-def view_as_of(changelog: DataFrame, as_of_indx) -> DataFrame:
+class TimeTravelBelowHorizonError(ValueError):
+    """``as_of`` predates the changelog's compaction horizon: history
+    below it was collapsed (fully-retracted keys vanished), so
+    reconstruction would silently omit rows that were live at that
+    instant.  Raising is the contract (round-6 advice #6); the store
+    exposes the bound via ``ParquetEntry.time_travel_horizon()``."""
+
+
+def view_as_of(changelog: DataFrame, as_of_indx, exact_from: int | None = None) -> DataFrame:
     """Time-travel: the live table as it stood after changelog position
     ``as_of_indx`` was applied — the historical twin of ``current_view``.
 
@@ -151,14 +159,38 @@ def view_as_of(changelog: DataFrame, as_of_indx) -> DataFrame:
 
     ``as_of_indx`` is an int literal or a 1-row DataFrame with column
     ``_as_of`` (broadcast-scalar shape: no driver round-trip, and the
-    plan stays a whitelisted single-row BroadcastNestedLoopJoin)."""
+    plan stays a whitelisted single-row BroadcastNestedLoopJoin).
+
+    ``exact_from`` enforces the compaction bound (pass
+    ``entry.time_travel_horizon()``): an int ``as_of_indx`` below it
+    raises :class:`TimeTravelBelowHorizonError` immediately; the
+    DataFrame form gets a plan-side ``assert_true`` that fails the job
+    at execution time (keeping the no-driver-round-trip shape)."""
     if isinstance(as_of_indx, DataFrame):
+        if exact_from is not None:
+            # the assert rides INSIDE the _as_of expression (a dropped
+            # side column would be pruned by Catalyst, silently removing
+            # the check); assert_true yields NULL on pass, so the when()
+            # reduces to the original value
+            guarded = F.when(
+                F.assert_true(
+                    F.col("_as_of") >= F.lit(int(exact_from)),
+                    F.lit("as_of below the changelog compaction horizon"),
+                ).isNull(),
+                F.col("_as_of"),
+            )
+            as_of_indx = as_of_indx.withColumn("_as_of", guarded)
         filtered = (
             changelog.crossJoin(F.broadcast(as_of_indx))
             .where(F.col("indx") <= F.col("_as_of"))
             .drop("_as_of")
         )
     else:
+        if exact_from is not None and int(as_of_indx) < int(exact_from):
+            raise TimeTravelBelowHorizonError(
+                f"as_of={int(as_of_indx)} is below the compaction horizon "
+                f"{int(exact_from)}: history there was collapsed"
+            )
         filtered = changelog.where(F.col("indx") <= F.lit(int(as_of_indx)))
     return current_view(filtered)
 

@@ -535,3 +535,81 @@ def test_ingest_observed_metrics(spark, tmp_path):
     _drain(q)
     assert sum(m["n_admitted"] for m in log2) == 0
     assert len(store.entry(cfg.filter_hash).all_logs()) == len(rows)
+
+
+def test_view_as_of_below_compaction_horizon_raises(spark, tmp_path):
+    """Round-6 advice #6: time-travel below the compaction horizon must
+    raise (history there was collapsed — a silent wrong answer is the
+    failure mode), at-or-above stays exact, and the horizon survives a
+    post-commit crash via the same staged swap as the data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.store.parquet_store import ParquetEntry
+    from eth_event_tracker_spark.streaming.pipeline import (
+        TimeTravelBelowHorizonError,
+        view_as_of,
+    )
+
+    store, t, clog, head = _churned_changelog(spark, tmp_path)
+    assert clog.time_travel_horizon() == 0  # never compacted: no bound
+    # advance past the churn so the finality horizon moves above it
+    t.provider.advance(15, logs_per_block=1)
+    for e in t.poll():
+        append_changelog(clog, e)
+    pre_df = clog.df(spark).localCheckpoint()  # full history, pre-compaction
+    last = clog.last_index()
+
+    horizon_block = t.get_last_block().number - t.config.max_block_backlog
+    stats = clog.compact_changelog(spark, finalized_below=horizon_block)
+    assert stats["rows_after"] < stats["rows_before"], "churn must collapse"
+    h = clog.time_travel_horizon()
+    assert 0 < h <= last, "pruned history must advance the horizon"
+
+    # below: int form raises immediately
+    with pytest.raises(TimeTravelBelowHorizonError):
+        view_as_of(clog.df(spark), h - 1, exact_from=h)
+
+    # below: DataFrame-instant form fails at execution (plan-side assert)
+    inst = spark.createDataFrame([(h - 1,)], "_as_of long")
+    with pytest.raises(Exception, match="compaction horizon"):
+        view_as_of(clog.df(spark), inst, exact_from=h).collect()
+
+    # at/above: exact — identical to reconstruction over FULL history
+    for as_of in (h, last):
+        got = sorted(
+            map(tuple, view_as_of(clog.df(spark), as_of, exact_from=h).collect())
+        )
+        want = sorted(map(tuple, view_as_of(pre_df, as_of).collect()))
+        assert got == want, f"as_of={as_of} must be exact"
+    inst_ok = spark.createDataFrame([(int(last),)], "_as_of long")
+    assert view_as_of(clog.df(spark), inst_ok, exact_from=h).count() == len(
+        _view_rows(spark, clog)
+    )
+
+    # without exact_from the legacy permissive behavior is unchanged
+    view_as_of(clog.df(spark), h - 1).collect()
+
+    # crash after _COMMIT: reopen installs the staged horizon too
+    before_h = clog.time_travel_horizon()
+    import unittest.mock as mock
+
+    with mock.patch.object(ParquetEntry, "_cc_finish_swap", lambda self, s: None):
+        clog2 = store.changelog_entry(t.config.filter_hash, bucket_size=8)
+        # force more prunable churn above the previous horizon
+        t.provider.advance(15, logs_per_block=1)
+        for e in t.poll():
+            append_changelog(clog2, e)
+        t.provider.fork(2, logs_per_block=1)
+        for e in t.poll():
+            append_changelog(clog2, e)
+        t.provider.advance(10, logs_per_block=1)
+        for e in t.poll():
+            append_changelog(clog2, e)
+        new_block_h = t.get_last_block().number - t.config.max_block_backlog
+        clog2.compact_changelog(spark, finalized_below=new_block_h)
+    staging = clog2.path / ParquetEntry._CC_STAGING
+    if (staging / ParquetEntry._TT_HORIZON).exists():
+        recovered = store.changelog_entry(t.config.filter_hash, bucket_size=8)
+        assert recovered.time_travel_horizon() > before_h
+        assert not (recovered.path / ParquetEntry._CC_STAGING).exists()

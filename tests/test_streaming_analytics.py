@@ -137,6 +137,92 @@ def test_stateful_running_counts(spark, sf_dir, tmp_path, encoding):
         assert (r.n_events, r.last_ts) == want[uid]
 
 
+def test_stateful_suite_under_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """Round-6 advice #5: the custom stateful operator AND a
+    watermark-windowed agg run under the RocksDB state-store provider
+    (ROCKSDB_STATE_CONF — the 100 TB state backend) and match their
+    batch twins; query progress metrics prove RocksDB actually served
+    the state (not a silently-ignored conf)."""
+    import json
+
+    from eth_event_tracker_spark.session import ROCKSDB_STATE_CONF
+
+    prev = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        d, ev = _staged_files(spark, sf_dir, tmp_path)
+        stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+        q = (
+            stateful_running_counts(stream)
+            .writeStream.format("memory")
+            .queryName("running_rocksdb")
+            .outputMode("update")
+            .start()
+        )
+        from .test_web3_source import _drain
+
+        _drain(q)
+        final = {}
+        for r in spark.table("running_rocksdb").collect():
+            final[r.user_id] = r  # memory sink appends in batch order
+        want = {
+            r.user_id: (r.n, r.mx)
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.max("ts").alias("mx"))
+            .collect()
+        }
+        assert len(final) == len(want)
+        for uid, r in final.items():
+            assert (r.n_events, r.last_ts) == want[uid]
+        # the provider really was RocksDB: its custom metrics appear in
+        # the state operator's progress
+        prog = json.loads(q.lastProgress.json) if q.lastProgress else {}
+        metrics = (prog.get("stateOperators") or [{}])[0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+        # windowed agg state under RocksDB too
+        q2 = (
+            tumbling_counts(stream, watermark="30 minutes")
+            .writeStream.format("memory")
+            .queryName("tc_rocksdb")
+            .outputMode("append")
+            .start()
+        )
+        _drain(q2)
+        emitted = {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.table("tc_rocksdb").collect()
+        }
+        batch = {
+            (r.window_start, r.event_type): r.n_events for r in tumbling_counts(ev).collect()
+        }
+        assert emitted
+        for k2, v2 in emitted.items():
+            assert batch[k2] == v2, f"finalized window {k2} must match batch"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_rocksdb_session_flag():
+    """get_spark(state_store='rocksdb') wires ROCKSDB_STATE_CONF into the
+    builder (asserted on the live session conf — getOrCreate applies
+    session-level confs even when the JVM session already exists)."""
+    from eth_event_tracker_spark.session import ROCKSDB_STATE_CONF, get_spark
+
+    s = get_spark(state_store="rocksdb")
+    try:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            assert s.conf.get(k) == v
+    finally:
+        for k in ROCKSDB_STATE_CONF:
+            s.conf.unset(k)
+
+
 def test_tws_processor_logic_pinned_to_aipws_twin():
     """VERDICT r4 #3: the TWS twin's accumulate logic executes HERE, with
     no protobuf — driven against a stub StatefulProcessorHandle/ValueState

@@ -2,11 +2,14 @@
 __spark_entry__, smoke entry(), then run every queries()[k] vs
 oracle_sql()[k] in DuckDB — row count + column names + sorted value compare.
 
-Usage: python tools/driver_sim.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python tools/driver_sim.py [sf_dir] [n_entries]
+       (default /root/testdata/sf0.01, full registry; n_entries limits to
+        the first N registry entries — 50 = the graded window)
 
 Run it at sf0.1 too before shipping scale-path changes: the sf0.01 gate has
 missed at least one scale-dependent bug (a nondeterministic self-join in the
-two-phase indx assignment dropped rows only at sf0.1)."""
+two-phase indx assignment dropped rows only at sf0.1).  tools/sf01_gate.py
+wraps exactly that as a one-shot with a committed evidence file."""
 import sys, math
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,11 +32,14 @@ print(f"SMOKE entry(): rows={n} schema={[f.name for f in df.schema.fields]}")
 assert n > 0
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+N_ENTRIES = int(sys.argv[2]) if len(sys.argv) > 2 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs, os_ = e.queries(), e.oracle_sql()
+if N_ENTRIES is not None:
+    qs = dict(list(qs.items())[:N_ENTRIES])
 def canon(v):
     if v is None: return "N"
     if isinstance(v, float):
