@@ -14,7 +14,14 @@ pre-training data pipeline actually runs them.
       → split assignment      (splits.leakage_safe_split — train/val/test,
                                text-coherent so any residual exact dups
                                can never straddle the eval boundary)
+      → temperature upsample  (sampling.temperature_upsample — optional,
+                               repeats tail strata toward √n with a
+                               clamped factor; extra copies ledgered)
       → chunk + pack          (text.chunk_documents → text.pack_sequences)
+      → shard export          (operators/export.export_shards — the
+                               materialization sink: hive-partitioned
+                               shards + validated manifest; not run here,
+                               the caller owns the output location)
 
 Every stage is lazy DataFrame composition — one ``CurationResult`` holds
 the curated corpus, the dataloader-ready packed chunks, and per-stage

@@ -150,6 +150,10 @@ def write_training_shards(
     per-shard directories — no per-shard job, no global sort.  Parquet
     preserves row order, so a reader streaming ``shard=K`` sees exactly
     the reproducible permutation order.
+
+    Sibling: :func:`operators.export.export_shards` is the
+    packed-sequence sink with a validated ``_MANIFEST.json`` — use it
+    when the consumer needs the corpus-contract audit.
     """
     sharded = shuffle_shards(df, n_shards, key_col=key_col, seed=seed)
     (

@@ -45,6 +45,7 @@ class InMemEntry:
         # explicit counter: after changelog compaction, list positions no
         # longer equal indx values (pruned history leaves gaps)
         self._next = 0
+        self._tt_horizon = 0  # see time_travel_horizon()
 
     def last_index(self) -> int:
         return self._next
@@ -92,16 +93,24 @@ class InMemEntry:
         for r in self._rows:
             k = (r["block_hash"], r["tx_index"], r["log_index"])
             latest[k] = max(latest.get(k, -1), r["indx"])
-        self._rows = [
-            r
-            for r in self._rows
-            if r["block_num"] >= finalized_below
-            or (
+
+        def keep(r: dict) -> bool:
+            return r["block_num"] >= finalized_below or (
                 r["indx"] == latest[(r["block_hash"], r["tx_index"], r["log_index"])]
                 and r.get("change_type") == "add"
             )
-        ]
+
+        dropped = [r["indx"] for r in self._rows if not keep(r)]
+        self._rows = [r for r in self._rows if keep(r)]
+        if dropped:
+            self._tt_horizon = max(self._tt_horizon, max(dropped))
         return {"rows_before": before, "rows_after": len(self._rows)}
+
+    def time_travel_horizon(self) -> int:
+        """Smallest changelog indx at which view_as_of reconstruction is
+        exact (0 = never pruned) — backend parity with
+        ParquetEntry.time_travel_horizon."""
+        return self._tt_horizon
 
     def df(self, spark):
         from ..schemas import CHANGELOG_SCHEMA, LOG_SCHEMA

@@ -355,14 +355,40 @@ class JdbcEntry:
         # CAST the CLOB block_hash for the equality predicate (Derby
         # disallows comparisons on CLOB; hashes are 66 chars)
         bh = 'CAST({0}."block_hash" AS VARCHAR(80))'
+        doomed_cond = (
+            f'r."block_num" < ? '
+            f'AND r."indx" < (SELECT MAX("indx") FROM {t}) '
+            f"AND (r.\"change_type\" = 'remove' OR EXISTS ("
+            f'  SELECT 1 FROM {t} s WHERE {bh.format("s")} = {bh.format("r")} '
+            f'  AND s."tx_index" = r."tx_index" AND s."log_index" = r."log_index" '
+            f'  AND s."indx" > r."indx"))'
+        )
+        doomed = f'SELECT r."indx" FROM {t} r WHERE {doomed_cond}'
+        # time-travel horizon = max pruned indx, persisted in kv before
+        # the delete (backend parity with ParquetEntry._TT_HORIZON).
+        # Direct WHERE form, NOT "MAX(...) FROM (<doomed>) d": Derby's
+        # min/max scan optimization silently yields NULL over that
+        # derived table (COUNT over the same table returns 4 — verified)
         ps = self._conn.prepareStatement(
-            f'DELETE FROM {t} WHERE "indx" IN ('
-            f'  SELECT r."indx" FROM {t} r WHERE r."block_num" < ? '
-            f'  AND r."indx" < (SELECT MAX("indx") FROM {t}) '
-            f"  AND (r.\"change_type\" = 'remove' OR EXISTS ("
-            f'    SELECT 1 FROM {t} s WHERE {bh.format("s")} = {bh.format("r")} '
-            f'    AND s."tx_index" = r."tx_index" AND s."log_index" = r."log_index" '
-            f'    AND s."indx" > r."indx")))'
+            f'SELECT MAX(r."indx") FROM {t} r WHERE {doomed_cond}'
+        )
+        try:
+            ps.setLong(1, int(finalized_below))
+            rs = ps.executeQuery()
+            dropped_max = None
+            if rs.next():
+                v = rs.getLong(1)
+                if not rs.wasNull():  # MAX over empty doomed set is NULL
+                    dropped_max = v
+        finally:
+            ps.close()
+        if dropped_max is not None:
+            self._store.set(
+                f"_tt_horizon:{t}",
+                str(max(self.time_travel_horizon(), int(dropped_max))),
+            )
+        ps = self._conn.prepareStatement(
+            f'DELETE FROM {t} WHERE "indx" IN ({doomed})'
         )
         try:
             ps.setLong(1, int(finalized_below))
@@ -370,6 +396,13 @@ class JdbcEntry:
         finally:
             ps.close()
         return {"rows_before": before, "rows_after": _count()}
+
+    def time_travel_horizon(self) -> int:
+        """Smallest changelog indx at which view_as_of reconstruction is
+        exact (0 = never pruned) — backend parity with
+        ParquetEntry.time_travel_horizon; lives in the store's kv table."""
+        v = self._store.get(f"_tt_horizon:{self.table}")
+        return int(v) if v is not None else 0
 
     # -- Spark integration: the DISTRIBUTED paths ----------------------------
     def append_df(self, df) -> int:

@@ -238,23 +238,49 @@ class SqlEntry:
         ``spark`` unused (interface parity); no row crosses the driver."""
         before = self._conn.execute(f"SELECT COUNT(*) FROM {self.table}").fetchone()[0]
         t = self.table
+        doomed = (
+            f"SELECT r.indx FROM {t} r WHERE r.block_num < ? "
+            f"AND r.indx < (SELECT MAX(indx) FROM {t}) "
+            f"AND (r.change_type = 'remove' OR EXISTS ("
+            f"  SELECT 1 FROM {t} s WHERE s.block_hash = r.block_hash "
+            f"  AND s.tx_index = r.tx_index AND s.log_index = r.log_index "
+            f"  AND s.indx > r.indx))"
+        )
         with self._conn:
+            # the time-travel horizon advances to the max PRUNED indx —
+            # computed before the delete, persisted in the store's kv
+            # table (backend parity with ParquetEntry._TT_HORIZON)
+            dropped_max = self._conn.execute(
+                f"SELECT MAX(indx) FROM ({doomed})", (finalized_below,)
+            ).fetchone()[0]
+            if dropped_max is not None:
+                self._conn.execute(
+                    "INSERT INTO kv (key, val) VALUES (?, ?) "
+                    "ON CONFLICT (key) DO UPDATE SET val = excluded.val",
+                    (
+                        f"_tt_horizon:{t}",
+                        str(max(self.time_travel_horizon(), int(dropped_max))),
+                    ),
+                )
             # the doomed set is an uncorrelated IN-subquery, materialized
             # BEFORE any row is removed: a correlated DELETE could evaluate
             # a row's EXISTS after its superseding row was already deleted
             # and wrongly resurrect a fully-retracted key
             self._conn.execute(
-                f"DELETE FROM {t} WHERE indx IN ("
-                f"  SELECT r.indx FROM {t} r WHERE r.block_num < ? "
-                f"  AND r.indx < (SELECT MAX(indx) FROM {t}) "
-                f"  AND (r.change_type = 'remove' OR EXISTS ("
-                f"    SELECT 1 FROM {t} s WHERE s.block_hash = r.block_hash "
-                f"    AND s.tx_index = r.tx_index AND s.log_index = r.log_index "
-                f"    AND s.indx > r.indx)))",
-                (finalized_below,),
+                f"DELETE FROM {t} WHERE indx IN ({doomed})", (finalized_below,)
             )
         after = self._conn.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
         return {"rows_before": before or 0, "rows_after": after}
+
+    def time_travel_horizon(self) -> int:
+        """Smallest changelog indx at which view_as_of reconstruction is
+        exact (0 = never pruned) — backend parity with
+        ParquetEntry.time_travel_horizon; stored in the kv table so it
+        survives reopen like any checkpoint."""
+        row = self._conn.execute(
+            "SELECT val FROM kv WHERE key = ?", (f"_tt_horizon:{self.table}",)
+        ).fetchone()
+        return int(row[0]) if row else 0
 
     # -- Spark integration ---------------------------------------------------
     def append_df(self, df) -> int:

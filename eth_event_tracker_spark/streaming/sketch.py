@@ -216,14 +216,21 @@ def start_sketch_ingest(
 
 
 def read_sketch(spark: SparkSession, path: str) -> DataFrame:
-    """The merged sketch: one groupBy over the DURABLE partial log."""
+    """The merged sketch: one groupBy over the DURABLE partial log.
+
+    Materialized (localCheckpoint) while the ingest lock is held: the
+    merged sketch is at most d·w rows however large the stream, and a
+    lazy plan would re-list the part dirs at action time — after the
+    lock is gone, when a concurrent compaction may have swapped them
+    away mid-read."""
     with _ingest_lock(path):
         _recover(path)
         durable = _durable_parts(path)
-    if not durable:
-        return spark.createDataFrame([], "row INT, col BIGINT, cnt BIGINT")
-    parts = spark.read.parquet(*durable)
-    return parts.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+        if not durable:
+            return spark.createDataFrame([], "row INT, col BIGINT, cnt BIGINT")
+        parts = spark.read.parquet(*durable)
+        merged = parts.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+        return merged.localCheckpoint(eager=True)
 
 
 def compact_sketch(spark: SparkSession, path: str) -> None:

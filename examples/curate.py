@@ -48,6 +48,7 @@ def main() -> None:
     # training-order layout: one ordered parquet file per shard
     import tempfile
 
+    from eth_event_tracker_spark.operators.export import export_shards, validate_shards
     from eth_event_tracker_spark.operators.splits import write_training_shards
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -56,6 +57,15 @@ def main() -> None:
         )
         n_files = len(list(Path(tmp).glob("shards/shard=*/*.parquet")))
         print(f"training shards written: {n_files} ordered files")
+
+        # packed-sequence sink: manifest-validated corpus export
+        manifest = export_shards(res.packed, f"{tmp}/corpus")
+        report = validate_shards(spark, f"{tmp}/corpus")
+        print(
+            f"exported corpus: {manifest['total_rows']} chunks, "
+            f"{manifest['total_words']} words across {manifest['n_shards']} "
+            f"shards; validation ok={report['ok']}"
+        )
 
 
 if __name__ == "__main__":

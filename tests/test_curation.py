@@ -245,3 +245,63 @@ def test_curate_temperature_upsample_stage(spark):
     assert "temperature_upsample" not in res2.stages
     assert "repeat_idx" not in res2.kept.columns
     assert res2.dropped.where("stage = 'temperature_upsample'").count() == 0
+
+
+def test_export_shards_roundtrip_manifest_and_validation(spark, tmp_path):
+    """The export sink: partitioned write + atomic manifest; reread is
+    multiset-identical; a filter on shard prunes partitions; tampering
+    is caught by validate_shards; a manifest-less dir refuses to read."""
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from eth_event_tracker_spark.operators import export as OPE
+    from eth_event_tracker_spark.operators.text import chunk_documents, pack_sequences
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(25)), "en", "s", 1) for i in range(200)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    packed = pack_sequences(chunk_documents(docs), budget_words=64, n_shards=8)
+
+    out = tmp_path / "corpus"
+    manifest = OPE.export_shards(packed, str(out))
+    assert manifest["total_rows"] == packed.count()
+    assert manifest["n_shards"] == packed.select("shard").distinct().count()
+    assert manifest["total_words"] == packed.agg(F.sum("n_words")).first()[0]
+    on_disk = json.load(open(out / "_MANIFEST.json"))
+    assert on_disk == manifest
+
+    # reread: multiset-identical to the input
+    back = OPE.read_shards(spark, str(out))
+    a = sorted(map(tuple, packed.select(*sorted(packed.columns)).collect()))
+    b = sorted(map(tuple, back.select(*sorted(packed.columns)).collect()))
+    assert a == b
+
+    # shard filter prunes to one hive partition (dataloader read path)
+    one = back.where(F.col("shard") == manifest["shards"][0]["shard"])
+    assert one.count() == manifest["shards"][0]["rows"]
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # validation green, then tamper: a deleted shard dir is flagged
+    assert OPE.validate_shards(spark, str(out)) == {"ok": True, "problems": []}
+    victim = manifest["shards"][0]["shard"]
+    shutil.rmtree(out / f"shard={victim}")
+    report = OPE.validate_shards(spark, str(out))
+    assert not report["ok"]
+    assert any(f"shard {victim}" in p and "missing" in p for p in report["problems"])
+
+    # crashed export (no manifest) refuses to read
+    os.remove(out / "_MANIFEST.json")
+    with pytest.raises(FileNotFoundError, match="refusing"):
+        OPE.read_shards(spark, str(out))
+
+    # overwrite mode replaces cleanly and reinstalls the manifest
+    m2 = OPE.export_shards(packed, str(out), mode="overwrite")
+    assert m2["total_rows"] == manifest["total_rows"]
+    assert OPE.validate_shards(spark, str(out))["ok"]

@@ -614,3 +614,46 @@ def test_sketch_log_model_fuzz(spark, tmp_path):
         check()
     assert model, "fuzz must have exercised at least one append"
     shutil.rmtree(path)
+
+
+def test_sketch_compaction_during_live_ingest(spark, tmp_path):
+    """The round-6 advice scenario end-to-end: compact_sketch fires
+    repeatedly WHILE a real ingest stream is appending micro-batches.
+    The ingest lock serializes them, so however the rounds interleave,
+    the final merged sketch counts every input row exactly once."""
+    import time
+
+    from eth_event_tracker_spark.operators.sketches import cms_build
+    from eth_event_tracker_spark.streaming.sketch import (
+        compact_sketch,
+        read_sketch,
+        start_sketch_ingest,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    all_rows = []
+    for bi in range(6):
+        rows = [(i, f"k{i % (3 + bi)}") for i in range(bi * 40, bi * 40 + 40)]
+        _event_file(inp / f"b{bi}.parquet", rows)
+        all_rows += rows
+
+    q = start_sketch_ingest(
+        spark, str(inp), "key", str(tmp_path / "sk"), str(tmp_path / "ckpt"),
+        schema="event_id long, key string", d=3, w=64, available_now=True,
+    )
+    # hammer compaction from the main thread while the stream runs
+    n_compactions = 0
+    while q.isActive:
+        compact_sketch(spark, str(tmp_path / "sk"))
+        n_compactions += 1
+        time.sleep(0.05)
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    assert n_compactions > 0, "compaction never overlapped the stream"
+    compact_sketch(spark, str(tmp_path / "sk"))
+
+    whole = spark.createDataFrame(all_rows, "event_id long, key string")
+    want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
+    got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(tmp_path / "sk")).collect()}
+    assert got == want, "concurrent compaction must lose/double nothing"

@@ -437,6 +437,8 @@ def test_changelog_roundtrip_and_compaction(make_store, spark):
 
     before = sorted(map(tuple, live.collect()))
     last = clog.last_index()
+    pre_indx = {r["indx"] for r in clog.all_logs()}
+    assert clog.time_travel_horizon() == 0  # never pruned: exact everywhere
     stats = clog.compact_changelog(spark, finalized_below=100)
     assert stats["rows_after"] < stats["rows_before"]
     assert [r for r in clog.all_logs() if r.get("change_type") == "remove"] == []
@@ -444,3 +446,23 @@ def test_changelog_roundtrip_and_compaction(make_store, spark):
     assert len(clog.all_logs()) == len(want)
     assert sorted(map(tuple, current_view(clog.df(spark)).collect())) == before
     assert clog.last_index() == last  # append counter never regresses
+
+    # time-travel horizon parity (round-7): every backend reports the max
+    # PRUNED indx, and view_as_of refuses instants below it
+    import pytest as _pytest
+
+    from eth_event_tracker_spark.streaming.pipeline import (
+        TimeTravelBelowHorizonError,
+        view_as_of,
+    )
+
+    dropped = pre_indx - {r["indx"] for r in clog.all_logs()}
+    h = clog.time_travel_horizon()
+    assert h == max(dropped), "horizon must equal the max pruned indx"
+    with _pytest.raises(TimeTravelBelowHorizonError):
+        view_as_of(clog.df(spark), h - 1, exact_from=h)
+    got_at_h = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in view_as_of(clog.df(spark), last - 1, exact_from=h).collect()
+    }
+    assert got_at_h == want
