@@ -81,14 +81,20 @@ def export_shards(packed: DataFrame, out_dir: str, mode: str = "error") -> dict:
     # manifest from the WRITTEN files, not the input lineage: at 100 TB
     # re-evaluating the upstream pipeline for a row count would double
     # the job; one scan of the materialized output is cheaper and
-    # describes exactly the corpus on disk
-    per_shard = _stats(packed.sparkSession.read.parquet(out))
+    # describes exactly the corpus on disk.  The explicit schema makes
+    # an EMPTY export well-defined too — a schema-less read of a
+    # data-free directory raises "Unable to infer schema" (round-7
+    # review), while a fully-filtered corpus should export a valid
+    # zero-shard manifest.
+    back = packed.sparkSession.read.schema(packed.schema).parquet(out)
+    per_shard = _stats(back)
     manifest = {
         "n_shards": len(per_shard),
         "total_rows": sum(s["rows"] for s in per_shard),
         "total_words": sum(s["words"] for s in per_shard),
         "total_seqs": sum(s["n_seqs"] for s in per_shard),
         "columns": sorted(c for c in packed.columns),
+        "schema_json": packed.schema.json(),
         "shards": per_shard,
     }
     tmp = manifest_path + ".tmp"
@@ -114,9 +120,16 @@ def read_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Manifest-checked read of an exported corpus.  The hive ``shard``
     partition column comes back as a partition value, so filters like
     ``WHERE shard = 7`` prune to one directory (partition pruning — the
-    dataloader's per-worker read path)."""
-    read_manifest(out_dir)  # presence = export completed
-    return spark.read.parquet(str(out_dir))
+    dataloader's per-worker read path).  The manifest's recorded schema
+    drives the read, so an empty corpus round-trips with its columns
+    intact instead of failing schema inference."""
+    from pyspark.sql.types import StructType
+
+    manifest = read_manifest(out_dir)  # presence = export completed
+    reader = spark.read
+    if "schema_json" in manifest:
+        reader = reader.schema(StructType.fromJson(json.loads(manifest["schema_json"])))
+    return reader.parquet(str(out_dir))
 
 
 def validate_shards(spark: SparkSession, out_dir: str) -> dict:
@@ -125,7 +138,7 @@ def validate_shards(spark: SparkSession, out_dir: str) -> dict:
     ``{"ok": bool, "problems": [...]}`` — the audit a training job runs
     before trusting a corpus handed to it."""
     manifest = read_manifest(out_dir)
-    df = spark.read.parquet(str(out_dir))
+    df = read_shards(spark, out_dir)
     problems: list[str] = []
     if sorted(df.columns) != manifest["columns"]:
         problems.append(f"columns {sorted(df.columns)} != manifest {manifest['columns']}")

@@ -86,7 +86,10 @@ def decode_features(assets: DataFrame) -> DataFrame:
     def _null_ok(fn):
         # NULL payload → NULL features, matching the JVM twin (F.length
         # etc. are null-propagating); one bad row must not fail the
-        # whole Arrow batch (round-6 advice, low).
+        # whole Arrow batch (round-6 advice, low).  Short payloads are
+        # handled inside the per-column lambdas the same way substring
+        # handles them JVM-side: a missing header byte is NULL, not an
+        # IndexError that kills the batch (round-7 review).
         def guarded(b):
             if b is None or (isinstance(b, float) and pd.isna(b)):
                 return None
@@ -104,10 +107,10 @@ def decode_features(assets: DataFrame) -> DataFrame:
                     "byte_len": payloads.map(_null_ok(len)).astype("Int64"),
                     "header_magic": payloads.map(_null_ok(lambda b: bytes(b[:2]).hex())),
                     "fake_width": payloads.map(
-                        _null_ok(lambda b: 16 * (1 + b[2] % 64))
+                        _null_ok(lambda b: 16 * (1 + b[2] % 64) if len(b) > 2 else None)
                     ).astype("Int64"),
                     "fake_height": payloads.map(
-                        _null_ok(lambda b: 16 * (1 + b[3] % 64))
+                        _null_ok(lambda b: 16 * (1 + b[3] % 64) if len(b) > 3 else None)
                     ).astype("Int64"),
                     "checksum": payloads.map(
                         _null_ok(

@@ -67,7 +67,13 @@ def temperature_mix(
     h = hash60(F.col(key_col).cast("string"), seed).cast("double") / F.lit(
         float(_HASH_SPACE)
     )
-    return df.join(F.broadcast(rates), stratum_col).where(h < F.col("_k")).drop("_k")
+    # NULL-safe join: a NULL stratum is a stratum (groupBy already counts
+    # it); a plain equality join would silently DROP every NULL-stratum
+    # row — an optional mixing stage must never lose rows (round-7 review)
+    joined = df.join(
+        F.broadcast(rates), df[stratum_col].eqNullSafe(rates[stratum_col])
+    ).drop(rates[stratum_col])
+    return joined.where(h < F.col("_k")).drop("_k")
 
 
 def stratified_sample(
@@ -139,8 +145,11 @@ def temperature_upsample(
         < frac
     )
     n_copies = (whole + extra_test.cast("int")).alias("_copies")
+    # NULL-safe join — same rationale as temperature_mix: a NULL stratum
+    # must upsample like any other, not vanish
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(F.broadcast(rates), df[stratum_col].eqNullSafe(rates[stratum_col]))
+        .drop(rates[stratum_col])
         .withColumn("_copies", n_copies)
         .where(F.col("_copies") > 0)
         .withColumn("repeat_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))

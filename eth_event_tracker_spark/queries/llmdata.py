@@ -1113,8 +1113,8 @@ WITH counts AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang),
 mn AS (SELECT MIN(_n) AS _nmin FROM counts),
 rates AS (SELECT lang, sqrt(CAST(_nmin AS DOUBLE) / CAST(_n AS DOUBLE)) AS _k
           FROM counts, mn)
-SELECT doc_id, lang, source
-FROM documents JOIN rates USING (lang)
+SELECT doc_id, documents.lang AS lang, source
+FROM documents JOIN rates ON documents.lang IS NOT DISTINCT FROM rates.lang
 WHERE CAST({duck_hash60_inline("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
         / 1152921504606846976.0 < _k
 """,
@@ -1141,12 +1141,12 @@ mx AS (SELECT MAX(_n) AS _nmax FROM counts),
 rates AS (SELECT lang, LEAST(sqrt(CAST(_nmax AS DOUBLE) / CAST(_n AS DOUBLE)),
                              CAST(16 AS DOUBLE)) AS _k
           FROM counts, mx),
-sized AS (SELECT doc_id, lang, source, _k,
+sized AS (SELECT doc_id, documents.lang AS lang, source, _k,
                  CAST(floor(_k) AS INT)
                  + CASE WHEN CAST({duck_hash60_inline("CAST(doc_id AS VARCHAR) || ':rep'", "0")} AS DOUBLE)
                           / 1152921504606846976.0 < _k - floor(_k)
                         THEN 1 ELSE 0 END AS _copies
-          FROM documents JOIN rates USING (lang))
+          FROM documents JOIN rates ON documents.lang IS NOT DISTINCT FROM rates.lang)
 SELECT doc_id, lang, source, CAST(gs.repeat_idx AS BIGINT) AS repeat_idx
 FROM sized, LATERAL (SELECT unnest(range(0, _copies)) AS repeat_idx) gs
 WHERE _copies > 0

@@ -592,7 +592,7 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
-    doc="TPC-H Q21 waiting suppliers: EXISTS→semi + NOT EXISTS→anti with inequality residuals",
+    doc="TPC-H Q21 waiting suppliers: both correlated subqueries folded into one per-order aggregate (single lineitem shuffle)",
 )
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

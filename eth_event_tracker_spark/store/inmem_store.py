@@ -100,10 +100,18 @@ class InMemEntry:
                 and r.get("change_type") == "add"
             )
 
-        dropped = [r["indx"] for r in self._rows if not keep(r)]
+        # horizon bound = max over keys that lose rows of the key's
+        # pre-compaction max indx (surviving winner, or final remove of
+        # a vanished key) — NOT the max pruned indx, which is one short
+        # when a superseded duplicate 'add' is pruned (round-7 review)
+        dropped_key_maxes = [
+            latest[(r["block_hash"], r["tx_index"], r["log_index"])]
+            for r in self._rows
+            if not keep(r)
+        ]
         self._rows = [r for r in self._rows if keep(r)]
-        if dropped:
-            self._tt_horizon = max(self._tt_horizon, max(dropped))
+        if dropped_key_maxes:
+            self._tt_horizon = max(self._tt_horizon, max(dropped_key_maxes))
         return {"rows_before": before, "rows_after": len(self._rows)}
 
     def time_travel_horizon(self) -> int:

@@ -364,13 +364,24 @@ class JdbcEntry:
             f'  AND s."indx" > r."indx"))'
         )
         doomed = f'SELECT r."indx" FROM {t} r WHERE {doomed_cond}'
-        # time-travel horizon = max pruned indx, persisted in kv before
-        # the delete (backend parity with ParquetEntry._TT_HORIZON).
-        # Direct WHERE form, NOT "MAX(...) FROM (<doomed>) d": Derby's
-        # min/max scan optimization silently yields NULL over that
-        # derived table (COUNT over the same table returns 4 — verified)
+        # time-travel horizon: for every key losing rows, that key's
+        # pre-compaction max indx (surviving winner or final remove) —
+        # persisted in kv before the delete (parity with ParquetEntry;
+        # plain max-pruned-indx is one short for superseded duplicate
+        # adds, round-7 review).  Per-key maxes come from a derived
+        # table over CAST block hashes (Derby CLOB rules); avoid
+        # "MAX(col) FROM (<one-column subquery>) d" — Derby's min/max
+        # scan optimization silently yields NULL there (verified: COUNT
+        # over the same derived table returns the right rows)
         ps = self._conn.prepareStatement(
-            f'SELECT MAX(r."indx") FROM {t} r WHERE {doomed_cond}'
+            f'SELECT MAX(km."kmax") FROM {t} r, ('
+            f'  SELECT b."bh", b."tx_index", b."log_index", MAX(b."indx") AS "kmax" '
+            f'  FROM (SELECT CAST("block_hash" AS VARCHAR(80)) AS "bh", '
+            f'               "tx_index", "log_index", "indx" FROM {t}) b '
+            f'  GROUP BY b."bh", b."tx_index", b."log_index") km '
+            f'WHERE km."bh" = {bh.format("r")} '
+            f'AND km."tx_index" = r."tx_index" AND km."log_index" = r."log_index" '
+            f"AND {doomed_cond}"
         )
         try:
             ps.setLong(1, int(finalized_below))

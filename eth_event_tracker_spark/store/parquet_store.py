@@ -459,19 +459,29 @@ class ParquetEntry:
             .write.partitionBy("bucket")
             .parquet(str(staging))
         )
-        # Time-travel horizon (round-6 advice #6): reconstruction at an
-        # instant below the max PRUNED indx would silently omit the
-        # collapsed history, so persist that bound — staged before the
-        # commit marker, installed by the same idempotent swap — and let
-        # view_as_of(exact_from=...) raise below it.  Anti-join over the
-        # affected buckets only (indx is unique), a bounded extra job.
-        dropped_max = (
+        # Time-travel horizon (round-6 advice #6): reconstruction below
+        # the bound would silently omit collapsed history, so persist it
+        # — staged before the commit marker, installed by the same
+        # idempotent swap — and let view_as_of(exact_from=...) raise
+        # below it.  The bound is, for every key that LOSES rows, that
+        # key's pre-compaction max indx (the surviving winner, or the
+        # final remove of a vanished key): a plain "max pruned indx"
+        # is one short when a superseded duplicate 'add' is pruned —
+        # the full log shows the key live between the two adds, the
+        # compacted log cannot (round-7 review).  Joins touch only the
+        # affected buckets (indx unique) — a bounded extra job.
+        from ..streaming.pipeline import NATURAL_KEY
+
+        key_max = before_df.groupBy(*NATURAL_KEY).agg(F.max("indx").alias("_kmax"))
+        dropped_keys = (
             before_df.join(pruned.select("indx"), "indx", "left_anti")
-            .agg(F.max("indx"))
-            .first()[0]
+            .select(*NATURAL_KEY)
         )
-        if dropped_max is not None:
-            new_horizon = max(self.time_travel_horizon(), int(dropped_max))
+        dropped_bound = (
+            dropped_keys.join(key_max, list(NATURAL_KEY)).agg(F.max("_kmax")).first()[0]
+        )
+        if dropped_bound is not None:
+            new_horizon = max(self.time_travel_horizon(), int(dropped_bound))
             (staging / self._TT_HORIZON).write_text(
                 json.dumps({"exact_from_indx": new_horizon})
             )
@@ -480,12 +490,19 @@ class ParquetEntry:
             for p in staging.iterdir()
             if p.is_dir() and p.name.startswith("bucket=")
         }
-        # buckets whose every row was pruned: semantically dead, safe to
-        # drop any time (current_view never sees them) — before the marker
+        (staging / "_COMMIT").touch()
+        # buckets whose every row was pruned are deleted only AFTER the
+        # commit marker: deleting them earlier opened a crash window
+        # where history was gone but recovery discarded the staged
+        # _TT_HORIZON with the uncommitted staging — horizon 0, silent
+        # wrong time-travel (round-7 review).  A crash between the
+        # marker and these deletes leaves the dead buckets in place —
+        # harmless (fully-retracted keys are invisible to current_view,
+        # extra history only widens time-travel) and swept by the next
+        # compaction, whose listing re-flags them as affected.
         for k in affected:
             if k not in staged and (self.path / f"bucket={k}").exists():
                 shutil.rmtree(self.path / f"bucket={k}")
-        (staging / "_COMMIT").touch()
         self._cc_finish_swap(staging)
         files_after = rows_after = 0
         for k in staged:

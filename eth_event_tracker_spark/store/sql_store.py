@@ -247,11 +247,20 @@ class SqlEntry:
             f"  AND s.indx > r.indx))"
         )
         with self._conn:
-            # the time-travel horizon advances to the max PRUNED indx —
-            # computed before the delete, persisted in the store's kv
-            # table (backend parity with ParquetEntry._TT_HORIZON)
+            # the time-travel horizon advances to, for every key losing
+            # rows, that key's pre-compaction max indx (surviving winner
+            # or final remove) — computed before the delete, persisted
+            # in the store's kv table (parity with ParquetEntry; the
+            # plain max-pruned-indx bound is one short for superseded
+            # duplicate adds, round-7 review)
             dropped_max = self._conn.execute(
-                f"SELECT MAX(indx) FROM ({doomed})", (finalized_below,)
+                f"SELECT MAX(km.kmax) FROM {t} r JOIN ("
+                f"  SELECT block_hash, tx_index, log_index, MAX(indx) AS kmax "
+                f"  FROM {t} GROUP BY block_hash, tx_index, log_index) km "
+                f"ON km.block_hash = r.block_hash AND km.tx_index = r.tx_index "
+                f"AND km.log_index = r.log_index "
+                f"WHERE r.indx IN ({doomed})",
+                (finalized_below,),
             ).fetchone()[0]
             if dropped_max is not None:
                 self._conn.execute(

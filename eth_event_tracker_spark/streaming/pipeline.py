@@ -135,6 +135,21 @@ def current_view(changelog: DataFrame) -> DataFrame:
     )
 
 
+def _guard_as_of(instants: DataFrame, exact_from: int) -> DataFrame:
+    """Thread the compaction-bound check INSIDE the ``_as_of`` expression
+    (a dropped side column would be pruned by Catalyst, silently removing
+    it); assert_true yields NULL on pass, so the when() reduces to the
+    original value and the job fails at execution time below the bound."""
+    guarded = F.when(
+        F.assert_true(
+            F.col("_as_of") >= F.lit(int(exact_from)),
+            F.lit("as_of below the changelog compaction horizon"),
+        ).isNull(),
+        F.col("_as_of"),
+    )
+    return instants.withColumn("_as_of", guarded)
+
+
 class TimeTravelBelowHorizonError(ValueError):
     """``as_of`` predates the changelog's compaction horizon: history
     below it was collapsed (fully-retracted keys vanished), so
@@ -168,18 +183,7 @@ def view_as_of(changelog: DataFrame, as_of_indx, exact_from: int | None = None) 
     at execution time (keeping the no-driver-round-trip shape)."""
     if isinstance(as_of_indx, DataFrame):
         if exact_from is not None:
-            # the assert rides INSIDE the _as_of expression (a dropped
-            # side column would be pruned by Catalyst, silently removing
-            # the check); assert_true yields NULL on pass, so the when()
-            # reduces to the original value
-            guarded = F.when(
-                F.assert_true(
-                    F.col("_as_of") >= F.lit(int(exact_from)),
-                    F.lit("as_of below the changelog compaction horizon"),
-                ).isNull(),
-                F.col("_as_of"),
-            )
-            as_of_indx = as_of_indx.withColumn("_as_of", guarded)
+            as_of_indx = _guard_as_of(as_of_indx, exact_from)
         filtered = (
             changelog.crossJoin(F.broadcast(as_of_indx))
             .where(F.col("indx") <= F.col("_as_of"))
@@ -195,7 +199,9 @@ def view_as_of(changelog: DataFrame, as_of_indx, exact_from: int | None = None) 
     return current_view(filtered)
 
 
-def views_as_of(changelog: DataFrame, instants: DataFrame) -> DataFrame:
+def views_as_of(
+    changelog: DataFrame, instants: DataFrame, exact_from: int | None = None
+) -> DataFrame:
     """Reconstruct the live view at SEVERAL instants in one pass — the
     batch form of ``view_as_of`` for audits that probe many historical
     positions (pre/mid/post-reorg, one per finality checkpoint, …).
@@ -210,7 +216,13 @@ def views_as_of(changelog: DataFrame, instants: DataFrame) -> DataFrame:
     indx-led struct ≡ the row_number()=1 row of ``current_view`` (indx is
     globally unique, so the max is the latest change).  Shuffle volume is
     the same rows the per-instant windows would move, but in one stage,
-    one job, one pass over the lineage."""
+    one job, one pass over the lineage.
+
+    ``exact_from`` enforces the compaction bound like ``view_as_of``:
+    any instant below it fails the job via the plan-side assert of
+    ``_guard_as_of``."""
+    if exact_from is not None:
+        instants = _guard_as_of(instants, exact_from)
     payload = [c for c in changelog.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY]
     joined = changelog.join(F.broadcast(instants), F.col("indx") <= F.col("_as_of"))
     winner = joined.groupBy("view_label", *NATURAL_KEY).agg(

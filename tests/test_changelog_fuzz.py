@@ -26,11 +26,16 @@ from eth_event_tracker_spark.store.inmem_store import InMemStore
 # an op is one of:
 #   ("add", n_logs)         one new head block with n logs
 #   ("reorg", depth)        retract up to `depth` head blocks, re-add twins
+#   ("dup",)                replay the head block's adds (at-least-once
+#                           delivery: duplicate adds of LIVE natural keys
+#                           — the case where the time-travel bound must
+#                           be the surviving winner, not the max pruned)
 #   ("compact", frac)       compact at horizon = frac-point of the head
 _OPS = st.lists(
     st.one_of(
         st.tuples(st.just("add"), st.integers(1, 3)),
         st.tuples(st.just("reorg"), st.integers(1, 3)),
+        st.tuples(st.just("dup")),
         st.tuples(st.just("compact"), st.floats(0.0, 1.0)),
     ),
     min_size=1,
@@ -112,6 +117,16 @@ class _Chain:
         self.full.extend(stored)
         self.blocks.append((num, logs))
 
+    def dup(self, entry) -> None:
+        """At-least-once replay: re-append the head block's logs as new
+        'add' rows with the SAME natural keys (fresh indx values)."""
+        if not self.blocks:
+            return
+        _, logs = self.blocks[-1]
+        rows = [{**lg, "change_type": "add"} for lg in logs]
+        stored = entry.store_logs([dict(r) for r in rows])
+        self.full.extend(stored)
+
     def head(self) -> int:
         return self.blocks[-1][0] if self.blocks else 0
 
@@ -123,15 +138,34 @@ def _run(ops, entry_factory, spark, reopen=None):
     for step, op in enumerate(ops):
         if op[0] == "add":
             chain.add(entry, op[1])
+        elif op[0] == "dup":
+            chain.dup(entry)
         elif op[0] == "reorg":
             if chain.blocks:
                 chain.reorg(entry, op[1], hmax)
         else:  # compact
             horizon = int(op[1] * (chain.head() + 1))
+            prev_tt = entry.time_travel_horizon()
             entry.compact_changelog(spark, finalized_below=horizon)
             hmax = max(hmax, horizon)
             if reopen is not None:
                 entry = reopen()
+            # time-travel horizon contract (round 7): monotone, bounded
+            # by the log, and reconstruction at ANY instant at-or-above
+            # it is exact vs the never-compacted model
+            tt = entry.time_travel_horizon()
+            assert prev_tt <= tt <= len(chain.full), f"horizon bounds at step {step}"
+            stored_now = entry.all_logs()
+            n_total = len(chain.full)
+            for t in {tt, (tt + n_total) // 2, n_total}:
+                if t < tt:
+                    continue
+                got = _pview([r for r in stored_now if r["indx"] <= t])
+                want = _pview([r for r in chain.full if r["indx"] <= t])
+                assert got == want, (
+                    f"view_as_of({t}) must be exact at/above horizon {tt} "
+                    f"after step {step}"
+                )
         stored = entry.all_logs()
         assert _pview(stored) == _pview(chain.full), f"live view after step {step}"
         assert _tail(stored, hmax) == _tail(chain.full, hmax), (

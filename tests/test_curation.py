@@ -305,3 +305,21 @@ def test_export_shards_roundtrip_manifest_and_validation(spark, tmp_path):
     m2 = OPE.export_shards(packed, str(out), mode="overwrite")
     assert m2["total_rows"] == manifest["total_rows"]
     assert OPE.validate_shards(spark, str(out))["ok"]
+
+
+def test_export_shards_empty_corpus(spark, tmp_path):
+    """Round-7 review: a fully-filtered corpus must export a valid
+    zero-shard manifest and round-trip (schema carried in the manifest),
+    not crash on schema inference over a data-free directory."""
+    from eth_event_tracker_spark.operators import export as OPE
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, chunk_id long, chunk string, n_words long, shard long, seq_id long"
+    )
+    out = tmp_path / "empty_corpus"
+    manifest = OPE.export_shards(empty, str(out))
+    assert manifest["n_shards"] == 0 and manifest["total_rows"] == 0
+    back = OPE.read_shards(spark, str(out))
+    assert back.count() == 0
+    assert sorted(back.columns) == sorted(empty.columns)
+    assert OPE.validate_shards(spark, str(out)) == {"ok": True, "problems": []}

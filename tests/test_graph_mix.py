@@ -240,3 +240,30 @@ def test_temperature_upsample_repeats_toward_sqrt(spark):
         for r in temperature_upsample(df.repartition(7), stratum_col="lang").collect()
     )
     assert a == b
+
+
+def test_temperature_samplers_keep_null_stratum_rows(spark):
+    """Round-7 review: a NULL stratum is a stratum — the equality join
+    used to silently drop every NULL-lang row from mix AND upsample; an
+    optional mixing stage must never lose rows."""
+    from eth_event_tracker_spark.operators.sampling import (
+        temperature_mix,
+        temperature_upsample,
+    )
+
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, None) for i in range(4)]  # tiny NULL stratum
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    # mix: NULL is the smallest stratum → keep-rate 1.0, all 4 survive
+    kept = temperature_mix(df, stratum_col="lang")
+    null_kept = kept.where(F.col("lang").isNull()).count()
+    assert null_kept == 4, f"NULL-stratum rows must survive mixing, kept {null_kept}"
+
+    # upsample: √(400/4) = 10 exactly → each NULL-lang doc emits 10 copies
+    up = temperature_upsample(df, stratum_col="lang")
+    null_up = up.where(F.col("lang").isNull()).count()
+    assert null_up == 40, f"NULL stratum must upsample like any other, got {null_up}"
+    assert up.where(F.col("lang") == "en").count() == 400  # head stays 1x

@@ -205,6 +205,11 @@ def test_multimodal_null_payload_is_per_row_not_per_batch(spark):
         (2, "image", None),
         (3, "audio", None),
         (4, "video", bytes([0xFE, 0xED, 2, 3]) + b"y" * 250),
+        # short/truncated payloads: missing header bytes are NULL features
+        # (matching JVM substring), never an IndexError killing the batch
+        (5, "image", bytes([0xFE, 0xED])),
+        (6, "audio", b""),
+        (7, "video", bytes([0xFE, 0xED, 7])),
     ]
     assets = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
 
@@ -214,11 +219,14 @@ def test_multimodal_null_payload_is_per_row_not_per_batch(spark):
     by_id = {r.asset_id: r for r in OPM.decode_features(assets).collect()}
     assert by_id[2].byte_len is None and by_id[2].checksum is None
     assert by_id[1].header_magic == "feed"
+    assert by_id[5].fake_width is None and by_id[5].fake_height is None
+    assert by_id[6].header_magic == "" and by_id[6].byte_len == 0
+    assert by_id[7].fake_width is not None and by_id[7].fake_height is None
 
     thumbs = {r.asset_id: r.thumb for r in OPM.resize_stub(assets, 8, 4).collect()}
-    assert set(thumbs) == {1, 2}  # images only, null row included
+    assert set(thumbs) == {1, 2, 5}  # images only, null + short rows included
     assert thumbs[2] is None
-    assert len(thumbs[1]) == 32
+    assert len(thumbs[1]) == 32 and len(thumbs[5]) == 32
 
 
 def test_decode_stub_gated():

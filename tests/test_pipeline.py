@@ -587,6 +587,19 @@ def test_view_as_of_below_compaction_horizon_raises(spark, tmp_path):
         _view_rows(spark, clog)
     )
 
+    # multi-instant form: one below-horizon label poisons the batch
+    from eth_event_tracker_spark.streaming.pipeline import views_as_of
+
+    mixed = spark.createDataFrame(
+        [("ok", int(last)), ("bad", h - 1)], "view_label string, _as_of long"
+    )
+    with pytest.raises(Exception, match="compaction horizon"):
+        views_as_of(clog.df(spark), mixed, exact_from=h).collect()
+    ok_only = spark.createDataFrame([("ok", int(last))], "view_label string, _as_of long")
+    assert views_as_of(clog.df(spark), ok_only, exact_from=h).count() == len(
+        _view_rows(spark, clog)
+    )
+
     # without exact_from the legacy permissive behavior is unchanged
     view_as_of(clog.df(spark), h - 1).collect()
 

@@ -402,3 +402,40 @@ def test_curate_pipeline_scale_10x(spark):
     assert abs(results[REP]["packed"] - REP * results[1]["packed"]) <= max(
         2, 0.02 * REP * results[1]["packed"]
     )
+
+
+@pytest.mark.slow
+def test_export_shards_scales_linearly(spark, tmp_path):
+    """The export sink at 10× corpus volume: chunk+pack+export+manifest
+    costs near-linearly more, per-shard manifest stats stay exact, and
+    the validated reread count matches (the write path must not
+    accumulate per-row driver work)."""
+    from eth_event_tracker_spark.operators.export import export_shards, validate_shards
+    from eth_event_tracker_spark.operators.text import chunk_documents, pack_sequences
+
+    results: dict[int, dict] = {}
+    times: dict[int, float] = {}
+    for rep in (1, REP):
+        docs = _docs_x(spark, rep)
+        packed = pack_sequences(
+            chunk_documents(docs), budget_words=64, n_shards=32
+        ).localCheckpoint()  # materialized: time the export alone
+        out = tmp_path / f"corpus_{rep}x"
+        t0 = time.perf_counter()
+        manifest = export_shards(packed, str(out))
+        times[rep] = time.perf_counter() - t0
+        report = validate_shards(spark, str(out))
+        assert report["ok"], report["problems"]
+        results[rep] = {"rows": manifest["total_rows"], "n_shards": manifest["n_shards"]}
+
+    ratio = times[REP] / max(times[1], 0.5)
+    print(
+        f"# export_shards: 1x {results[1]['rows']} rows {times[1]:.2f}s | "
+        f"10x {results[REP]['rows']} rows {times[REP]:.2f}s (ratio {ratio:.1f}x)",
+        file=sys.stderr,
+    )
+    assert ratio < MAX_RATIO, f"export 10x cost {ratio:.1f}x the 1x time"
+    # replicas are disjoint texts of identical shape: chunk counts scale
+    # exactly; the shard count is the n_shards config, volume-independent
+    assert results[REP]["rows"] == REP * results[1]["rows"]
+    assert results[REP]["n_shards"] == results[1]["n_shards"] == 32

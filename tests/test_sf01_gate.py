@@ -47,15 +47,24 @@ def test_sf01_gate_diff_logic():
 
     base = json.load(open(sf01_gate.BASELINE))
     same = {k: dict(v) for k, v in list(base.items())[:5]}
-    assert sf01_gate.diff_vs_baseline(same) == []
+    assert sf01_gate.diff_vs_baseline(same, full_run=False) == []
     drifted = {k: dict(v) for k, v in same.items()}
     first = next(iter(drifted))
     drifted[first] = {**drifted[first], "rows": drifted[first]["rows"] + 1}
     drifted["brand_new_query"] = {"status": "OK", "rows": 1}
-    problems = sf01_gate.diff_vs_baseline(drifted)
+    problems = sf01_gate.diff_vs_baseline(drifted, full_run=False)
     assert len(problems) == 2
     assert any(first in p for p in problems)
     assert any("brand_new_query" in p for p in problems)
+
+    # a FULL run must also flag baseline queries missing from the run
+    # (deleted registry entry / unparseable verdict line — round-7 review)
+    whole = {k: dict(v) for k, v in base.items()}
+    victim = next(iter(whole))
+    del whole[victim]
+    missing = sf01_gate.diff_vs_baseline(whole, full_run=True)
+    assert len(missing) == 1 and victim in missing[0] and "absent" in missing[0]
+    assert sf01_gate.diff_vs_baseline({k: dict(v) for k, v in base.items()}) == []
 
 
 @pytest.mark.slow

@@ -466,3 +466,38 @@ def test_changelog_roundtrip_and_compaction(make_store, spark):
         for r in view_as_of(clog.df(spark), last - 1, exact_from=h).collect()
     }
     assert got_at_h == want
+
+
+def test_horizon_bound_with_duplicate_adds(make_store, spark):
+    """Round-7 review: when a superseded duplicate 'add' is pruned (at-
+    least-once delivery), the time-travel bound must be the key's
+    SURVIVING winner indx, not the max pruned indx — at the pruned add's
+    indx the full log showed the key live, the compacted log cannot."""
+    from eth_event_tracker_spark.streaming.pipeline import (
+        TimeTravelBelowHorizonError,
+        current_view,
+        view_as_of,
+    )
+
+    clog = make_store().changelog_entry("dup")
+    a = _logs(0x1, 1, 1)  # key A, block 1
+    b = _logs(0x2, 1, 2)  # key B, block 2 (stays live, above horizon)
+    clog.store_logs([{**a[0], "change_type": "add"}])   # indx 0
+    clog.store_logs([{**a[0], "change_type": "add"}])   # indx 1: duplicate
+    clog.store_logs([{**b[0], "change_type": "add"}])   # indx 2
+    import pytest as _pytest
+
+    clog.compact_changelog(spark, finalized_below=2)  # prunes only indx 0
+    kept = {r["indx"] for r in clog.all_logs()}
+    assert kept == {1, 2}, kept
+    # old bound (max pruned) would be 0; the winner bound is 1
+    assert clog.time_travel_horizon() == 1
+    with _pytest.raises(TimeTravelBelowHorizonError):
+        view_as_of(clog.df(spark), 0, exact_from=clog.time_travel_horizon())
+    # at the bound: exact (key A live via the surviving winner)
+    live_at_1 = {
+        (r.block_hash, r.tx_index, r.log_index)
+        for r in view_as_of(clog.df(spark), 1, exact_from=1).collect()
+    }
+    assert live_at_1 == {(a[0]["block_hash"], a[0]["tx_index"], a[0]["log_index"])}
+    assert current_view(clog.df(spark)).count() == 2

@@ -57,8 +57,14 @@ def run_driver_sim(window: int | None = None) -> tuple[int, dict[str, dict], str
     return proc.returncode, results, proc.stdout + proc.stderr[-2000:]
 
 
-def diff_vs_baseline(results: dict[str, dict]) -> list[str]:
-    """Per-query {status, rows} drift vs the committed evidence file."""
+def diff_vs_baseline(results: dict[str, dict], full_run: bool = True) -> list[str]:
+    """Per-query {status, rows} drift vs the committed evidence file.
+
+    ``full_run=True`` also flags baseline queries MISSING from the run —
+    a deleted registry entry or an unparseable verdict line must fail
+    the gate, or the evidence silently shrinks (round-7 review).  A
+    windowed run covers a prefix by construction, so the reverse check
+    is skipped there."""
     if not os.path.exists(BASELINE):
         return [f"missing baseline {BASELINE} — run with --update first"]
     with open(BASELINE) as fh:
@@ -70,6 +76,12 @@ def diff_vs_baseline(results: dict[str, dict]) -> list[str]:
             problems.append(f"{name}: not in baseline (new query? run --update)")
         elif got != want:
             problems.append(f"{name}: {want} -> {got}")
+    if full_run:
+        for name in sorted(set(base) - set(results)):
+            problems.append(
+                f"{name}: in baseline but absent from this run "
+                "(registry entry deleted, or its verdict line failed to parse)"
+            )
     return problems
 
 
@@ -93,7 +105,7 @@ def main(argv: list[str]) -> int:
             fh.write("\n")
         print(f"baseline updated: {len(results)} queries -> {BASELINE}")
         return 0
-    problems = diff_vs_baseline(results)
+    problems = diff_vs_baseline(results, full_run=window is None)
     if problems:
         for p in problems:
             print("DRIFT", p)
