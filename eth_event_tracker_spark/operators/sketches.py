@@ -110,3 +110,56 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count profiles (Apache DataSketches HLL, built into
+# Spark: hll_sketch_agg / hll_union / hll_sketch_estimate).
+#
+# Why next to exact COUNT(DISTINCT): at 100 TB an exact distinct is a
+# full shuffle of every distinct key per group; the HLL profile is a
+# FIXED ~2^lgk-byte register bank per group that (a) aggregates with
+# map-side partials like any other agg (no distinct shuffle), and
+# (b) MERGES by register-max — so per-day / per-shard / per-source
+# profiles roll up without re-reading the data, the same persisted-log
+# pattern the CMS uses for frequencies.  Standard error ≈ 1.04/√2^lgk
+# (~1.6% at the lgk=12 default).
+# ---------------------------------------------------------------------------
+def hll_profile(df: DataFrame, keys: list[str], col: str, lgk: int = 12) -> DataFrame:
+    """Per-group HLL sketch + estimate.  Keeps the ``sketch`` binary so
+    the caller can persist it and union later batches in without the
+    original rows (see hll_merge_profiles)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch")
+    ).select(
+        *keys,
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        "sketch",
+    )
+
+
+def hll_merge_profiles(*profiles: DataFrame, keys: list[str]) -> DataFrame:
+    """Union per-batch profiles into one: register-wise max via
+    hll_union_agg — commutative, associative, and idempotent, so the
+    merge is order-independent and overlapping batches never double
+    count (both pinned exactly in tests), and a persisted profile table
+    updates incrementally: read yesterday's sketches, union today's,
+    write back.  No raw-data re-scan, ever.
+
+    Estimator subtlety (tested, worth knowing): DataSketches HLL keeps a
+    higher-accuracy HIP estimator only for a sketch that saw its stream
+    directly; union falls back to the register-based estimate, so a
+    merged profile's estimate can differ by ~1σ from a single-pass
+    sketch over the concatenated data.  Both stay within the
+    1.04/√2^lgk bound; only the REGISTER state — not the estimate — is
+    what merges losslessly."""
+    out = profiles[0].select(*keys, "sketch")
+    for p in profiles[1:]:
+        out = out.unionByName(p.select(*keys, "sketch"))
+    return out.groupBy(*keys).agg(
+        F.hll_union_agg("sketch").alias("sketch")
+    ).select(
+        *keys,
+        F.hll_sketch_estimate("sketch").alias("n_distinct_est"),
+        "sketch",
+    )

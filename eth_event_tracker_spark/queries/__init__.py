@@ -124,6 +124,9 @@ _POST_WINDOW = (
     "join_null_safe",
     "events_attribution_join",
     "temperature_upsample_langs",
+    # round 7: variant path + bloom-accelerated filter-against
+    "events_variant_extract",
+    "dedup_bloom_filter_against",
 )
 
 

@@ -1161,3 +1161,83 @@ def temperature_upsample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_upsample(docs, stratum_col="lang").select(
         "doc_id", "lang", "source", F.col("repeat_idx").cast("long").alias("repeat_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-accelerated filter-against-corpus (exact). The corpus-extension
+# dedup shape with a CONSTANT-size broadcast: a 128 KB bitmap stands in
+# for the per-key broadcast hash set, the corpus scans once un-shuffled,
+# and an exact verify join on the normalized text removes Bloom false
+# positives and hash collisions alike — so the oracle is the plain
+# NOT EXISTS anti-join and the hash-check is exact, not approximate.
+# Incoming batch: planted copies (doc_id%7=0 → must drop) + novel texts
+# (doc_id%7=1 with a fresh tail → must survive).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_bloom_filter_against",
+    f"""
+WITH inc AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, text || ' fresh tail' AS text
+  FROM documents WHERE doc_id % 7 = 1
+)
+SELECT i.doc_id FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents c
+  WHERE trim(regexp_replace(lower(c.text), '\\s+', ' ', 'g'))
+      = trim(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))
+)
+""",
+    doc="Bloom-prefiltered exact filter-against-corpus: constant-size "
+    "broadcast bitmap + unshuffled corpus probe + exact verify join "
+    "(result independent of bloom parameters)",
+)
+def dedup_bloom_filter_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import bloom as OPB
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    novel = docs.where(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh tail")).alias("text"),
+    )
+    incoming = copies.unionByName(novel)
+    return OPB.bloom_filter_against(docs, incoming).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count profile (rows-only extra: a sketch ESTIMATE can never
+# hash-match an exact SQL oracle — the bound lives in pytest instead:
+# ≤2% rel. error at lgk=12 on 100k-key synthetic data, merge-of-halves
+# bit-equal to whole-data sketch, parquet round-trip + incremental union).
+# The result carries its own evidence: est vs exact side-by-side.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_profile_hll",
+    None,
+    doc="per-event-type distinct-user HLL profile (mergeable sketch + "
+    "estimate vs exact, rows-only extra)",
+)
+def distinct_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as OPK
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = OPK.hll_profile(ev, ["event_type"], "user_id", lgk=12)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return (
+        prof.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_distinct_est").alias("n_users_hll"),
+            "n_users_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_users_exact"))
+                <= 0.02 * F.col("n_users_exact")
+            ).alias("within_2pct"),
+        )
+    )

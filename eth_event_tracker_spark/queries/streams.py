@@ -642,3 +642,53 @@ def events_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view")
     purchases = ev.where(F.col("event_type") == "purchase")
     return stream_stream_attribution(views, purchases, join_type="inner")
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4's open JSON-binary type): ingest
+# arbitrary JSON once with parse_json, then extract typed fields lazily
+# with variant_get.  At 100 TB this is the schema-on-read answer for
+# payloads whose shape drifts over time: the VARIANT encoding is a
+# shredded binary (no per-row re-parse per extracted field), Parquet
+# writes it natively, and extraction stays inside whole-stage codegen —
+# where get_json_object re-parses the string for every path.  The JSON
+# here is built row-side from events columns (nested object + array) so
+# the round-trip parse→typed-extract is exercised end-to-end while the
+# DuckDB oracle computes the same facts from the base columns.
+# ---------------------------------------------------------------------------
+@register(
+    "events_variant_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    doc="VARIANT ingest: parse_json → typed variant_get over nested object "
+    "+ array paths → aggregation (schema-on-read for drifting payloads)",
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.array("user_id", "event_id").alias("ids"),
+        )
+    )
+    flat = ev.select(F.parse_json(payload).alias("var")).select(
+        F.variant_get("var", "$.t", "string").alias("event_type"),
+        F.variant_get("var", "$.v", "double").alias("v"),
+        F.variant_get("var", "$.k", "long").alias("k"),
+        F.variant_get("var", "$.ids[0]", "long").alias("user_id"),
+    )
+    return flat.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("sum_v"),
+        F.sum("k").alias("sum_k"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -18,6 +18,7 @@ DRIVER_WINDOW = 50
 ROWS_ONLY_EXTRAS = {
     "approx_distinct_parts",
     "semantic_dedup_emb",
+    "distinct_profile_hll",
     "embedding_cosine_topk_fast",
     "embedding_ann",
     "embedding_near_dup_lsh",
@@ -80,6 +81,9 @@ POST_WINDOW_ORACLES = (
     "join_null_safe",
     "events_attribution_join",
     "temperature_upsample_langs",
+    # round 7: variant path + bloom-accelerated filter-against
+    "events_variant_extract",
+    "dedup_bloom_filter_against",
 )
 
 
