@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .operators import bloom as OPB
 from .operators import dedup as OPD
 from .operators import text as OPT
 from .operators.sampling import stratified_sample, temperature_upsample
@@ -79,6 +80,7 @@ def curate(
     docs: DataFrame,
     eval_df: DataFrame | None = None,
     *,
+    filter_against: DataFrame | None = None,
     contamination_max: float = 0.2,
     lm_logprob_min: float | None = None,
     jaccard_threshold: float = 0.8,
@@ -98,6 +100,12 @@ def curate(
 ) -> CurationResult:
     """Run the full curation pipeline over ``docs`` (needs doc_id, text;
     ``stratum_col`` only if ``mix_rates`` is given).
+
+    ``filter_against`` enables the corpus-extension admission stage:
+    docs whose normalized text already exists in that (already-curated)
+    corpus are dropped first, via the Bloom-prefiltered exact
+    filter-against (ledger stage ``corpus_extension``, reason
+    ``already_in_corpus``).
 
     ``eval_df`` enables the decontamination stage; ``lm_logprob_min``
     enables the unigram-LM quality filter (docs whose mean token
@@ -126,14 +134,33 @@ def curate(
         raise ValueError(f"keeper must be 'min_id' or 'quality', got {keeper!r}")
     stages: list[str] = []
     ledgers: list[DataFrame] = []
+    cur = docs
+
+    # 0. corpus-extension admission (optional): drop docs whose normalized
+    # text already exists in ``filter_against`` — the already-curated
+    # corpus this batch extends.  First because it is the cheapest drop
+    # (constant-size Bloom broadcast, unshuffled corpus probe, exact
+    # verify join — operators/bloom.py) and because a doc the corpus
+    # already holds must not re-enter regardless of downstream verdicts.
+    if filter_against is not None:
+        stages.append("corpus_extension")
+        admitted = OPB.bloom_filter_against(filter_against, cur)
+        ledgers.append(
+            _ledger(
+                cur.join(admitted.select("doc_id"), "doc_id", "left_anti"),
+                "corpus_extension",
+                F.lit("already_in_corpus"),
+            )
+        )
+        cur = admitted
 
     # 1. quality gate ------------------------------------------------------
     stages.append("quality_gate")
-    verdicts = OPT.quality_verdicts(docs)
+    verdicts = OPT.quality_verdicts(cur)
     ledgers.append(
         _ledger(verdicts.where(F.col("verdict") != "keep"), "quality_gate", F.col("verdict"))
     )
-    cur = docs.join(
+    cur = cur.join(
         verdicts.where(F.col("verdict") == "keep").select("doc_id"), "doc_id", "left_semi"
     )
 

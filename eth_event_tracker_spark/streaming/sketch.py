@@ -1,5 +1,11 @@
-"""Streaming frequency sketching: the count-min sketch as cross-batch
-state, stored as a LOG of per-batch partial sketches.
+"""Streaming sketching: mergeable sketches as cross-batch state, stored
+as a LOG of per-batch partial sketches.  Two codecs share one hardened
+protocol (SketchCodec): CMS partials for frequencies, HLL register banks
+for distinct counts — the build/fold pair is the ONLY sketch-specific
+code; durability, replay watermark, locking, and the compaction swap
+below are written once.  (HLL caveat: the log holds one row per key per
+batch, so the codec is for bounded profile keys — event types, langs,
+shards — not raw IDs; the CMS grid is bounded by construction.)
 
 The CMS's partial-aggregate property (operators/sketches.py) makes the
 exactly-once story simple — each micro-batch writes its OWN d×w partial
@@ -51,12 +57,58 @@ from __future__ import annotations
 import fcntl
 import os
 import shutil
+from collections.abc import Callable
 from contextlib import contextmanager
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import cms_build
+
+
+# ---------------------------------------------------------------------------
+# What makes a sketch LOG-able: a per-batch PARTIAL builder, an
+# associative fold over unioned partials, and the empty merged schema.
+# Everything else in this module — durability markers, replay watermark,
+# ingest lock, compaction swap, crash recovery — is codec-agnostic, so
+# CMS (frequencies) and HLL (distinct counts) share every hardened crash
+# window instead of re-implementing the protocol per sketch.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class SketchCodec:
+    build: Callable[[DataFrame], DataFrame]
+    fold: Callable[[DataFrame], DataFrame]
+    empty_schema: str
+
+
+def cms_codec(key_col: str, d: int = 4, w: int = 1024) -> SketchCodec:
+    """Frequency log: d×w counter partials, fold = cell-wise sum."""
+    return SketchCodec(
+        build=lambda df: cms_build(df, key_col, d=d, w=w),
+        fold=lambda parts: parts.groupBy("row", "col").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        empty_schema="row INT, col BIGINT, cnt BIGINT",
+    )
+
+
+def hll_codec(keys: list[str], col: str, key_schema: str, lgk: int = 12) -> SketchCodec:
+    """Distinct-count log: per-key HLL register banks
+    (operators/sketches.hll_profile rationale), fold = register-wise max
+    union — associative AND idempotent, so a replayed fold can no more
+    change the state than a watermark-skipped replayed append can.
+    ``key_schema`` is the DDL for the key columns (e.g. ``"url string"``)
+    so an empty log reads with the right shape."""
+    return SketchCodec(
+        build=lambda df: df.groupBy(*keys).agg(
+            F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch")
+        ),
+        fold=lambda parts: parts.groupBy(*keys).agg(
+            F.hll_union_agg("sketch").alias("sketch")
+        ),
+        empty_schema=f"{key_schema}, sketch binary",
+    )
 
 _STAGE = "_stage_parts"
 _OLD = "_old_parts"
@@ -164,9 +216,10 @@ def append_partial(
     batch_df: DataFrame,
     batch_id: int,
     path: str,
-    key_col: str,
+    key_col: str | None = None,
     d: int = 4,
     w: int = 1024,
+    codec: SketchCodec | None = None,
 ) -> None:
     """The idempotent per-batch append (foreachBatch body, module-level so
     the crash-window semantics are unit-testable without a stream):
@@ -174,7 +227,12 @@ def append_partial(
     (``_SUCCESS``); a marker-less partial leftover is deleted and
     rewritten.  Serialized against ``compact_sketch`` by the ingest
     lock so the append can neither be swept into ``_old_parts`` nor
-    recreate ``parts/`` mid-swap."""
+    recreate ``parts/`` mid-swap.  ``codec`` selects the sketch (default:
+    CMS on ``key_col``)."""
+    if codec is None:
+        if key_col is None:
+            raise ValueError("append_partial needs key_col (CMS) or codec")
+        codec = cms_codec(key_col, d=d, w=w)
     with _ingest_lock(path):
         _recover(path)
         if batch_id <= _watermark(path):
@@ -184,9 +242,7 @@ def append_partial(
             return
         if os.path.exists(part_dir):  # crash mid-write: partial, rewrite
             shutil.rmtree(part_dir)
-        cms_build(batch_df, key_col, d=d, w=w).write.mode("overwrite").parquet(
-            part_dir
-        )
+        codec.build(batch_df).write.mode("overwrite").parquet(part_dir)
 
 
 def start_sketch_ingest(
@@ -199,12 +255,15 @@ def start_sketch_ingest(
     d: int = 4,
     w: int = 1024,
     available_now: bool = False,
+    codec: SketchCodec | None = None,
 ):
-    """File-stream → per-batch partial CMS appends (exactly-once: see
-    module docstring for the durability + watermark protocol)."""
+    """File-stream → per-batch partial sketch appends (exactly-once: see
+    module docstring for the durability + watermark protocol).  Default
+    codec is CMS on ``key_col``; pass ``codec=hll_codec(...)`` for a
+    distinct-count log over the same protocol."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        append_partial(batch_df, batch_id, path, key_col, d=d, w=w)
+        append_partial(batch_df, batch_id, path, key_col, d=d, w=w, codec=codec)
 
     reader = spark.readStream.schema(schema).parquet(input_dir)
     writer = reader.writeStream.foreachBatch(upsert).option(
@@ -215,7 +274,9 @@ def start_sketch_ingest(
     return writer.start()
 
 
-def read_sketch(spark: SparkSession, path: str) -> DataFrame:
+def read_sketch(
+    spark: SparkSession, path: str, codec: SketchCodec | None = None
+) -> DataFrame:
     """The merged sketch: one groupBy over the DURABLE partial log.
 
     Materialized (localCheckpoint) while the ingest lock is held: the
@@ -223,17 +284,19 @@ def read_sketch(spark: SparkSession, path: str) -> DataFrame:
     lazy plan would re-list the part dirs at action time — after the
     lock is gone, when a concurrent compaction may have swapped them
     away mid-read."""
+    codec = codec or cms_codec("_fold_only_")
     with _ingest_lock(path):
         _recover(path)
         durable = _durable_parts(path)
         if not durable:
-            return spark.createDataFrame([], "row INT, col BIGINT, cnt BIGINT")
-        parts = spark.read.parquet(*durable)
-        merged = parts.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+            return spark.createDataFrame([], codec.empty_schema)
+        merged = codec.fold(spark.read.parquet(*durable))
         return merged.localCheckpoint(eager=True)
 
 
-def compact_sketch(spark: SparkSession, path: str) -> None:
+def compact_sketch(
+    spark: SparkSession, path: str, codec: SketchCodec | None = None
+) -> None:
     """Fold the durable partial log into one part (cell-wise sums are
     associative, so the merged sketch is unchanged — asserted in tests).
 
@@ -246,6 +309,7 @@ def compact_sketch(spark: SparkSession, path: str) -> None:
     landing a batch that the swap would silently sweep away (round-6
     advice, medium); ``_rescue_old`` additionally saves any stranded
     durable batch before the old dir is removed."""
+    codec = codec or cms_codec("_fold_only_")
     with _ingest_lock(path):
         _recover(path)
         durable = _durable_parts(path)
@@ -255,9 +319,7 @@ def compact_sketch(spark: SparkSession, path: str) -> None:
             [_watermark(path)]
             + [int(os.path.basename(p).split("=", 1)[1]) for p in durable]
         )
-        merged = spark.read.parquet(*durable).groupBy("row", "col").agg(
-            F.sum("cnt").alias("cnt")
-        )
+        merged = codec.fold(spark.read.parquet(*durable))
         stage = os.path.join(path, _STAGE)
         if os.path.exists(stage):
             shutil.rmtree(stage)

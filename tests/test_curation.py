@@ -323,3 +323,32 @@ def test_export_shards_empty_corpus(spark, tmp_path):
     assert back.count() == 0
     assert sorted(back.columns) == sorted(empty.columns)
     assert OPE.validate_shards(spark, str(out)) == {"ok": True, "problems": []}
+
+
+def test_curate_corpus_extension_stage(spark, sf_dir):
+    """filter_against drops exactly the docs already in the existing
+    corpus (Bloom-prefiltered exact filter-against), ledgers them as
+    already_in_corpus, and leaves the rest of the pipeline untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 3 == 0)  # the curated corpus
+    # incoming batch: fresh docs + re-crawls of corpus members
+    fresh = docs.where(F.col("doc_id") % 3 == 1)
+    recrawl = existing.withColumn("doc_id", F.col("doc_id") + 500000)
+    incoming = fresh.unionByName(recrawl)
+
+    res = curate(incoming, filter_against=existing)
+    assert res.stages[0] == "corpus_extension"
+
+    dropped_here = {
+        r.doc_id
+        for r in res.dropped.where(F.col("stage") == "corpus_extension").collect()
+    }
+    recrawl_ids = {r.doc_id for r in recrawl.select("doc_id").collect()}
+    assert dropped_here == recrawl_ids  # every re-crawl, only re-crawls
+
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert not kept_ids & recrawl_ids
+    # the admitted fresh docs flow through the normal stages: identical
+    # survivors to running curate on the fresh half alone
+    want = {r.doc_id for r in curate(fresh).kept.select("doc_id").collect()}
+    assert kept_ids == want
