@@ -68,3 +68,129 @@ def table_profile(df: DataFrame, columns: list[str] | None = None, approx: bool 
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise content-overlap matrix between corpus groups (sources,
+    crawls, snapshots): for every group pair, how many distinct word
+    ``shingle_n``-gram shingles they share, each group's distinct-shingle
+    total, and the containment ratio ``n_shared / min(n_a, n_b)`` — the
+    cross-source contamination report a curator reads before deciding
+    which sources need cross-deduplication (whole-document overlap misses
+    near-copies; shingle overlap is what MinHash ultimately measures).
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, containment),
+    source_a < source_b.
+
+    Scale shape (100 TB): shingles are row-local (text.word_shingles),
+    reduced to DISTINCT (group, shingle-hash) with map-side combine —
+    one row per distinct pair, never the token stream.  The pair match
+    is a self-equi-join on the shingle hash: per-hash group sets are
+    bounded by the group count (tens), so the join output is
+    O(distinct shingles × pairs-sharing), no all-pairs blowup; totals
+    are a |groups|-row broadcast."""
+    from .text import word_shingles
+    from ..functions.hashing import hash60
+
+    sh = word_shingles(df, text_col=text_col, n=shingle_n, id_col=id_col)
+    # three consumers (totals + both self-join sides): cut lineage so the
+    # shingle explode + distinct run once
+    gh = (
+        sh.join(df.select(id_col, group_col), id_col)
+        .select(F.col(group_col).alias("g"), hash60(F.col("shingle"), 1).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    totals = gh.groupBy("g").agg(F.count("*").alias("n"))
+    a = gh.select(F.col("g").alias("source_a"), "h")
+    bt = gh.select(F.col("g").alias("source_b"), "h")
+    pairs = (
+        a.join(bt, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (F.col("n_shared").cast("double") / F.least("n_a", "n_b")).alias("containment"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cuts: list[float],
+) -> DataFrame:
+    """Population Stability Index of each group's ``value_col``
+    distribution against the whole corpus, over fixed bucket ``cuts`` —
+    the standard drift monitor a continuously-ingesting pipeline runs
+    per source / per snapshot (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted).  Output: (group_col, psi).
+
+    ``bucket = #cuts <= value`` (row-local fold, the z-order convention);
+    counts are Laplace-smoothed (+1 per bucket) so empty buckets
+    contribute finitely; every (group, bucket) combo is materialized via
+    a |groups| × |buckets| generated frame so a bucket a group never
+    hits still counts against it.
+
+    Scale shape: ONE scan → (group, bucket) counts with map-side
+    combine; everything after operates on |groups| × |buckets| rows.
+    Determinism: ln() sees ratios of exact integers (deterministic IEEE
+    division), per-bucket contributions round to 1e-9-unit integers and
+    sum exactly (the tf_idf/unigram convention) — hash-green vs the SQL
+    twin."""
+    n_buckets = len(cuts) + 1
+    v = F.col(value_col)
+    bucket = sum(
+        (F.when(F.lit(c) <= v, 1).otherwise(0) for c in cuts), F.lit(0)
+    ).alias("bucket")
+
+    # |groups|×|buckets| rows after ONE scan; three consumers (overall,
+    # the group list, the fill join) — cut lineage so the scan runs once
+    counts = (
+        df.select(F.col(group_col).alias("g"), bucket)
+        .groupBy("g", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    overall = counts.groupBy("bucket").agg(F.sum("c").alias("d"))
+    groups = counts.select("g").distinct()
+    grid = groups.crossJoin(
+        df.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    full = (
+        grid.join(counts, ["g", "bucket"], "left")
+        .join(F.broadcast(overall), "bucket", "left")
+        .select("g", "bucket", F.coalesce("c", F.lit(0)).alias("c"), F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    ng = full.groupBy("g").agg(F.sum("c").alias("n_g"))
+    nt = full.select(F.col("bucket"), F.col("d")).distinct().agg(F.sum("d").alias("n_t"))
+    B = F.lit(float(n_buckets))
+    p = (F.col("c") + 1.0) / (F.col("n_g") + B)
+    q = (F.col("d") + 1.0) / (F.col("n_t") + B)
+    contrib = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        full.join(F.broadcast(ng), "g")
+        .crossJoin(F.broadcast(nt))
+        .select("g", contrib.alias("c_e9"))
+        .groupBy("g")
+        .agg((F.sum("c_e9").cast("double") / 1e9).alias("psi"))
+        .withColumnRenamed("g", group_col)
+    )

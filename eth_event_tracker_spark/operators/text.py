@@ -654,3 +654,72 @@ def fuzzy_pairs(
     return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).where(
         F.col("dist") <= max_dist
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 retrieval: the ``top_n`` documents for a bag-of-words
+    query — (id, matched, score).  The standard lexical ranker a corpus
+    pipeline needs next to the embedding ANN tier (and the hard-negative
+    miner for training retrievers): ``idf(t) = ln(1 + (N - df + .5)/(df
+    + .5))`` (Lucene's always-positive form), ``tf`` saturated by ``k1``
+    and length-normalized by ``b`` against the corpus mean length.
+
+    Scale shape (100 TB): doc lengths aggregate from the token stream
+    with map-side combine on the doc-hash partitioning; per-(doc, term)
+    counts are restricted to the query's terms BEFORE the aggregate, so
+    the scored table is O(matching docs × |query|), never the corpus
+    vocabulary; N / total-length / per-term df are broadcast scalars
+    (|query| rows); the final top-n is a TakeOrdered, not a global sort.
+    Nothing Python-side.
+
+    Determinism convention (same as tf_idf/unigram_logprob): ln() sees
+    deterministic IEEE doubles, each per-term contribution rounds to an
+    integer in 1e-6 units, the per-doc sum is exact BIGINT arithmetic,
+    ties break by id — so the result hash-matches the DuckDB oracle
+    bit-for-bit."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    # one token pass feeds both doc lengths and query-term tf: aggregate
+    # to the per-(doc, term) count table once and cut lineage (the tf_idf
+    # convention) instead of exploding the corpus twice
+    tf_all = (
+        toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
+    )
+    dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tfq = tf_all.where(F.col("term").isin(list(query_terms)))
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    tot = dlen.agg(F.sum("dl").cast("double").alias("t"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    frac = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * (F.col("dl") / (F.col("t") / F.col("n_docs"))))
+    )
+    scored = (
+        tfq.join(dlen, id_col)
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), F.round(idf * frac * 1e6).cast("long").alias("c_e6"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("matched"),
+            F.sum("c_e6").alias("s_e6"),
+        )
+        .orderBy(F.desc("s_e6"), id_col)
+        .limit(top_n)
+        .select(id_col, "matched", (F.col("s_e6").cast("double") / 1e6).alias("score"))
+    )

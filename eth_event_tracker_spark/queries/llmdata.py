@@ -1241,3 +1241,117 @@ def distinct_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_2pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators/text.py bm25_topk): the lexical ranker next
+# to the embedding ANN tier.  Bit-portable by the established convention:
+# ln() over deterministic IEEE doubles, per-term contributions rounded to
+# 1e-6-unit integers, per-doc sums exact BIGINT, ties broken by doc_id.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["vector", "stream", "merge"]
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+@register(
+    "bm25_topk_docs",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+        WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tfq GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS t FROM dlen),
+scored AS (
+  SELECT tfq.doc_id,
+    CAST(round(ln(1.0 + (n.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+      * ((tfq.tf * (1.2 + 1.0)) / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlen.dl / (tot.t / n.n_docs)))))
+      * 1e6) AS BIGINT) AS c_e6
+  FROM tfq JOIN dlen USING (doc_id) JOIN dfq USING (term) CROSS JOIN n CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS matched, CAST(SUM(c_e6) AS DOUBLE) / 1e6 AS score
+FROM scored GROUP BY doc_id ORDER BY SUM(c_e6) DESC, doc_id LIMIT 10
+""",
+    doc="Okapi BM25 top-10 for a bag-of-words query: query-term-filtered "
+    "tf table, broadcast df/N/avgdl scalars, TakeOrdered top-n — the "
+    "lexical retrieval tier (and hard-negative miner) beside the ANN ops",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.bm25_topk(docs, _BM25_TERMS, top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle contamination matrix (operators/profile.py
+# source_overlap): which source pairs share content, and how much.
+# ---------------------------------------------------------------------------
+@register(
+    "source_overlap_shingles",
+    f"""
+WITH {_SHINGLES_CTE},
+gh AS (SELECT DISTINCT d.source AS g, {duck_hash60_inline("sh.shingle", "1")} AS h
+       FROM sh JOIN documents d USING (doc_id)),
+t AS (SELECT g, COUNT(*) AS n FROM gh GROUP BY g),
+p AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_shared
+      FROM gh a JOIN gh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       CAST(n_shared AS DOUBLE) / least(ta.n, tb.n) AS containment
+FROM p JOIN t ta ON ta.g = p.source_a JOIN t tb ON tb.g = p.source_b
+""",
+    doc="pairwise cross-source content overlap on distinct 3-gram shingle "
+    "hashes: one self-equi-join on the shingle hash (per-hash group sets "
+    "bounded by |sources|), broadcast totals — the contamination report "
+    "that decides which sources need cross-deduplication",
+)
+def source_overlap_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# PSI drift per source vs the corpus (operators/profile.py psi_drift):
+# the distribution monitor a continuously-ingesting pipeline runs.
+# ---------------------------------------------------------------------------
+_PSI_CUTS = [100.0, 150.0, 200.0, 250.0, 300.0, 350.0]
+_PSI_B = float(len(_PSI_CUTS) + 1)
+
+@register(
+    "drift_psi_sources",
+    f"""
+WITH counts AS (
+  SELECT source AS g, {_duck_bucket("n_chars", _PSI_CUTS)} AS bucket, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+overall AS (SELECT bucket, SUM(c) AS d FROM counts GROUP BY bucket),
+grid AS (SELECT gg.g, b.bucket
+         FROM (SELECT DISTINCT g FROM counts) gg
+         CROSS JOIN (SELECT unnest(generate_series(0, {len(_PSI_CUTS)})) AS bucket) b),
+filled AS (
+  SELECT grid.g, grid.bucket, COALESCE(c, 0) AS c, COALESCE(d, 0) AS d
+  FROM grid LEFT JOIN counts USING (g, bucket) LEFT JOIN overall USING (bucket)
+),
+ng AS (SELECT g, SUM(c) AS n_g FROM filled GROUP BY g),
+nt AS (SELECT SUM(d) AS n_t FROM (SELECT DISTINCT bucket, d FROM filled) u),
+scored AS (
+  SELECT f.g,
+    CAST(round(((f.c + 1.0) / (ng.n_g + {_PSI_B}) - (f.d + 1.0) / (nt.n_t + {_PSI_B}))
+      * ln(((f.c + 1.0) / (ng.n_g + {_PSI_B})) / ((f.d + 1.0) / (nt.n_t + {_PSI_B})))
+      * 1e9) AS BIGINT) AS c_e9
+  FROM filled f JOIN ng USING (g) CROSS JOIN nt
+)
+SELECT g AS source, CAST(SUM(c_e9) AS DOUBLE) / 1e9 AS psi FROM scored GROUP BY g
+""",
+    doc="Population Stability Index of each source's doc-length "
+    "distribution vs the corpus over fixed buckets: one scan to (group, "
+    "bucket) counts, Laplace-smoothed, generated grid so never-hit "
+    "buckets still count — the per-source drift monitor",
+)
+def drift_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_drift(docs, "source", "n_chars", _PSI_CUTS)
