@@ -136,3 +136,85 @@ def bloom_filter_against(
     )
     candidates = bloom_probe(corp, "_h", bitmap, k).select("_norm").distinct()
     return inc.join(candidates, "_norm", "left_anti").drop("_norm", "_h")
+
+
+# ---------------------------------------------------------------------------
+# The Bloom filter as (word, bits) ROWS — the durable/mergeable twin of
+# build_bloom's broadcast bytes.  The byte form above is for shipping to
+# executors (probe a scan in place); the row form is for STATE: it
+# parquet-persists, merges with a plain groupBy(word).bit_or(bits) — an
+# associative AND idempotent fold, so it rides the exactly-once sketch
+# log (streaming/sketch.py bloom_codec) next to CMS and HLL, and unlike
+# HLL its build is EXACTLY deterministic (no merge-tree dependence: OR
+# of per-row word masks commutes bit-for-bit).
+#
+# Everything is JVM-side codegen: xxhash64 → k masked double-hash
+# positions → per-word bit_or.  The position schedule masks the stride
+# to the table width BEFORE the multiply (ANSI-safe: nothing can
+# overflow a BIGINT), which makes it deliberately DIFFERENT from
+# build_bloom's full-width numpy uint64 arithmetic — the two filters are
+# not interchangeable bitmaps.
+# ---------------------------------------------------------------------------
+def bloom_rows(df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """One aggregation pass → the filter as ≤ ``m_bits/64`` rows
+    (word BIGINT, bits BIGINT), bounded by the table width regardless of
+    input size.  NULL keys hash to xxhash64's null value like any other
+    (callers wanting SQL NULL-semantics filter first, as
+    bloom_filter_against does)."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    M = F.lit(m_bits - 1).cast("long")
+    h1 = F.xxhash64(F.col(key_col).cast("string"))
+    base = h1.bitwiseAND(M)
+    stride = (
+        F.shiftrightunsigned(h1, 33).bitwiseXOR(h1).bitwiseAND(M).bitwiseOR(F.lit(1).cast("long"))
+    )
+    pos = (F.col("_b") + F.col("_i") * F.col("_s")).bitwiseAND(M)
+    return (
+        df.select(base.alias("_b"), stride.alias("_s"))
+        .select("_b", "_s", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+        .select(pos.alias("_p"))
+        .select(
+            F.shiftright(F.col("_p"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_rows_member(
+    sketch: DataFrame, keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Membership probe against a row-form filter: (key, maybe_member).
+    ``False`` ⇒ definitely never added (no false negatives, pinned);
+    ``True`` ⇒ added OR a false positive (rate ≈ (1 - e^{-kn/m})^k —
+    callers needing exactness verify-join like bloom_filter_against).
+
+    Scale shape: the sketch is ≤ m/64 rows → broadcast; each distinct
+    key expands to its k (word, mask) probes, one broadcast-join lookup,
+    bool_and per key.  No shuffle of the probed side beyond the final
+    per-key aggregate on the already key-partitioned expansion."""
+    M = F.lit(m_bits - 1).cast("long")
+    h1 = F.xxhash64(F.col(key_col).cast("string"))
+    base = h1.bitwiseAND(M)
+    stride = (
+        F.shiftrightunsigned(h1, 33).bitwiseXOR(h1).bitwiseAND(M).bitwiseOR(F.lit(1).cast("long"))
+    )
+    pos = (F.col("_b") + F.col("_i") * F.col("_s")).bitwiseAND(M)
+    probes = (
+        keys.select(key_col).distinct()
+        .select(F.col(key_col), base.alias("_b"), stride.alias("_s"))
+        .select(key_col, "_b", "_s", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+        .select(key_col, pos.alias("_p"))
+        .select(
+            key_col,
+            F.shiftright(F.col("_p"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").alias("_m"),
+        )
+    )
+    j = probes.join(F.broadcast(sketch), "word", "left")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("_m")) == F.col("_m")
+    )
+    return j.groupBy(key_col).agg(F.bool_and(hit).alias("maybe_member"))

@@ -110,6 +110,26 @@ def hll_codec(keys: list[str], col: str, key_schema: str, lgk: int = 12) -> Sket
         empty_schema=f"{key_schema}, sketch binary",
     )
 
+def bloom_codec(key_col: str, m_bits: int = 1 << 20, k: int = 5) -> SketchCodec:
+    """Membership log: the Bloom filter as (word, bits) rows
+    (operators/bloom.bloom_rows), fold = per-word bit OR — associative
+    and idempotent like HLL's register max, and stronger: the OR of bit
+    masks is EXACTLY build-path-independent (no merge-tree dependence),
+    so stream-accumulated state is bit-identical to a batch build over
+    the union.  ≤ m_bits/64 rows per batch — bounded by the table
+    width, not the data.  Probe the folded state with
+    ``bloom_rows_member`` (no false negatives ever; false positives at
+    the standard (1-e^{-kn/m})^k rate — size m for the expected member
+    count)."""
+    from ..operators.bloom import bloom_rows
+
+    return SketchCodec(
+        build=lambda df: bloom_rows(df, key_col, m_bits=m_bits, k=k),
+        fold=lambda parts: parts.groupBy("word").agg(F.bit_or("bits").alias("bits")),
+        empty_schema="word BIGINT, bits BIGINT",
+    )
+
+
 _STAGE = "_stage_parts"
 _OLD = "_old_parts"
 _COMMIT = "_COMMIT"

@@ -114,3 +114,54 @@ def test_positions_deterministic_and_in_range():
     assert (pos < (1 << 16)).all()
     again = OPB._positions(h, k=5, m_bits=1 << 16)
     assert (pos == again).all()
+
+
+# ---------------------------------------------------------------------------
+# row-form filter (bloom_rows / bloom_rows_member) — the mergeable twin
+# ---------------------------------------------------------------------------
+def _rowset(df):
+    return {(r.word, r.bits) for r in df.collect()}
+
+
+def test_bloom_rows_build_is_exactly_deterministic(spark):
+    """Unlike HLL, the OR of bit masks has no merge-tree dependence: the
+    same keys under any partitioning give bit-identical rows."""
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    a = _rowset(OPB.bloom_rows(keys.repartition(1), "key"))
+    b = _rowset(OPB.bloom_rows(keys.repartition(32), "key"))
+    assert a == b and a
+
+
+def test_bloom_rows_merge_equals_whole(spark):
+    """fold(build(A) ∪ build(B)) == build(A ∪ B), exactly — including a
+    50% overlap (idempotence)."""
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(f"k{i}",) for i in range(lo, hi)], "key string"
+    )
+    pa, pb = OPB.bloom_rows(mk(0, 300), "key"), OPB.bloom_rows(mk(150, 450), "key")
+    folded = pa.unionByName(pb).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    assert _rowset(folded) == _rowset(OPB.bloom_rows(mk(0, 450), "key"))
+
+
+def test_bloom_rows_no_false_negatives_even_tiny(spark):
+    """m = 1024 bits for 500 keys — saturated, useless fp-wise, but a
+    member can never read absent."""
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    sk = OPB.bloom_rows(keys, "key", m_bits=1 << 10)
+    got = OPB.bloom_rows_member(sk, keys, "key", m_bits=1 << 10).collect()
+    assert len(got) == 500 and all(r.maybe_member for r in got)
+
+
+def test_bloom_rows_fp_rate_and_bounded_size(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(1000)], "key string")
+    sk = OPB.bloom_rows(keys, "key")
+    # bounded by the table width: 1000 keys * 5 probes << 2^20/64 words
+    assert sk.count() <= (1 << 20) // 64
+    fresh = spark.createDataFrame([(f"x{i}",) for i in range(1000)], "key string")
+    fps = [
+        r.key
+        for r in OPB.bloom_rows_member(sk, fresh, "key").collect()
+        if r.maybe_member
+    ]
+    # expected fp ≈ (1 - e^{-5*1000/2^20})^5 ~ 1e-12 → zero in practice
+    assert len(fps) <= 2, fps
