@@ -19,7 +19,7 @@ rates (e.g. per language / per source) and the sampler realizes it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -154,4 +154,48 @@ def temperature_upsample(
         .where(F.col("_copies") > 0)
         .withColumn("repeat_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
         .drop("_k", "_copies")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    stratum_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    keep the ``n`` rows with the largest ``u^(1/w)`` lottery keys — each
+    row's inclusion probability is proportional to its weight, with no
+    replacement and ONE pass.  ``stratum_col`` makes it a per-stratum
+    quota (n rows per language/source) instead of a global top-n.  The
+    quality-weighted corpus subsample in one operator: w = quality score
+    (or length, or dedup-cluster size) and the sample follows it.
+
+    Deterministic + engine-portable like every sampler here, which for a
+    WEIGHTED sample needs care: u = (hash60(key)+1) / 2^60 is EXACT
+    (dividing by a power of two only shifts the exponent), so ln(u) sees
+    the bit-identical argument on both engines; the lottery key is
+    compared as round(ln(u)/w · 1e9) — an exact BIGINT — with ties (and
+    the measure-zero chance of a 1-ulp ln() divergence flipping a
+    boundary pair closer than 1e-9) broken by the row key.  Keys ordered
+    by ln(u)/w order exactly as by u^(1/w) (ln is monotone), without
+    pow(), whose cross-engine contract is far weaker than ln's.
+
+    Scale shape: a global sample is a TakeOrdered (no global sort); a
+    per-stratum quota is one window on the stratum partitioning.  Either
+    way the corpus is scanned once and only the winners leave it."""
+    u = (hash60(F.col(key_col).cast("string"), seed) + 1).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    key_e9 = F.round(F.log(u) / F.col(weight_col) * 1e9).cast("long")
+    scored = df.withColumn("_aes", key_e9)
+    if stratum_col is None:
+        return scored.orderBy(F.desc("_aes"), key_col).limit(n).drop("_aes")
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("_aes"), key_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_aes", "_rn")
     )

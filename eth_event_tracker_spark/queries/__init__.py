@@ -127,6 +127,13 @@ _POST_WINDOW = (
     # round 7: variant path + bloom-accelerated filter-against
     "events_variant_extract",
     "dedup_bloom_filter_against",
+    # round 7 continued: corpus analytics + deterministic sketches
+    "bm25_topk_docs",
+    "source_overlap_shingles",
+    "drift_psi_sources",
+    "sample_weighted_aes",
+    "kmv_distinct_users",
+    "kmv_jaccard_event_types",
 )
 
 

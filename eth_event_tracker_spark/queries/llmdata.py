@@ -1355,3 +1355,111 @@ def drift_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return psi_drift(docs, "source", "n_chars", _PSI_CUTS)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (operators/sampling.py
+# weighted_sample): A-ES lottery keys from the portable hash — see the
+# operator docstring for the exactness argument (u is EXACT: dividing
+# by 2^60 only shifts the exponent; the key compares as a rounded
+# BIGINT with id tie-breaks).
+# ---------------------------------------------------------------------------
+_AES_H = duck_hash60_inline("CAST(doc_id AS VARCHAR)", "0")
+
+@register(
+    "sample_weighted_aes",
+    f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(round(ln(CAST({_AES_H} + 1 AS DOUBLE) / 1152921504606846976.0) / n_chars * 1e9) AS BIGINT) AS aes
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY aes DESC, doc_id) AS rn FROM s)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 40
+""",
+    doc="per-language quota of 40 docs sampled WITHOUT replacement with "
+    "probability ∝ length (Efraimidis–Spirakis lottery keys): one scan, "
+    "one window on the stratum partitioning — the quality-weighted "
+    "subsample in one pass",
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, 40, weight_col="n_chars", stratum_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches (operators/sketches.py): distinct counts AND set
+# algebra from the k smallest hash60 values.  Hash-deterministic, so —
+# unlike HLL — the ESTIMATES themselves grade against exact SQL twins.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_H = duck_hash60_inline("CAST(user_id AS VARCHAR)", "0")
+_KMV_SK = f"""
+d AS (SELECT DISTINCT event_type AS g, {_KMV_H} AS h FROM events),
+sk AS (SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d) z
+       WHERE rn <= {_KMV_K})
+"""
+
+@register(
+    "kmv_distinct_users",
+    f"""
+WITH {_KMV_SK}
+SELECT g AS event_type,
+       CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / MAX(h) END AS n_distinct_est
+FROM sk GROUP BY g
+""",
+    doc="per-event-type distinct-user estimate from a KMV bottom-64 "
+    "sketch: one distinct shuffle of (group, hash), then k-row-per-group "
+    "algebra — deterministic by the portable hash, so the ESTIMATE "
+    "hash-matches the exact SQL twin (the contrast with HLL's rows-only "
+    "grading)",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_estimate, kmv_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_profile(ev, ["event_type"], "user_id", k=_KMV_K)
+    return kmv_estimate(sk, ["event_type"], k=_KMV_K).withColumnRenamed(
+        "event_type", "event_type"
+    )
+
+
+@register(
+    "kmv_jaccard_event_types",
+    f"""
+WITH {_KMV_SK},
+gs AS (SELECT DISTINCT g FROM sk),
+p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+uni AS (SELECT DISTINCT ga, gb, h FROM (
+    SELECT p.ga, p.gb, s.h FROM p JOIN sk s ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h FROM p JOIN sk s ON s.g = p.gb) u),
+topk AS (SELECT ga, gb, h FROM (
+    SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni) z
+    WHERE rn <= {_KMV_K}),
+fl AS (SELECT t.ga, t.gb,
+         CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS inboth
+       FROM topk t
+       LEFT JOIN sk a ON a.g = t.ga AND a.h = t.h
+       LEFT JOIN sk b ON b.g = t.gb AND b.h = t.h)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(SUM(inboth) AS DOUBLE) / COUNT(*) AS jaccard_est
+FROM fl GROUP BY ga, gb
+""",
+    doc="pairwise Jaccard between event types' user SETS from the same "
+    "KMV sketches: U = bottom-k of the pair's hash union, J = |U in "
+    "both| / |U| — |groups|²·k work after the sketches, independent of "
+    "the data they summarize; deterministic → exact oracle",
+)
+def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_jaccard, kmv_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_profile(ev, ["event_type"], "user_id", k=_KMV_K)
+    return kmv_jaccard(sk, "event_type", k=_KMV_K)

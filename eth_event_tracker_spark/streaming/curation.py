@@ -110,12 +110,103 @@ def _corpus_exists(spark: SparkSession, corpus_dir: str) -> bool:
     return bool(fs.exists(path))
 
 
+_BLOOM_M = 1 << 20
+_BLOOM_K = 5
+
+
+def _bloom_guard(
+    spark: SparkSession,
+    corpus_dir: str,
+    bloom_log_dir: str,
+    cur: DataFrame,
+    batch_id: int,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Constant-size cross-batch guard: probe the batch's content hashes
+    against the durable corpus Bloom (streaming/sketch.py bloom_codec) —
+    definite-negatives skip the corpus read entirely; positives verify
+    with the exact anti-join pruned to THEIR prefixes only.  At 100 TB
+    this turns the per-batch guard from "hash column of every touched
+    prefix" (hundreds of GB for any decent batch) into "≤ m/64 sketch
+    rows + the true-duplicate prefixes".
+
+    Exactness: positives are always verified, and false negatives are
+    impossible while the log holds a superset of the corpus's hashes —
+    which the WRITE ORDER guarantees: survivors' hashes append to the
+    log BEFORE the corpus write, so a crash between the two leaves
+    hashes whose docs are absent; on replay those rows probe positive,
+    verify against the corpus, find nothing, and are admitted.  (The
+    opposite order would let a crash admit duplicates.)  A replayed
+    batch's log append is skipped by the watermark, and the OR-fold is
+    idempotent even without it."""
+    from ..operators.bloom import bloom_rows_member
+    from .sketch import append_partial, bloom_codec, read_sketch
+
+    codec = bloom_codec("content_hash", m_bits=m_bits, k=k)
+    sketch = read_sketch(spark, bloom_log_dir, codec=codec)
+    if sketch.isEmpty() and _corpus_exists(spark, corpus_dir):
+        raise RuntimeError(
+            f"bloom guard enabled on an existing corpus but the log at "
+            f"{bloom_log_dir} is empty — run seed_bloom_log first (an "
+            "empty log would read every already-curated doc as new)"
+        )
+    member = bloom_rows_member(
+        sketch, cur.select("content_hash"), "content_hash", m_bits=m_bits, k=k
+    )
+    pos_hashes = member.where(F.col("maybe_member")).select("content_hash")
+    positives = cur.join(pos_hashes, "content_hash", "left_semi")
+    negatives = cur.join(pos_hashes, "content_hash", "left_anti")
+    prefixes = [
+        r.hash_prefix for r in positives.select("hash_prefix").distinct().collect()
+    ]
+    if prefixes and _corpus_exists(spark, corpus_dir):
+        existing = (
+            spark.read.schema("content_hash string, hash_prefix string")
+            .parquet(corpus_dir)
+            .where(F.col("hash_prefix").isin(prefixes))
+            .select("hash_prefix", "content_hash")
+        )
+        positives = positives.join(existing, ["hash_prefix", "content_hash"], "left_anti")
+    survivors = negatives.unionByName(positives).localCheckpoint(eager=False)
+    # log append FIRST (crash-window rationale above); the append is the
+    # action that materializes `survivors` for the corpus write after it
+    append_partial(
+        survivors.select("content_hash"), batch_id, bloom_log_dir, codec=codec
+    )
+    return survivors
+
+
+def seed_bloom_log(
+    spark: SparkSession,
+    corpus_dir: str,
+    bloom_log_dir: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> None:
+    """Bootstrap the membership log from an already-curated corpus (one
+    hash-column scan), so the bloom guard can be enabled on a corpus
+    that predates it.  Refuses a non-empty log (seed_sketch)."""
+    from .sketch import bloom_codec, seed_sketch
+
+    corpus = (
+        spark.read.schema("content_hash string, hash_prefix string")
+        .parquet(corpus_dir)
+        .select("content_hash")
+    )
+    seed_sketch(spark, corpus, bloom_log_dir, bloom_codec("content_hash", m_bits=m_bits, k=k))
+
+
 def append_curated(
     spark: SparkSession,
     corpus_dir: str,
     batch_df: DataFrame,
     near_dup_threshold: float | None = None,
     minhash_k: int = 16,
+    bloom_log_dir: str | None = None,
+    batch_id: int | None = None,
+    bloom_m_bits: int = _BLOOM_M,
+    bloom_k: int = _BLOOM_K,
 ) -> None:
     """Cross-batch guard + append: drop rows whose content hash already
     lives in the corpus (prefix-pruned, hash-column-only read), then —
@@ -130,20 +221,29 @@ def append_curated(
     silently degrading to no-dedup and appending duplicates (which would
     break the exactly-once guarantee with no error surfaced)."""
     cur = curate_batch(batch_df)
-    prefixes = [r.hash_prefix for r in cur.select("hash_prefix").distinct().collect()]
-    if not prefixes:
-        return
-    if _corpus_exists(spark, corpus_dir):
-        # explicit schema: no footer-based inference, so an existing-but-
-        # empty corpus reads as zero rows rather than erroring, while a
-        # corrupt data file still fails at scan time (loud, as intended)
-        existing = (
-            spark.read.schema("content_hash string, hash_prefix string")
-            .parquet(corpus_dir)
-            .where(F.col("hash_prefix").isin(prefixes))
-            .select("hash_prefix", "content_hash")
+    if bloom_log_dir is not None:
+        if batch_id is None:
+            raise ValueError("bloom_log_dir requires batch_id (the log's replay watermark)")
+        # cur feeds the probe, the anti-join split, and the writes: one eval
+        cur = _bloom_guard(
+            spark, corpus_dir, bloom_log_dir, cur.localCheckpoint(eager=False),
+            batch_id, bloom_m_bits, bloom_k,
         )
-        cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
+    else:
+        prefixes = [r.hash_prefix for r in cur.select("hash_prefix").distinct().collect()]
+        if not prefixes:
+            return
+        if _corpus_exists(spark, corpus_dir):
+            # explicit schema: no footer-based inference, so an existing-
+            # but-empty corpus reads as zero rows rather than erroring,
+            # while a corrupt data file still fails at scan time (loud)
+            existing = (
+                spark.read.schema("content_hash string, hash_prefix string")
+                .parquet(corpus_dir)
+                .where(F.col("hash_prefix").isin(prefixes))
+                .select("hash_prefix", "content_hash")
+            )
+            cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
     if near_dup_threshold is None:
         cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
         return
@@ -211,10 +311,14 @@ def start_corpus_ingest(
     available_now: bool = False,
     near_dup_threshold: float | None = None,
     minhash_k: int = 16,
+    bloom_log_dir: str | None = None,
 ):
     """Streaming query: parquet file drops in ``input_dir`` → curated
     append-only corpus in ``corpus_dir``.  ``near_dup_threshold`` turns
-    on incremental near-dup admission (see module docstring)."""
+    on incremental near-dup admission; ``bloom_log_dir`` switches the
+    cross-batch exact guard to the constant-size Bloom-prefiltered form
+    (``_bloom_guard`` — same admitted set, corpus read only for the
+    bloom-positive prefixes)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -224,6 +328,8 @@ def start_corpus_ingest(
             batch_df,
             near_dup_threshold=near_dup_threshold,
             minhash_k=minhash_k,
+            bloom_log_dir=bloom_log_dir,
+            batch_id=batch_id,
         )
 
     writer = stream.writeStream.foreachBatch(ingest).option(

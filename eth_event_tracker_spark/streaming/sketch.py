@@ -265,6 +265,26 @@ def append_partial(
         codec.build(batch_df).write.mode("overwrite").parquet(part_dir)
 
 
+def seed_sketch(spark: SparkSession, df: DataFrame, path: str, codec: SketchCodec) -> None:
+    """Bootstrap a sketch log from EXISTING data — e.g. build the corpus
+    membership Bloom from an already-curated corpus before enabling the
+    streaming guard (streaming/curation.py).  Writes the folded sketch
+    into the compacted slot (``parts/batch=-1``) of an EMPTY log: batch
+    ids 0.. stay free for the stream, the watermark stays untouched, and
+    a later compaction folds the seed like any durable part.  Refuses a
+    non-empty log (a seed ORed into live state could mask real history);
+    a crash mid-seed leaves a marker-less part that is rewritten on
+    retry like any append."""
+    with _ingest_lock(path):
+        _recover(path)
+        if _durable_parts(path) or _watermark(path) != -2:
+            raise ValueError(f"seed_sketch requires an empty log at {path}")
+        part_dir = os.path.join(path, "parts", "batch=-1")
+        if os.path.exists(part_dir):  # crash mid-seed: rewrite
+            shutil.rmtree(part_dir)
+        codec.build(df).write.mode("overwrite").parquet(part_dir)
+
+
 def start_sketch_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -1419,3 +1419,31 @@ def test_fuzzy_pairs_fuzz_vs_model(names, d, spark):
     df = spark.createDataFrame([(n,) for n in names], "name string")
     got = {(r.s_a, r.s_b, r.dist) for r in fuzzy_pairs(df, "name", max_dist=d).collect()}
     assert got == want
+
+
+def test_weighted_sample_follows_weights_and_is_stable(spark):
+    """A-ES without replacement: rows with 9× the weight dominate the
+    sample ∝ weight; the winner set is identical under repartitioning
+    (hash lottery, not RNG); the global path returns exactly n rows."""
+    from eth_event_tracker_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 9.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 200, "w")
+    ids = {r.doc_id for r in got.collect()}
+    assert len(ids) == 200
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # expected heavy share = 9/10 before depletion; loose bound
+    assert heavy > 150, heavy
+    ids2 = {r.doc_id for r in weighted_sample(df.repartition(32), 200, "w").collect()}
+    assert ids2 == ids
+
+
+def test_weighted_sample_per_stratum_quota(spark):
+    from eth_event_tracker_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i < 300 else "b", 1.0 + (i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample(df, 50, "w", stratum_col="g").groupBy("g").count().collect()
+    cnt = {r.g: r["count"] for r in out}
+    assert cnt == {"a": 50, "b": 50}

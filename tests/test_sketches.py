@@ -657,3 +657,65 @@ def test_sketch_compaction_during_live_ingest(spark, tmp_path):
     want = {(r.row, r.col): r.cnt for r in cms_build(whole, "key", d=3, w=64).collect()}
     got = {(r.row, r.col): r.cnt for r in read_sketch(spark, str(tmp_path / "sk")).collect()}
     assert got == want, "concurrent compaction must lose/double nothing"
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches
+# ---------------------------------------------------------------------------
+def test_kmv_estimate_accuracy_and_exact_below_k(spark):
+    from eth_event_tracker_spark.operators.sketches import kmv_estimate, kmv_profile
+
+    rows = [(i % 3, f"u{i}") for i in range(30000)]  # g0/g1/g2 ~10k distinct each
+    df = spark.createDataFrame(rows, "g int, item string")
+    est = {
+        r.g: r.n_distinct_est
+        for r in kmv_estimate(kmv_profile(df, ["g"], "item", k=256), ["g"], k=256).collect()
+    }
+    for g, true_n in ((0, 10000), (1, 10000), (2, 10000)):
+        assert abs(est[g] - true_n) <= 0.2 * true_n, (g, est[g])
+    # below k: exact
+    small = spark.createDataFrame([(0, f"u{i}") for i in range(40)], "g int, item string")
+    out = kmv_estimate(kmv_profile(small, ["g"], "item", k=256), ["g"], k=256).collect()
+    assert out[0].n_distinct_est == 40.0
+
+
+def test_kmv_merge_equals_profile_of_union_exactly(spark):
+    """bottom-k(bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) — the KMV
+    merge is lossless and, being hash-deterministic, pins EXACTLY."""
+    from eth_event_tracker_spark.operators.sketches import kmv_merge, kmv_profile
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(0, f"u{i}") for i in range(lo, hi)], "g int, item string"
+    )
+    pa = kmv_profile(mk(0, 3000), ["g"], "item", k=128)
+    pb = kmv_profile(mk(1500, 4500), ["g"], "item", k=128)  # 50% overlap
+    merged = {r.h for r in kmv_merge(pa, pb, keys=["g"], k=128).collect()}
+    whole = {r.h for r in kmv_profile(mk(0, 4500), ["g"], "item", k=128).collect()}
+    assert merged == whole and len(merged) == 128
+
+
+def test_kmv_jaccard_planted_overlap(spark):
+    from eth_event_tracker_spark.operators.sketches import kmv_jaccard, kmv_profile
+
+    # A = 0..2000, B = 1000..3000 → J = 1000/3000 = 1/3; C disjoint
+    rows = (
+        [("A", f"u{i}") for i in range(0, 2000)]
+        + [("B", f"u{i}") for i in range(1000, 3000)]
+        + [("C", f"x{i}") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=256)
+    j = {(r.group_a, r.group_b): r.jaccard_est for r in kmv_jaccard(sk, "g", k=256).collect()}
+    assert abs(j[("A", "B")] - 1 / 3) <= 0.12, j
+    assert j[("A", "C")] == 0.0 and j[("B", "C")] == 0.0
+
+
+def test_kmv_jaccard_exact_when_groups_fit_in_k(spark):
+    from eth_event_tracker_spark.operators.sketches import kmv_jaccard, kmv_profile
+
+    rows = [("A", f"u{i}") for i in range(30)] + [("B", f"u{i}") for i in range(15, 45)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=256)
+    out = kmv_jaccard(sk, "g", k=256).collect()
+    # |A∪B| = 45, |A∩B| = 15 → exactly 1/3
+    assert len(out) == 1 and out[0].jaccard_est == 15 / 45
