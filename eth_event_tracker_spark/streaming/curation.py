@@ -145,7 +145,9 @@ def _bloom_guard(
 
     codec = bloom_codec("content_hash", m_bits=m_bits, k=k)
     sketch = read_sketch(spark, bloom_log_dir, codec=codec)
-    if sketch.isEmpty() and _corpus_exists(spark, corpus_dir):
+    # order matters: the fs probe is free, isEmpty is a Spark job — only
+    # pay it when the corpus actually exists
+    if _corpus_exists(spark, corpus_dir) and sketch.isEmpty():
         raise RuntimeError(
             f"bloom guard enabled on an existing corpus but the log at "
             f"{bloom_log_dir} is empty — run seed_bloom_log first (an "
@@ -154,7 +156,13 @@ def _bloom_guard(
     member = bloom_rows_member(
         sketch, cur.select("content_hash"), "content_hash", m_bits=m_bits, k=k
     )
-    pos_hashes = member.where(F.col("maybe_member")).select("content_hash")
+    # consumed by the semi AND anti splits: cut lineage so the probe job
+    # runs once, not once per side
+    pos_hashes = (
+        member.where(F.col("maybe_member"))
+        .select("content_hash")
+        .localCheckpoint(eager=False)
+    )
     positives = cur.join(pos_hashes, "content_hash", "left_semi")
     negatives = cur.join(pos_hashes, "content_hash", "left_anti")
     prefixes = [

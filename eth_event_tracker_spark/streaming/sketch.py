@@ -130,6 +130,24 @@ def bloom_codec(key_col: str, m_bits: int = 1 << 20, k: int = 5) -> SketchCodec:
     )
 
 
+def kmv_codec(keys: list[str], col: str, key_schema: str, k: int = 256) -> SketchCodec:
+    """Bottom-k (KMV) log: per-key k-minimum-hash sketches
+    (operators/sketches.kmv_profile) — distinct-count estimates, SET
+    algebra (Jaccard between groups, across logs), and a uniform
+    distinct-item sample, all from one durable state.  Fold = bottom-k
+    of the unioned partials — associative and idempotent (set union +
+    truncation), and hash-DETERMINISTIC, so unlike HLL the stream state
+    pins bit-identical to a batch build over the union.  State is ≤ k
+    rows per key; like the HLL codec this is for bounded profile keys."""
+    from ..operators.sketches import kmv_merge, kmv_profile
+
+    return SketchCodec(
+        build=lambda df: kmv_profile(df, keys, col, k=k),
+        fold=lambda parts: kmv_merge(parts, keys=keys, k=k),
+        empty_schema=f"{key_schema}, h bigint",
+    )
+
+
 _STAGE = "_stage_parts"
 _OLD = "_old_parts"
 _COMMIT = "_COMMIT"

@@ -153,3 +153,68 @@ def test_append_requires_key_or_codec(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "event_id long, key string")
     with pytest.raises(ValueError):
         append_partial(df, 0, str(tmp_path / "sk"))
+
+
+# ---------------------------------------------------------------------------
+# KMV codec — deterministic, so (unlike HLL above) EVERY pin is exact
+# ---------------------------------------------------------------------------
+def test_kmv_stream_equals_batch_profile_exactly(spark, tmp_path):
+    from eth_event_tracker_spark.operators.sketches import kmv_estimate, kmv_profile
+    from eth_event_tracker_spark.streaming.sketch import compact_sketch, kmv_codec
+
+    codec = kmv_codec(["key"], "event_id", "key string", k=64)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    batches = [
+        [(i, f"k{i % 3}") for i in range(0, 400)],
+        [(i, f"k{i % 3}") for i in range(200, 900)],
+        [(i, f"k{i % 5}") for i in range(900, 1500)],
+    ]
+    all_rows = []
+
+    def run():
+        q = start_sketch_ingest(
+            spark, str(inp), None, str(tmp_path / "sk"), str(tmp_path / "ckpt"),
+            schema="event_id long, key string", available_now=True, codec=codec,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    for bi, rows in enumerate(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "key": pa.array([r[1] for r in rows], pa.string()),
+            }),
+            str(inp / f"b{bi}.parquet"),
+        )
+        all_rows += rows
+        run()
+
+    whole = spark.createDataFrame(all_rows, "event_id long, key string")
+    want = {(r.key, r.h) for r in kmv_profile(whole, ["key"], "event_id", k=64).collect()}
+    state = lambda: {
+        (r.key, r.h) for r in read_sketch(spark, str(tmp_path / "sk"), codec=codec).collect()
+    }
+    assert state() == want  # EXACT: bottom-k of union is deterministic
+
+    run()  # replay: no-op
+    assert state() == want
+    compact_sketch(spark, str(tmp_path / "sk"), codec=codec)
+    assert state() == want
+
+    # and the estimates ride along: union truth within 1/sqrt(k-2)
+    est = {
+        r.key: r.n_distinct_est
+        for r in kmv_estimate(
+            read_sketch(spark, str(tmp_path / "sk"), codec=codec), ["key"], k=64
+        ).collect()
+    }
+    truth = {}
+    for eid, kk in all_rows:
+        truth.setdefault(kk, set()).add(eid)
+    for kk, ids in truth.items():
+        assert abs(est[kk] - len(ids)) <= max(3, 0.45 * len(ids)), (kk, est[kk], len(ids))
