@@ -86,7 +86,9 @@ def source_overlap(
     near-copies; shingle overlap is what MinHash ultimately measures).
 
     Output: (source_a, source_b, n_shared, n_a, n_b, containment),
-    source_a < source_b.
+    source_a < source_b.  A NULL group cannot be ordered against the
+    others and is deliberately absent from the pair matrix (drift for a
+    NULL group is still reported by psi_drift, which is null-safe).
 
     Scale shape (100 TB): shingles are row-local (text.word_shingles),
     reduced to DISTINCT (group, shingle-hash) with map-side combine —
@@ -175,10 +177,21 @@ def psi_drift(
     grid = groups.crossJoin(
         df.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )
+    # NULL-safe group joins throughout (same rationale as the
+    # temperature samplers): a NULL group must drift-check like any
+    # other, not silently lose its counts to NULL != NULL
+    cts = counts.select(
+        F.col("g").alias("_cg"), F.col("bucket").alias("_cb"), "c"
+    )
     full = (
-        grid.join(counts, ["g", "bucket"], "left")
+        grid.join(
+            cts,
+            grid["g"].eqNullSafe(F.col("_cg")) & (grid["bucket"] == F.col("_cb")),
+            "left",
+        )
+        .select(grid["g"], grid["bucket"], F.coalesce("c", F.lit(0)).alias("c"))
         .join(F.broadcast(overall), "bucket", "left")
-        .select("g", "bucket", F.coalesce("c", F.lit(0)).alias("c"), F.coalesce("d", F.lit(0)).alias("d"))
+        .select("g", "bucket", "c", F.coalesce("d", F.lit(0)).alias("d"))
     )
     ng = full.groupBy("g").agg(F.sum("c").alias("n_g"))
     nt = full.select(F.col("bucket"), F.col("d")).distinct().agg(F.sum("d").alias("n_t"))
@@ -187,9 +200,12 @@ def psi_drift(
     q = (F.col("d") + 1.0) / (F.col("n_t") + B)
     contrib = F.round((p - q) * F.log(p / q) * 1e9).cast("long")
     return (
-        full.join(F.broadcast(ng), "g")
+        full.join(
+            F.broadcast(ng.select(F.col("g").alias("_ng_g"), "n_g")),
+            full["g"].eqNullSafe(F.col("_ng_g")),
+        )
         .crossJoin(F.broadcast(nt))
-        .select("g", contrib.alias("c_e9"))
+        .select(full["g"], contrib.alias("c_e9"))
         .groupBy("g")
         .agg((F.sum("c_e9").cast("double") / 1e9).alias("psi"))
         .withColumnRenamed("g", group_col)

@@ -148,3 +148,17 @@ def test_drift_psi_sources_registry_shape(spark, sf_dir):
     assert len(out) == 20
     # uniform synthetic sources: none should look "shifted"
     assert all(r.psi >= 0.0 for r in out)
+
+
+def test_psi_null_group_drifts_like_any_other(spark):
+    """A NULL group must keep its counts through the grid fill (null-safe
+    joins — the temperature-sampler rationale): same distribution as a
+    named group ⇒ same psi."""
+    rows = (
+        [(None, 10.0), (None, 90.0)] * 25
+        + [("named", 10.0), ("named", 90.0)] * 25
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    psi = {r.g: r.psi for r in psi_drift(df, "g", "v", [50.0]).collect()}
+    assert set(psi) == {None, "named"}
+    assert psi[None] == psi["named"] == 0.0
