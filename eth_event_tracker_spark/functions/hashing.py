@@ -56,3 +56,15 @@ def le_uint_from_hex(col: Column, n_bytes: int) -> Column:
     assert n_bytes <= 7
     rev = F.concat(*[F.substring(col, 2 * i + 1, 2) for i in reversed(range(n_bytes))])
     return F.conv(rev, 16, 10).cast("long")
+
+
+def hash60_py(value: str, seed: int | str) -> int:
+    """Driver-side twin of :func:`hash60` — the SAME digest, for the few
+    places the driver must compute a row's hash without a Spark job
+    (e.g. mapping query terms to their inverted-index partition buckets,
+    operators/retrieval.py).  Pinned equal to the Spark expression in
+    tests."""
+    import hashlib
+
+    h = hashlib.sha256(f"{seed}:{value}".encode()).hexdigest()[:15]
+    return int(h, 16)

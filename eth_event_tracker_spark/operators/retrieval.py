@@ -1,0 +1,133 @@
+"""Persisted inverted index + index-backed BM25 — retrieval as a TABLE,
+not a per-query corpus scan.
+
+``bm25_topk`` (operators/text.py) tokenizes the whole corpus per query;
+right for ad-hoc use, wrong for a query WORKLOAD.  The index flips the
+cost: one corpus pass at build time materializes
+
+  ``<path>/postings``   (term, doc_id, tf), hive-partitioned by
+                        ``pbucket = hash60(term) % n_buckets`` — a query
+                        reads ONLY its terms' buckets (partition pruning,
+                        plan-asserted in tests) and filters to its terms
+                        inside them (parquet predicate pushdown);
+  ``<path>/docstats``   (doc_id, dl) for EVERY doc — token-less docs get
+                        dl = 0, so corpus-level stats (N, total length)
+                        derived from this table equal the scan path's.
+
+Global BM25 stats (N, avgdl, per-term df) are computed at query time —
+docstats is one tiny aggregate and df comes from the already-pruned
+postings — so INCREMENTAL index maintenance is plain appends
+(``append_text_index``): no stored statistic goes stale.
+
+The scoring tail is text.bm25_rank — the SAME code object the scan path
+uses — so ``bm25_query(index) == bm25_topk(corpus)`` bit-for-bit (pinned
+in tests, including after an incremental append).
+
+The term→bucket map must be computable on the DRIVER (to prune before
+any job runs): ``hash60_py`` is the pinned Python twin of the hash60
+SQL/Spark expression.
+
+100 TB shape: build is the one token shuffle every BM25 needs anyway;
+a query touches |query| buckets ≈ corpus/n_buckets bytes each, joins
+docstats on the doc key, and TakeOrders the top-n.  At real scale
+n_buckets grows with the corpus (buckets ≈ a few GB each) and postings
+within a bucket are additionally sorted by term at write
+(``sortWithinPartitions``) so parquet row-group min/max statistics prune
+inside the bucket too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_py
+from .text import bm25_rank, words
+
+_TERM_SEED = 7  # index bucket seed — any fixed value, shared by build + query
+
+
+def _tf_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def _write(df: DataFrame, tf_all: DataFrame, path: str, id_col: str, n_buckets: int, mode: str) -> None:
+    postings = tf_all.withColumn(
+        "pbucket", (hash60(F.col("term"), _TERM_SEED) % n_buckets).cast("int")
+    )
+    (
+        postings.repartition("pbucket")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .partitionBy("pbucket")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    docstats = (
+        df.select(id_col)
+        .join(dlen, id_col, "left")
+        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+    )
+    docstats.write.mode(mode).parquet(path.rstrip("/") + "/docstats")
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """One corpus pass → the postings + docstats tables (overwrite)."""
+    tf_all = _tf_table(df, text_col, id_col).localCheckpoint(eager=False)
+    _write(df, tf_all, path, id_col, n_buckets, "overwrite")
+
+
+def append_text_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Incremental maintenance: index NEW docs (ids must be previously
+    unseen — the caller's admission pipeline guarantees that; a re-added
+    id would double count its postings).  ``n_buckets`` must match the
+    build.  Postings/docstats appends land as new files in the same
+    bucket directories; no existing file is touched and no stored
+    statistic exists to go stale (module docstring)."""
+    tf_all = _tf_table(df, text_col, id_col).localCheckpoint(eager=False)
+    _write(df, tf_all, path, id_col, n_buckets, "append")
+
+
+def bm25_query(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Index-backed BM25: reads only the query terms' partition buckets,
+    scores with the scan path's own bm25_rank — results bit-identical to
+    ``bm25_topk`` over the indexed corpus."""
+    buckets = sorted({hash60_py(t, _TERM_SEED) % n_buckets for t in query_terms})
+    postings = (
+        spark.read.parquet(path.rstrip("/") + "/postings")
+        .where(F.col("pbucket").isin(buckets))
+        .where(F.col("term").isin(list(query_terms)))
+        .select(id_col, "term", "tf")
+    )
+    docstats = spark.read.parquet(path.rstrip("/") + "/docstats")
+    n = docstats.agg(F.count("*").alias("n_docs"))
+    tot = docstats.agg(F.sum("dl").cast("double").alias("t"))
+    dlen = docstats.select(id_col, "dl")
+    return bm25_rank(postings, dlen, n, tot, id_col=id_col, k1=k1, b=b, top_n=top_n)

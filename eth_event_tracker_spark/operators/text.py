@@ -699,9 +699,28 @@ def bm25_topk(
     )
     dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     tfq = tf_all.where(F.col("term").isin(list(query_terms)))
-    dfq = tfq.groupBy("term").agg(F.count("*").alias("df_t"))
     n = df.agg(F.count("*").alias("n_docs"))
     tot = dlen.agg(F.sum("dl").cast("double").alias("t"))
+    return bm25_rank(tfq, dlen, n, tot, id_col=id_col, k1=k1, b=b, top_n=top_n)
+
+
+def bm25_rank(
+    tfq: DataFrame,
+    dlen: DataFrame,
+    n: DataFrame,
+    tot: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the scan path (bm25_topk) and the
+    inverted-index path (operators/retrieval.bm25_query) — ONE arithmetic
+    definition, so the two paths are bit-identical by construction.
+    Inputs: ``tfq`` (id, term, tf) for the query's terms, ``dlen``
+    (id, dl), ``n`` (n_docs), ``tot`` (t = total corpus length as
+    DOUBLE)."""
+    dfq = tfq.groupBy("term").agg(F.count("*").alias("df_t"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
     frac = (F.col("tf") * (F.lit(k1) + 1.0)) / (
         F.col("tf") + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * (F.col("dl") / (F.col("t") / F.col("n_docs"))))

@@ -1,0 +1,79 @@
+"""Inverted index + index-backed BM25 (operators/retrieval.py): the
+query path must be BIT-IDENTICAL to the scan path (they share
+text.bm25_rank), reads must prune to the query terms' partition buckets,
+and incremental appends must keep the equality — no stored statistic to
+go stale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eth_event_tracker_spark.functions.hashing import hash60, hash60_py
+from eth_event_tracker_spark.operators.retrieval import (
+    _TERM_SEED,
+    append_text_index,
+    bm25_query,
+    build_text_index,
+)
+from eth_event_tracker_spark.operators.text import bm25_topk
+from eth_event_tracker_spark.tables import load_table
+
+TERMS = ["vector", "stream", "merge"]
+
+
+def _rows(df):
+    return sorted((r.doc_id, r.matched, r.score) for r in df.collect())
+
+
+def test_hash60_py_matches_spark(spark):
+    vals = ["vector", "stream", "", "naïve-ünicode", "a b c"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", hash60(F.col("s"), _TERM_SEED).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == hash60_py(v, _TERM_SEED), v
+
+
+def test_index_query_equals_scan_exactly(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    build_text_index(docs, str(tmp_path / "idx"))
+    got = _rows(bm25_query(spark, str(tmp_path / "idx"), TERMS))
+    want = _rows(bm25_topk(docs, TERMS))
+    assert got == want and len(got) == 10
+
+
+def test_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    build_text_index(docs, str(tmp_path / "idx"))
+    df = bm25_query(spark, str(tmp_path / "idx"), TERMS)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and any("pbucket" in l for l in scan), plan[:1500]
+    # and the term filter reaches the parquet reader
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_incremental_append_keeps_equality(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    build_text_index(old, str(tmp_path / "idx"))
+    append_text_index(new, str(tmp_path / "idx"))
+    got = _rows(bm25_query(spark, str(tmp_path / "idx"), TERMS))
+    want = _rows(bm25_topk(docs, TERMS))
+    assert got == want
+
+
+def test_docstats_counts_tokenless_docs(spark, tmp_path):
+    """A doc with no tokens still counts toward N (the scan path counts
+    every row of the corpus) — dl = 0 in docstats."""
+    rows = [(0, "alpha beta alpha"), (1, ""), (2, "alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_text_index(docs, str(tmp_path / "idx"))
+    stats = {r.doc_id: r.dl for r in spark.read.parquet(str(tmp_path / "idx/docstats")).collect()}
+    assert stats == {0: 3, 1: 0, 2: 1}
+    assert _rows(bm25_query(spark, str(tmp_path / "idx"), ["alpha"])) == _rows(
+        bm25_topk(docs, ["alpha"])
+    )
