@@ -131,3 +131,71 @@ def bm25_query(
     tot = docstats.agg(F.sum("dl").cast("double").alias("t"))
     dlen = docstats.select(id_col, "dl")
     return bm25_rank(postings, dlen, n, tot, id_col=id_col, k1=k1, b=b, top_n=top_n)
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 for a query WORKLOAD: ``queries`` is the exploded
+    (query_id, term) table; ONE corpus token pass scores every query —
+    (query_id, doc_id, matched, rank, score), rank per query.
+
+    ``exclude`` — (query_id, doc_id) pairs dropped BEFORE ranking — turns
+    this into the hard-negative miner for retriever training: pass the
+    known positives and the result is each query's top-n highest-scoring
+    NON-positives, ranks contiguous from 1.
+
+    Scale shape: the corpus tf table is restricted to the workload's
+    term set before anything fans out; the query fan-out is a broadcast
+    join (workloads are small by contract — thousands of terms, not
+    corpus-scale); per-term df is computed once for the workload, not
+    per query; ranking is one window on the query partitioning.  Same
+    bit-portability convention as bm25_topk (shared arithmetic shape,
+    graded against the SQL twin)."""
+    from pyspark.sql import Window
+
+    q = queries.select("query_id", "term").distinct().localCheckpoint(eager=False)
+    tf_all = _tf_table(df, text_col, id_col).localCheckpoint(eager=False)
+    dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tft = tf_all.join(F.broadcast(q.select("term").distinct()), "term")
+    dfq = tft.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    tot = dlen.agg(F.sum("dl").cast("double").alias("t"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    frac = (F.col("tf") * (F.lit(k1) + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * (F.col("dl") / (F.col("t") / F.col("n_docs"))))
+    )
+    scored = (
+        tft.join(F.broadcast(q), "term")
+        .join(dlen, id_col)
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", F.col(id_col), F.round(idf * frac * 1e6).cast("long").alias("c_e6"))
+    )
+    perdoc = scored.groupBy("query_id", id_col).agg(
+        F.count("*").alias("matched"), F.sum("c_e6").alias("s_e6")
+    )
+    if exclude is not None:
+        perdoc = perdoc.join(
+            exclude.select("query_id", id_col), ["query_id", id_col], "left_anti"
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_e6"), id_col)
+    return (
+        perdoc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "query_id",
+            id_col,
+            "matched",
+            "rank",
+            (F.col("s_e6").cast("double") / 1e6).alias("score"),
+        )
+    )

@@ -134,6 +134,7 @@ _POST_WINDOW = (
     "sample_weighted_aes",
     "kmv_distinct_users",
     "kmv_jaccard_event_types",
+    "bm25_batch_queries",
 )
 
 

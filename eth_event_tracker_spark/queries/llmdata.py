@@ -1463,3 +1463,51 @@ def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = kmv_profile(ev, ["event_type"], "user_id", k=_KMV_K)
     return kmv_jaccard(sk, "event_type", k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# BM25 batch (workload) retrieval — operators/retrieval.py bm25_batch:
+# many queries, ONE corpus token pass, rank per query.
+# ---------------------------------------------------------------------------
+_BM25_WORKLOAD = [(0, "vector"), (0, "stream"), (1, "merge"), (1, "key"), (1, "table")]
+_BM25_Q_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_WORKLOAD)
+
+@register(
+    "bm25_batch_queries",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+q(query_id, term) AS (SELECT * FROM (VALUES {_BM25_Q_VALUES}) v(query_id, term)),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+tft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tft GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS t FROM dlen),
+scored AS (
+  SELECT q.query_id, tft.doc_id,
+    CAST(round(ln(1.0 + (n.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+      * ((tft.tf * (1.2 + 1.0)) / (tft.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlen.dl / (tot.t / n.n_docs)))))
+      * 1e6) AS BIGINT) AS c_e6
+  FROM tft JOIN q USING (term) JOIN dlen USING (doc_id) JOIN dfq USING (term)
+  CROSS JOIN n CROSS JOIN tot
+),
+perdoc AS (SELECT query_id, doc_id, COUNT(*) AS matched, SUM(c_e6) AS s_e6
+           FROM scored GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s_e6 DESC, doc_id) AS rn
+      FROM perdoc)
+SELECT query_id, doc_id, matched, rn AS rank, CAST(s_e6 AS DOUBLE) / 1e6 AS score
+FROM r WHERE rn <= 10
+""",
+    doc="BM25 for a 2-query workload in ONE corpus token pass: tf table "
+    "restricted to the workload's terms, broadcast query fan-out, "
+    "per-term df computed once, one ranking window per query — the "
+    "batch-retrieval / hard-negative-mining shape",
+)
+def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_WORKLOAD, "query_id int, term string")
+    return bm25_batch(docs, q, top_n=10)

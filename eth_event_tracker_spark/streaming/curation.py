@@ -57,7 +57,11 @@ incoming docs against ghosts.
 
 from __future__ import annotations
 
+import fcntl
 import math
+import os
+import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -114,6 +118,116 @@ _BLOOM_M = 1 << 20
 _BLOOM_K = 5
 
 
+def _corpus_has_data(corpus_dir: str) -> bool:
+    """True iff at least one hash-prefix partition exists — distinct from
+    ``_corpus_exists`` because the corpus LOCK creates the bare directory
+    before the first batch writes (local-fs check, like the lock)."""
+    if not os.path.isdir(corpus_dir):
+        return False
+    return any(n.startswith("hash_prefix=") for n in os.listdir(corpus_dir))
+
+
+# --- corpus maintenance: lock + small-file compaction ----------------------
+# Streaming appends land one file set per micro-batch per touched prefix —
+# the classic streaming-sink small-files problem.  compact_corpus rewrites
+# oversized prefix partitions through a staged, commit-marked swap; the
+# advisory flock (same pattern as streaming/sketch.py, same local-fs /
+# single-driver caveat) serializes it against the ingest writes, and
+# _compact_recover runs on EVERY locked entry so an append can never
+# recreate a prefix whose pre-compaction rows are still staged (which a
+# later recovery would then discard — data loss).
+_C_STAGE = "_compact_stage"
+_C_OLD = "_compact_old"
+_C_COMMIT = "_COMMIT"
+
+
+@contextmanager
+def _corpus_lock(corpus_dir: str):
+    os.makedirs(corpus_dir, exist_ok=True)
+    fd = os.open(os.path.join(corpus_dir, "_LOCK"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _compact_recover(corpus_dir: str) -> None:
+    """Finish or roll back an interrupted per-prefix compaction swap.
+    Invariants: the swap (rename prefix→_compact_old/…, rename
+    _compact_stage/…→prefix) only starts after the staged partition is
+    fully written and ``_COMMIT``-marked.  So: a committed stage whose
+    live prefix is MISSING rolls forward; an old copy whose live prefix
+    is missing (stage uncommitted) rolls back; everything else in the
+    two scratch roots is debris."""
+    stage_root = os.path.join(corpus_dir, _C_STAGE)
+    old_root = os.path.join(corpus_dir, _C_OLD)
+    if os.path.isdir(stage_root):
+        for name in os.listdir(stage_root):
+            src = os.path.join(stage_root, name)
+            final = os.path.join(corpus_dir, name)
+            if os.path.exists(os.path.join(src, _C_COMMIT)) and not os.path.exists(final):
+                os.rename(src, final)
+    if os.path.isdir(old_root):
+        for name in os.listdir(old_root):
+            src = os.path.join(old_root, name)
+            final = os.path.join(corpus_dir, name)
+            if not os.path.exists(final):
+                os.rename(src, final)
+    for root in (stage_root, old_root):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    max_files: int = 4,
+    files_after: int = 1,
+) -> int:
+    """Rewrite every prefix partition holding more than ``max_files``
+    parquet files into ``files_after`` files (at 100 TB: set
+    ``files_after ≈ partition bytes / target file size``; the fixture
+    default is 1).  Returns the number of partitions compacted.  Rows
+    are preserved exactly (pinned), the swap is atomic per prefix, and
+    the ingest lock makes it safe to run between micro-batches of a
+    live stream (pinned with a live stream in tests)."""
+    if not os.path.isdir(corpus_dir):
+        return 0
+    done = 0
+    with _corpus_lock(corpus_dir):
+        _compact_recover(corpus_dir)
+        for name in sorted(os.listdir(corpus_dir)):
+            if not name.startswith("hash_prefix="):
+                continue
+            pdir = os.path.join(corpus_dir, name)
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            if len(files) <= max_files:
+                continue
+            stage_part = os.path.join(corpus_dir, _C_STAGE, name)
+            if os.path.exists(stage_part):
+                shutil.rmtree(stage_part)
+            spark.read.parquet(pdir).coalesce(files_after).write.mode(
+                "overwrite"
+            ).parquet(stage_part)
+            open(os.path.join(stage_part, _C_COMMIT), "w").close()
+            old_part = os.path.join(corpus_dir, _C_OLD, name)
+            os.makedirs(os.path.dirname(old_part), exist_ok=True)
+            if os.path.exists(old_part):
+                shutil.rmtree(old_part)
+            os.rename(pdir, old_part)
+            os.rename(stage_part, pdir)
+            shutil.rmtree(old_part)
+            os.remove(os.path.join(pdir, _C_COMMIT))
+            done += 1
+        for root in (_C_STAGE, _C_OLD):
+            p = os.path.join(corpus_dir, root)
+            if os.path.isdir(p) and not os.listdir(p):
+                shutil.rmtree(p)
+    return done
+
+
 def _bloom_guard(
     spark: SparkSession,
     corpus_dir: str,
@@ -145,9 +259,11 @@ def _bloom_guard(
 
     codec = bloom_codec("content_hash", m_bits=m_bits, k=k)
     sketch = read_sketch(spark, bloom_log_dir, codec=codec)
-    # order matters: the fs probe is free, isEmpty is a Spark job — only
-    # pay it when the corpus actually exists
-    if _corpus_exists(spark, corpus_dir) and sketch.isEmpty():
+    # "corpus exists" here must mean HAS DATA — the corpus lock creates
+    # the bare directory before the first batch ever writes, so a plain
+    # existence probe would read a fresh stream as "seed required".
+    # Order matters: the fs probe is free, isEmpty is a Spark job.
+    if _corpus_has_data(corpus_dir) and sketch.isEmpty():
         raise RuntimeError(
             f"bloom guard enabled on an existing corpus but the log at "
             f"{bloom_log_dir} is empty — run seed_bloom_log first (an "
@@ -228,65 +344,74 @@ def append_curated(
     propagates, failing the micro-batch so the stream retries, instead of
     silently degrading to no-dedup and appending duplicates (which would
     break the exactly-once guarantee with no error surfaced)."""
-    cur = curate_batch(batch_df)
-    if bloom_log_dir is not None:
-        if batch_id is None:
-            raise ValueError("bloom_log_dir requires batch_id (the log's replay watermark)")
-        # cur feeds the probe, the anti-join split, and the writes: one eval
-        cur = _bloom_guard(
-            spark, corpus_dir, bloom_log_dir, cur.localCheckpoint(eager=False),
-            batch_id, bloom_m_bits, bloom_k,
-        )
-    else:
-        prefixes = [r.hash_prefix for r in cur.select("hash_prefix").distinct().collect()]
-        if not prefixes:
+    # The guard read and every write run under the corpus lock so a
+    # concurrent compact_corpus cannot swap files out from under them;
+    # recovery first, so an interrupted compaction can never be half-
+    # resurrected by this append (comment block above _corpus_lock).
+    # NOTE: the lock also makes the existence check below see the dir
+    # the lock itself created — the explicit-schema read handles the
+    # empty-dir case by design.
+    with _corpus_lock(corpus_dir):
+        _compact_recover(corpus_dir)
+        cur = curate_batch(batch_df)
+        if bloom_log_dir is not None:
+            if batch_id is None:
+                raise ValueError("bloom_log_dir requires batch_id (the log's replay watermark)")
+            # cur feeds the probe, the anti-join split, and the writes: one eval
+            cur = _bloom_guard(
+                spark, corpus_dir, bloom_log_dir, cur.localCheckpoint(eager=False),
+                batch_id, bloom_m_bits, bloom_k,
+            )
+        else:
+            prefixes = [r.hash_prefix for r in cur.select("hash_prefix").distinct().collect()]
+            if not prefixes:
+                return
+            if _corpus_exists(spark, corpus_dir):
+                # explicit schema: no footer-based inference, so an existing-
+                # but-empty corpus reads as zero rows rather than erroring,
+                # while a corrupt data file still fails at scan time (loud)
+                existing = (
+                    spark.read.schema("content_hash string, hash_prefix string")
+                    .parquet(corpus_dir)
+                    .where(F.col("hash_prefix").isin(prefixes))
+                    .select("hash_prefix", "content_hash")
+                )
+                cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
+        if near_dup_threshold is None:
+            cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
             return
-        if _corpus_exists(spark, corpus_dir):
-            # explicit schema: no footer-based inference, so an existing-
-            # but-empty corpus reads as zero rows rather than erroring,
-            # while a corrupt data file still fails at scan time (loud)
-            existing = (
-                spark.read.schema("content_hash string, hash_prefix string")
-                .parquet(corpus_dir)
-                .where(F.col("hash_prefix").isin(prefixes))
-                .select("hash_prefix", "content_hash")
-            )
-            cur = cur.join(existing, ["hash_prefix", "content_hash"], "left_anti")
-    if near_dup_threshold is None:
-        cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
-        return
 
-    # near-dup admission: estimated Jaccard = matching seeds / k, one
-    # equality join on (seed, minhash) vs the persisted signature table
-    sd = _sigs_dir(corpus_dir)
-    # the batch is read several times below (sig compute, filter, two
-    # writes) — cut lineage so gate/redact/joins run once
-    cur = cur.localCheckpoint(eager=False)
-    inc_sigs = OPD.minhash_signatures(cur, k=minhash_k)
-    if _corpus_exists(spark, sd):
-        ref = spark.read.schema(_SIG_SCHEMA).parquet(sd)
-        m_needed = math.ceil(minhash_k * near_dup_threshold)
-        doomed = (
-            inc_sigs.select(F.col("doc_id").alias("doc_new"), "seed", "minhash")
-            .join(
-                ref.select(F.col("doc_id").alias("doc_ref"), "seed", "minhash"),
-                ["seed", "minhash"],
+        # near-dup admission: estimated Jaccard = matching seeds / k, one
+        # equality join on (seed, minhash) vs the persisted signature table
+        sd = _sigs_dir(corpus_dir)
+        # the batch is read several times below (sig compute, filter, two
+        # writes) — cut lineage so gate/redact/joins run once
+        cur = cur.localCheckpoint(eager=False)
+        inc_sigs = OPD.minhash_signatures(cur, k=minhash_k)
+        if _corpus_exists(spark, sd):
+            ref = spark.read.schema(_SIG_SCHEMA).parquet(sd)
+            m_needed = math.ceil(minhash_k * near_dup_threshold)
+            doomed = (
+                inc_sigs.select(F.col("doc_id").alias("doc_new"), "seed", "minhash")
+                .join(
+                    ref.select(F.col("doc_id").alias("doc_ref"), "seed", "minhash"),
+                    ["seed", "minhash"],
+                )
+                .groupBy("doc_new", "doc_ref")
+                .agg(F.count("*").alias("m"))
+                .where(F.col("m") >= m_needed)
+                .select(F.col("doc_new").alias("doc_id"))
+                .distinct()
             )
-            .groupBy("doc_new", "doc_ref")
-            .agg(F.count("*").alias("m"))
-            .where(F.col("m") >= m_needed)
-            .select(F.col("doc_new").alias("doc_id"))
-            .distinct()
+            cur = cur.join(doomed, "doc_id", "left_anti").localCheckpoint(eager=False)
+        # corpus append FIRST, signatures second (crash-window rationale in
+        # the module docstring; repair_sigs closes the gap)
+        cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
+        (
+            inc_sigs.join(cur.select("doc_id"), "doc_id", "left_semi")
+            .write.mode("append")
+            .parquet(sd)
         )
-        cur = cur.join(doomed, "doc_id", "left_anti").localCheckpoint(eager=False)
-    # corpus append FIRST, signatures second (crash-window rationale in
-    # the module docstring; repair_sigs closes the gap)
-    cur.write.mode("append").partitionBy("hash_prefix").parquet(corpus_dir)
-    (
-        inc_sigs.join(cur.select("doc_id"), "doc_id", "left_semi")
-        .write.mode("append")
-        .parquet(sd)
-    )
 
 
 def repair_sigs(spark: SparkSession, corpus_dir: str, minhash_k: int = 16) -> int:

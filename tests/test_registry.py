@@ -91,6 +91,7 @@ POST_WINDOW_ORACLES = (
     "sample_weighted_aes",
     "kmv_distinct_users",
     "kmv_jaccard_event_types",
+    "bm25_batch_queries",
 )
 
 

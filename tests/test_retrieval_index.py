@@ -77,3 +77,43 @@ def test_docstats_counts_tokenless_docs(spark, tmp_path):
     assert _rows(bm25_query(spark, str(tmp_path / "idx"), ["alpha"])) == _rows(
         bm25_topk(docs, ["alpha"])
     )
+
+
+# ---------------------------------------------------------------------------
+# batch retrieval / hard-negative mining
+# ---------------------------------------------------------------------------
+def test_bm25_batch_equals_per_query_scan(spark, sf_dir):
+    """Each workload query's slice is bit-identical to running
+    bm25_topk for that query alone."""
+    from eth_event_tracker_spark.operators.retrieval import bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    workload = {0: ["vector", "stream"], 1: ["merge", "key", "table"]}
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in workload.items() for t in ts], "query_id int, term string"
+    )
+    out = bm25_batch(docs, q, top_n=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.matched, r.score))
+    for qid, terms in workload.items():
+        want = [(r.doc_id, r.matched, r.score) for r in bm25_topk(docs, terms, top_n=10).collect()]
+        assert sorted(by_q[qid]) == sorted(want), qid
+
+
+def test_bm25_batch_hard_negative_mining(spark, sf_dir):
+    """exclude drops the positives BEFORE ranking: none appear, ranks
+    stay contiguous from 1, and the survivors are exactly the unexcluded
+    prefix of the full ranking."""
+    from eth_event_tracker_spark.operators.retrieval import bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame([(0, "vector"), (0, "stream")], "query_id int, term string")
+    full = bm25_batch(docs, q, top_n=20).collect()
+    positives = [r.doc_id for r in full if r.rank <= 2]  # call the top-2 "known positives"
+    excl = spark.createDataFrame([(0, d) for d in positives], "query_id int, doc_id long")
+    mined = bm25_batch(docs, q, top_n=5, exclude=excl).collect()
+    assert [r.rank for r in sorted(mined, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    assert not {r.doc_id for r in mined} & set(positives)
+    want = [r.doc_id for r in sorted(full, key=lambda r: r.rank) if r.doc_id not in positives][:5]
+    assert [r.doc_id for r in sorted(mined, key=lambda r: r.rank)] == want

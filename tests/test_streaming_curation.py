@@ -320,3 +320,121 @@ def test_bloom_guard_requires_seed_on_existing_corpus(spark, tmp_path):
     _run_bloom(spark, inp2, corpus, tmp_path / "k3", tmp_path / "b2")
     docs = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
     assert docs == {1, 2, 8}  # 7 is a cross-corpus dup, caught via the seed
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (compact_corpus)
+# ---------------------------------------------------------------------------
+def _pfiles(corpus, prefix_name):
+    import os
+
+    pdir = corpus / prefix_name
+    return [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+
+
+def test_compact_corpus_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import os
+
+    from eth_event_tracker_spark.streaming.curation import compact_corpus
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    corpus, ckpt = tmp_path / "c", tmp_path / "k"
+    # 6 batches, each appending one novel doc with IDENTICAL hash prefix
+    # pressure: different texts land in different prefixes, so use many
+    # docs per batch to populate prefixes repeatedly
+    for b in range(6):
+        _drop_file(
+            inp / f"f{b}.parquet",
+            [(100 * b + i, LONG + f"doc {b} {i}", "en", "s0") for i in range(8)],
+        )
+        _run_available(spark, inp, corpus, ckpt)
+    before = {
+        (r.doc_id, r.content_hash) for r in corpus_view(spark, str(corpus)).collect()
+    }
+    prefixes = [n for n in os.listdir(corpus) if n.startswith("hash_prefix=")]
+    fat = [p for p in prefixes if len(_pfiles(corpus, p)) > 1]
+    assert fat, "fixture should produce multi-file prefixes"
+
+    n = compact_corpus(spark, str(corpus), max_files=1)
+    assert n == len(fat)
+    after = {
+        (r.doc_id, r.content_hash) for r in corpus_view(spark, str(corpus)).collect()
+    }
+    assert after == before
+    for p in prefixes:
+        assert len(_pfiles(corpus, p)) == 1, p
+    # second run: nothing left to do
+    assert compact_corpus(spark, str(corpus), max_files=1) == 0
+
+    # the stream keeps working after compaction and cross-batch dedup
+    # still catches a re-crawl of compacted content
+    _drop_file(inp / "g.parquet", [(9999, LONG + "doc 0 0", "en", "s9")])
+    _run_available(spark, inp, corpus, ckpt)
+    final = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
+    assert 9999 not in final and final == {d for d, _ in before}
+
+
+def test_compact_recover_rolls_forward_and_back(spark, tmp_path):
+    import os
+    import shutil
+
+    from eth_event_tracker_spark.streaming.curation import (
+        _C_COMMIT,
+        _C_OLD,
+        _C_STAGE,
+        _compact_recover,
+        compact_corpus,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    corpus, ckpt = tmp_path / "c", tmp_path / "k"
+    for b in range(3):
+        _drop_file(
+            inp / f"f{b}.parquet",
+            [(100 * b + i, LONG + f"dd {b} {i}", "en", "s0") for i in range(6)],
+        )
+        _run_available(spark, inp, corpus, ckpt)
+    before = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
+    victims = [n for n in os.listdir(corpus) if n.startswith("hash_prefix=")][:2]
+    va, vb = victims[0], victims[1] if len(victims) > 1 else victims[0]
+
+    # crash state c: prefix renamed away, committed stage not installed
+    stage = corpus / _C_STAGE / va
+    stage.parent.mkdir(parents=True, exist_ok=True)
+    spark.read.parquet(str(corpus / va)).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    open(stage / _C_COMMIT, "w").close()
+    old = corpus / _C_OLD / va
+    old.parent.mkdir(parents=True, exist_ok=True)
+    os.rename(corpus / va, old)  # the swap's first rename happened...
+    # ...and the crash hit before the second
+    _compact_recover(str(corpus))
+    assert (corpus / va).exists() and not (corpus / _C_STAGE).exists()
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == before
+
+    # crash state: old copy stranded, stage UNcommitted → roll back
+    if vb != va:
+        stage2 = corpus / _C_STAGE / vb
+        stage2.mkdir(parents=True)
+        old2 = corpus / _C_OLD / vb
+        old2.parent.mkdir(parents=True, exist_ok=True)
+        os.rename(corpus / vb, old2)
+        _compact_recover(str(corpus))
+        assert (corpus / vb).exists()
+        assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == before
+
+    # and the next APPEND runs recovery too (the resurrect-then-discard
+    # data-loss window): construct state c again, then stream a batch
+    stage3 = corpus / _C_STAGE / va
+    stage3.parent.mkdir(parents=True, exist_ok=True)
+    spark.read.parquet(str(corpus / va)).coalesce(1).write.mode("overwrite").parquet(str(stage3))
+    open(stage3 / _C_COMMIT, "w").close()
+    old3 = corpus / _C_OLD / va
+    old3.parent.mkdir(parents=True, exist_ok=True)
+    shutil.rmtree(str(old3), ignore_errors=True)
+    os.rename(corpus / va, old3)
+    _drop_file(inp / "h.parquet", [(7777, LONG + "post crash novel", "en", "s1")])
+    _run_available(spark, inp, corpus, ckpt)
+    got = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
+    assert got == before | {7777}
