@@ -198,9 +198,15 @@ def compact_corpus(
     done = 0
     with _corpus_lock(corpus_dir):
         _compact_recover(corpus_dir)
-        for name in sorted(os.listdir(corpus_dir)):
-            if not name.startswith("hash_prefix="):
-                continue
+        # the minhash signature sidecar accumulates per-batch files the
+        # same way the prefix partitions do — same staged swap covers it
+        # (the recovery loops are name-generic)
+        targets = [
+            n for n in sorted(os.listdir(corpus_dir)) if n.startswith("hash_prefix=")
+        ]
+        if os.path.isdir(os.path.join(corpus_dir, "_minhash_sigs")):
+            targets.append("_minhash_sigs")
+        for name in targets:
             pdir = os.path.join(corpus_dir, name)
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
             if len(files) <= max_files:

@@ -438,3 +438,43 @@ def test_compact_recover_rolls_forward_and_back(spark, tmp_path):
     _run_available(spark, inp, corpus, ckpt)
     got = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
     assert got == before | {7777}
+
+
+def test_compact_corpus_covers_sig_sidecar(spark, tmp_path):
+    """The _minhash_sigs sidecar compacts through the same staged swap,
+    rows preserved, and near-dup admission still works after."""
+    import os
+
+    from eth_event_tracker_spark.streaming.curation import _sigs_dir, compact_corpus
+
+    inp, corpus, ckpt = tmp_path / "in", tmp_path / "c", tmp_path / "k"
+    inp.mkdir()
+
+    def run():
+        q = start_corpus_ingest(
+            spark, str(inp), str(corpus), str(ckpt),
+            available_now=True, near_dup_threshold=0.8,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, q.exception()
+
+    texts = [" ".join(f"w{b}x{i}" for i in range(40)) for b in range(5)]
+    for b, t in enumerate(texts):
+        _drop_file(inp / f"f{b}.parquet", [(b, t, "en", "s0")])
+        run()
+    sd = _sigs_dir(str(corpus))
+    before = sorted(
+        (r.doc_id, r.seed, r.minhash) for r in spark.read.parquet(sd).collect()
+    )
+    n_files = len([f for f in os.listdir(sd) if f.endswith(".parquet")])
+    assert n_files >= 5  # one-plus file sets per batch — the problem itself
+    compact_corpus(spark, str(corpus), max_files=1)
+    assert len([f for f in os.listdir(sd) if f.endswith(".parquet")]) == 1
+    after = sorted(
+        (r.doc_id, r.seed, r.minhash) for r in spark.read.parquet(sd).collect()
+    )
+    assert after == before
+    # near-dup admission still consults the compacted sidecar
+    _drop_file(inp / "g.parquet", [(99, texts[0] + " tail", "en", "s1")])
+    run()
+    assert 99 not in {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
