@@ -439,3 +439,45 @@ def test_export_shards_scales_linearly(spark, tmp_path):
     # exactly; the shard count is the n_shards config, volume-independent
     assert results[REP]["rows"] == REP * results[1]["rows"]
     assert results[REP]["n_shards"] == results[1]["n_shards"] == 32
+
+
+def test_scale_10x_retrieval_tier(spark, tmp_path):
+    """BM25 scan path and the inverted index at 1× vs 10×: near-linear
+    build, and the index QUERY touches only its terms' buckets — its
+    cost grows with the pruned slice, not the corpus scan.  The
+    replicas' suffixed vocabularies are disjoint, so a replica-0 query
+    returns identical rows at both scales (N and avgdl shift scores;
+    the ranked ID SET must survive — it is replica-0-only either way)."""
+    from eth_event_tracker_spark.operators.retrieval import bm25_query, build_text_index
+    from eth_event_tracker_spark.operators.text import bm25_topk
+
+    spark.range(1000).count()
+    TERMS = ["vector", "stream", "merge"]
+    out: dict[int, dict] = {}
+    for rep in (1, REP):
+        docs = _docs_x(spark, rep).localCheckpoint(eager=True)
+        r: dict = {}
+        t0 = time.perf_counter()
+        scan = bm25_topk(docs, TERMS, top_n=10).collect()
+        r["scan_t"] = time.perf_counter() - t0
+        idx = str(tmp_path / f"idx{rep}")
+        t0 = time.perf_counter()
+        build_text_index(docs, idx)
+        r["build_t"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        q = bm25_query(spark, idx, TERMS, top_n=10).collect()
+        r["query_t"] = time.perf_counter() - t0
+        r["scan_ids"] = sorted(x.doc_id for x in scan)
+        r["query_ids"] = sorted(x.doc_id for x in q)
+        out[rep] = r
+
+    for rep in (1, REP):
+        # index and scan agree at every scale
+        assert out[rep]["query_ids"] == out[rep]["scan_ids"]
+    # query terms exist only in replica 0 → same matched set both scales
+    assert out[REP]["scan_ids"] == out[1]["scan_ids"]
+    for phase in ("scan_t", "build_t", "query_t"):
+        ratio = out[REP][phase] / max(out[1][phase], 0.5)
+        print(f"# retrieval {phase}: 1x {out[1][phase]:.2f}s | 10x "
+              f"{out[REP][phase]:.2f}s (ratio {ratio:.1f}x)", file=sys.stderr)
+        assert ratio < MAX_RATIO, f"{phase}: {ratio:.1f}x at 10x volume"
