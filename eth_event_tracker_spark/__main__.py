@@ -139,6 +139,32 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_corpus(args) -> int:
+    """Corpus maintenance — the admin surface of the streaming curation
+    sink: small-file compaction (incl. the signature sidecar), signature
+    backfill after a crash window, and Bloom-log bootstrap for enabling
+    the constant-size admission guard on a pre-existing corpus."""
+    from .session import get_spark
+    from .streaming.curation import compact_corpus, repair_sigs, seed_bloom_log
+
+    spark = get_spark()
+    if args.action == "compact":
+        n = compact_corpus(spark, args.dir, max_files=args.max_files)
+        print(f"compacted {n} partition(s)")
+        return 0
+    if args.action == "repair-sigs":
+        n = repair_sigs(spark, args.dir)
+        print(f"backfilled signatures for {n} doc(s)")
+        return 0
+    if args.action == "seed-bloom":
+        if not args.bloom_log:
+            raise SystemExit("seed-bloom requires --bloom-log")
+        seed_bloom_log(spark, args.dir, args.bloom_log)
+        print(f"seeded bloom log at {args.bloom_log}")
+        return 0
+    raise SystemExit(f"unknown corpus action {args.action!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="eth_event_tracker_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -172,6 +198,13 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--verify", action="store_true", help="cross-check vs the DuckDB oracle")
     qp.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     qp.set_defaults(fn=_cmd_query)
+
+    cp = sub.add_parser("corpus", help="curated-corpus maintenance (compact / repair-sigs / seed-bloom)")
+    cp.add_argument("action", choices=["compact", "repair-sigs", "seed-bloom"])
+    cp.add_argument("--dir", required=True, help="corpus directory")
+    cp.add_argument("--max-files", type=int, default=4)
+    cp.add_argument("--bloom-log", help="bloom log directory (seed-bloom)")
+    cp.set_defaults(fn=_cmd_corpus)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -48,3 +48,38 @@ def test_cli_query_explain(capsys, spark):
     assert main(["query", "--name", "q5_local_supplier_volume", "--explain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "BroadcastHashJoin" in out
+
+
+def test_cli_corpus_maintenance(tmp_path, capsys, spark):
+    from eth_event_tracker_spark.__main__ import main
+    from eth_event_tracker_spark.streaming.curation import append_curated, corpus_view
+
+    corpus = tmp_path / "c"
+    text = "spark row batch " * 12
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(10 * b + i, text + f"cli {b} {i}", "en", "s0") for i in range(4)],
+            "doc_id long, text string, lang string, source string",
+        )
+        append_curated(spark, str(corpus), batch)
+    before = {r.doc_id for r in corpus_view(spark, str(corpus)).collect()}
+
+    assert main(["corpus", "compact", "--dir", str(corpus), "--max-files", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out and "0 partition" not in out.split("compacted")[1][:4]
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == before
+
+    assert main(["corpus", "repair-sigs", "--dir", str(corpus)]) == 0
+    assert "backfilled" in capsys.readouterr().out
+
+    assert main(["corpus", "seed-bloom", "--dir", str(corpus), "--bloom-log", str(tmp_path / "bl")]) == 0
+    assert "seeded" in capsys.readouterr().out
+    # the seeded log immediately guards: re-crawl of compacted content drops
+    recrawl = spark.createDataFrame(
+        [(999, text + "cli 0 0", "en", "s9")],
+        "doc_id long, text string, lang string, source string",
+    )
+    append_curated(
+        spark, str(corpus), recrawl, bloom_log_dir=str(tmp_path / "bl"), batch_id=0
+    )
+    assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == before
