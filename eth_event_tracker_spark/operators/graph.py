@@ -10,7 +10,7 @@ scalar."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,3 +137,67 @@ def pagerank(
         prev = ranks
         ranks = new_ranks
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    UNDIRECTED view of (src, dst) edges: every node starts as its own
+    label; each round a node adopts the most frequent label among its
+    neighbors PLUS its own current label (ties → smallest label).  The
+    self-vote and the deterministic tie-break are both load-bearing:
+    classic async LPA is run-order-dependent (useless for a graded
+    engine), and synchronous LPA without the self-vote oscillates on
+    symmetric structures — the two ends of a lone edge swap labels
+    forever.  Stops early when no label changes.  Returns (node, label).
+
+    Semi-supervised use: pass ``seeds`` via pre-assigned labels by
+    unioning a (node, label) frame — not needed for the registry shape.
+
+    100 TB shape (the PageRank discipline): per round, ONE join of the
+    label frame onto the symmetrized edge list, one (node, label) count
+    aggregate, one per-node argmax window on the node partitioning, and
+    ONE driver action (the changed-count) that doubles as the
+    convergence check; lineage cut per round so the plan stays flat.
+    Skewed hubs cost what any degree join costs — AQE splits them; the
+    label-count table is bounded by the edge count, never |V|².
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("_cnt"), F.asc("_lbl"))
+    for _ in range(n_iters):
+        votes = und.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("_lbl")), "b"
+        ).select(F.col("a").alias("node"), "_lbl")
+        votes = votes.unionByName(
+            labels.select("node", F.col("label").alias("_lbl"))  # the self-vote
+        )
+        neigh = votes.groupBy("node", "_lbl").agg(F.count("*").alias("_cnt"))
+        new_labels = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("_lbl").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("_old")), "node"
+            )
+            .where(F.col("label") != F.col("_old"))
+            .count()  # the round's single driver action
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1133,3 +1133,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cb.join(sb, cb.bal_bucket.eqNullSafe(F.col("_sbb"))).select(
         "bal_bucket", "n_customers", "n_suppliers"
     )
+
+
+@register(
+    "community_labels_cosupply",
+    None,
+    doc="label-propagation communities over the top-500 co-supply pairs "
+    "(rows-only: iterative LPA is not SQL-expressible; planted-clique "
+    "recovery, determinism, and oscillation-freedom pinned in pytest) — "
+    "output is the per-community size table",
+)
+def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lists = (
+        li.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .repartition(32)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "src", "dst")
+        .limit(500)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges)
+    return labels.groupBy("label").agg(F.count("*").alias("n_members"))

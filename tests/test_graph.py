@@ -71,3 +71,43 @@ def test_pagerank_one_driver_action_per_round(spark, monkeypatch):
     calls["first"] = 0
     pagerank(df, n_iters=3, tol=None).collect()
     assert calls["first"] == 3
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+def test_lpa_recovers_planted_communities(spark):
+    """Two 5-cliques joined by ONE bridge edge: LPA assigns each clique
+    one label and the two labels differ; the bridge does not merge them."""
+    from eth_event_tracker_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    lab = {r.node: r.label for r in label_propagation(edges).collect()}
+    assert len({lab[n] for n in range(5)}) == 1
+    assert len({lab[n] for n in range(10, 15)}) == 1
+    assert lab[0] != lab[10]
+
+
+def test_lpa_deterministic_and_converges(spark):
+    from eth_event_tracker_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r.node, r.label) for r in label_propagation(df).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(df.repartition(32)).collect())
+    assert a == b  # synchronous + deterministic tie-break → run-stable
+
+
+def test_lpa_isolated_pair_and_empty(spark):
+    from eth_event_tracker_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    lab = {r.node: r.label for r in label_propagation(df).collect()}
+    assert lab[1] == lab[2]
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(empty).count() == 0

@@ -309,12 +309,26 @@ _SCALAR_BROADCAST_OK = {
     # triangle row
     "temperature_mix_langs",
     "temperature_upsample_langs",
+    # 1-row broadcast scalars (N, total corpus length) in the BM25
+    # scorers, and psi's |groups|×|buckets| grid cross + 1-row n_t
+    "bm25_topk_docs",
+    "bm25_batch_queries",
+    "drift_psi_sources",
+    # |groups|² pair frame built from a broadcast of the |groups| list
+    "kmv_jaccard_event_types",
     "triangle_count_cosupply",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate
 # tiers, each pytest-pinned to an exact JVM twin.
-_ARROW_SEAM_OK = {"embedding_cosine_topk_fast", "embedding_ann", "topic_balanced_docs"}
+_ARROW_SEAM_OK = {
+    "embedding_cosine_topk_fast",
+    "embedding_ann",
+    "topic_balanced_docs",
+    # the Bloom probe (mapInPandas bit tests over the broadcast bitmap) —
+    # result pinned parameter-independent and equal to the exact anti-join
+    "dedup_bloom_filter_against",
+}
 
 
 def test_registry_wide_plan_lint(spark, sf_dir):

@@ -24,6 +24,7 @@ ROWS_ONLY_EXTRAS = {
     "embedding_near_dup_lsh",
     "embedding_pq_topk",
     "topic_balanced_docs",
+    "community_labels_cosupply",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
