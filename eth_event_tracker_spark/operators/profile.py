@@ -20,7 +20,7 @@ fixture query, deliberate opt-in at scale.  Complex-typed columns
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -209,4 +209,47 @@ def psi_drift(
         .groupBy("g")
         .agg((F.sum("c_e9").cast("double") / 1e9).alias("psi"))
         .withColumnRenamed("g", group_col)
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Per-group equi-DEPTH histogram of ``value_col``: ``n_buckets``
+    buckets of (near-)equal row count, each reported as
+    (group, bucket, lo, hi, n).  The data-driven complement of
+    :func:`psi_drift`'s fixed cuts — this is the profile that adapts its
+    bucket boundaries to each group's own distribution (optimizer-style
+    equi-depth statistics, skew diagnosis, per-source length P12.5/…
+    quantile bands in one shot).
+
+    Bucket assignment is ANSI ``NTILE(n)`` over a TOTAL order
+    (``value_col`` asc NULLS FIRST, then ``id_col``) — the explicit
+    null placement and id tie-break make the assignment deterministic
+    and engine-portable (DuckDB defaults to NULLS LAST on ASC, Spark to
+    NULLS FIRST; the oracle says NULLS FIRST on both).  NTILE gives the
+    first ``n_total mod n_buckets`` buckets one extra row — exact
+    equal-depth up to the unavoidable ±1.
+
+    100 TB shape: one hash shuffle on ``group_col``, one per-group sort
+    window (Spark's ExternalSorter spills — group size bounds the sort,
+    not memory), then a (group, bucket) aggregate with map-side
+    combine.  No driver data, no cross join; output is
+    |groups| × n_buckets rows."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_first(), F.col(id_col).asc_nulls_first()
+    )
+    return (
+        df.select(group_col, value_col, id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+            F.count("*").alias("n"),
+        )
     )

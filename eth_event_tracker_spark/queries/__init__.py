@@ -135,6 +135,7 @@ _POST_WINDOW = (
     "kmv_distinct_users",
     "kmv_jaccard_event_types",
     "bm25_batch_queries",
+    "histogram_equidepth_lengths",
 )
 
 

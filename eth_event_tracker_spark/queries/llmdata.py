@@ -1358,6 +1358,36 @@ def drift_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equi-depth histogram per source (operators/profile.py
+# equidepth_histogram): the data-driven complement of the fixed-cut PSI
+# monitor — bucket boundaries adapt to each source's own distribution.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_equidepth_lengths",
+    """
+WITH b AS (
+  SELECT source, n_chars,
+         ntile(8) OVER (PARTITION BY source
+                        ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST) AS bucket
+  FROM documents
+)
+SELECT source, CAST(bucket AS INT) AS bucket,
+       MIN(n_chars) AS lo, MAX(n_chars) AS hi, COUNT(*) AS n
+FROM b GROUP BY source, bucket
+""",
+    doc="per-source equi-depth doc-length histogram (8 NTILE buckets over a "
+    "total order — value then doc_id, NULLS FIRST on both engines): "
+    "optimizer-style adaptive statistics / skew diagnosis; one group "
+    "shuffle + per-group sort window + map-side-combined aggregate",
+)
+def histogram_equidepth_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import equidepth_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return equidepth_histogram(docs, "source", "n_chars", "doc_id", n_buckets=8)
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement (operators/sampling.py
 # weighted_sample): A-ES lottery keys from the portable hash — see the
 # operator docstring for the exactness argument (u is EXACT: dividing

@@ -93,6 +93,7 @@ POST_WINDOW_ORACLES = (
     "kmv_distinct_users",
     "kmv_jaccard_event_types",
     "bm25_batch_queries",
+    "histogram_equidepth_lengths",
 )
 
 

@@ -162,3 +162,80 @@ def test_psi_null_group_drifts_like_any_other(spark):
     psi = {r.g: r.psi for r in psi_drift(df, "g", "v", [50.0]).collect()}
     assert set(psi) == {None, "named"}
     assert psi[None] == psi["named"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram
+# ---------------------------------------------------------------------------
+def test_equidepth_buckets_within_one_and_cover_all(spark):
+    """23 rows into 4 buckets: NTILE gives 6/6/6/5 (the first
+    n mod b buckets take the extra row); depths sum to the total, and
+    bucket value-ranges are non-decreasing."""
+    from eth_event_tracker_spark.operators.profile import equidepth_histogram
+
+    rows = [("g", i, float(i * 7 % 23)) for i in range(23)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = sorted(
+        equidepth_histogram(df, "g", "v", "id", n_buckets=4).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.n for r in out] == [6, 6, 6, 5]
+    assert sum(r.n for r in out) == 23
+    for r in out:
+        assert r.lo <= r.hi
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo  # distinct values here ⇒ disjoint ranges
+
+
+def test_equidepth_per_group_boundaries_adapt(spark):
+    """Each group gets its OWN boundaries (the point vs fixed cuts):
+    a 0-99 group and a 1000-1099 group produce disjoint [lo, hi]
+    bands, both exactly equal-depth."""
+    from eth_event_tracker_spark.operators.profile import equidepth_histogram
+
+    rows = [("low", i, float(i)) for i in range(100)] + [
+        ("high", i, float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = equidepth_histogram(df, "g", "v", "id", n_buckets=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    assert all(len(v) == 4 for v in by_g.values())
+    assert all(r.n == 25 for r in out)
+    assert max(r.hi for r in by_g["low"]) < min(r.lo for r in by_g["high"])
+
+
+def test_equidepth_ties_and_nulls_deterministic(spark):
+    """All-equal values still split by the id tie-break (depths stay
+    ±1); NULL values sort FIRST into bucket 1; result is identical
+    after a repartition (the total order makes NTILE deterministic)."""
+    from eth_event_tracker_spark.operators.profile import equidepth_histogram
+
+    rows = [("g", i, 5.0) for i in range(10)] + [("g", 100 + i, None) for i in range(2)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = sorted(
+        equidepth_histogram(df, "g", "v", "id", n_buckets=4).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.n for r in out] == [3, 3, 3, 3]
+    # the two NULLs lead the total order: bucket 1 holds them, its
+    # aggregates ignore NULL (lo==hi==5.0 from its one non-null row)
+    assert out[0].lo == out[0].hi == 5.0
+    again = sorted(
+        equidepth_histogram(
+            df.repartition(7, "id"), "g", "v", "id", n_buckets=4
+        ).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_histogram_equidepth_registry_shape(spark, sf_dir):
+    from eth_event_tracker_spark.queries.llmdata import histogram_equidepth_lengths
+
+    out = histogram_equidepth_lengths(spark, sf_dir).collect()
+    assert len(out) == 20 * 8
+    for g in {r.source for r in out}:
+        depths = [r.n for r in out if r.source == g]
+        assert max(depths) - min(depths) <= 1
