@@ -212,6 +212,71 @@ def psi_drift(
     )
 
 
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE scan: output
+    (col_x, col_y, n, corr) for every unordered pair — the numeric
+    co-movement profile (feature redundancy screening, quality-signal
+    collinearity) beside :func:`table_profile`'s per-column stats.
+
+    Determinism convention (the repo-wide SUM rule, queries/__init__):
+    the five moments per pair (Σx, Σy, Σxy, Σx², Σy²) are summed as
+    DECIMAL(18,4) values/products — EXACT, order-independent — then the
+    corr formula runs in double from those identical inputs on any
+    engine, rounds to a 1e-9-unit BIGINT, and grades against the same
+    SQL.  Rows with a NULL in either column drop from that pair only
+    (the FILTER semantics); a zero-variance side yields corr NULL (the
+    guard compares the same doubles on both engines, so the NULL is
+    engine-portable too).
+
+    100 TB shape: a single aggregate — one scan, map-side partial
+    aggregation, |pairs|·6 accumulators, a 1-row result exploded to
+    |pairs| rows.  No shuffle beyond the final 1-row combine, no joins,
+    nothing driver-side."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    def dec(c: str):
+        return F.col(c).cast("decimal(18,4)")
+
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        p = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n__{p}"),
+            F.sum(F.when(both, dec(a))).cast("double").alias(f"sx__{p}"),
+            F.sum(F.when(both, dec(b))).cast("double").alias(f"sy__{p}"),
+            F.sum(F.when(both, dec(a) * dec(b))).cast("double").alias(f"sxy__{p}"),
+            F.sum(F.when(both, dec(a) * dec(a))).cast("double").alias(f"sxx__{p}"),
+            F.sum(F.when(both, dec(b) * dec(b))).cast("double").alias(f"syy__{p}"),
+        ]
+    row = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        n = F.col(f"n__{p}").cast("double")
+        sx, sy, sxy, sxx, syy = (
+            F.col(f"{k}__{p}") for k in ("sx", "sy", "sxy", "sxx", "syy")
+        )
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = F.when(
+            (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)) * F.lit(1e9))
+            .cast("long")
+            .cast("double")
+            / F.lit(1e9),
+        )
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"n__{p}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 def equidepth_histogram(
     df: DataFrame,
     group_col: str,

@@ -239,3 +239,52 @@ def test_histogram_equidepth_registry_shape(spark, sf_dir):
     for g in {r.source for r in out}:
         depths = [r.n for r in out if r.source == g]
         assert max(depths) - min(depths) <= 1
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix
+# ---------------------------------------------------------------------------
+def test_corr_matrix_planted_correlations(spark):
+    """y = 2x ⇒ corr(x,y) == 1; z = -x ⇒ corr(x,z) == -1; a noisy
+    mid-band pair lands strictly between."""
+    from eth_event_tracker_spark.operators.profile import corr_matrix
+
+    rows = [
+        (float(i), float(2 * i), float(-i), float(i % 7))
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    out = {(r.col_x, r.col_y): r for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(out) == 6
+    assert out[("x", "y")].corr == 1.0
+    assert out[("x", "z")].corr == -1.0
+    assert all(r.n == 100 for r in out.values())
+    assert -1.0 < out[("x", "w")].corr < 1.0
+
+
+def test_corr_matrix_null_pairwise_and_zero_variance(spark):
+    """A NULL drops its row from that PAIR only (n differs per pair);
+    a constant column has zero variance ⇒ corr is NULL, not NaN."""
+    from eth_event_tracker_spark.operators.profile import corr_matrix
+
+    rows = [
+        (1.0, 2.0, 5.0),
+        (2.0, 4.0, 5.0),
+        (3.0, None, 5.0),
+        (4.0, 8.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, c double")
+    out = {(r.col_x, r.col_y): r for r in corr_matrix(df, ["x", "y", "c"]).collect()}
+    assert out[("x", "y")].n == 3 and out[("x", "y")].corr == 1.0
+    assert out[("x", "c")].n == 4 and out[("x", "c")].corr is None
+    assert out[("y", "c")].n == 3 and out[("y", "c")].corr is None
+
+
+def test_corr_matrix_registry_shape(spark, sf_dir):
+    from eth_event_tracker_spark.queries.llmdata import corr_matrix_lineitem
+
+    out = corr_matrix_lineitem(spark, sf_dir).collect()
+    assert len(out) == 6
+    assert all(r.corr is not None and -1.0 <= r.corr <= 1.0 for r in out)
+    # synthetic lineitem: price/quantity/discount/tax are independent
+    assert all(abs(r.corr) < 0.3 for r in out)
