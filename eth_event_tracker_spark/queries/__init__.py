@@ -136,6 +136,7 @@ _POST_WINDOW = (
     "kmv_jaccard_event_types",
     "bm25_batch_queries",
     "histogram_equidepth_lengths",
+    "corr_matrix_lineitem",
 )
 
 

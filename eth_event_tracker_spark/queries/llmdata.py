@@ -1541,3 +1541,69 @@ def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = spark.createDataFrame(_BM25_WORKLOAD, "query_id int, term string")
     return bm25_batch(docs, q, top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix (operators/profile.py corr_matrix):
+# the feature-redundancy profile in ONE aggregate.  Exactness path: the
+# five moments per pair are summed as DECIMAL values/products — exact and
+# order-independent on both engines (the repo SUM convention); the corr
+# formula then runs in double from those identical inputs and rounds to
+# a 1e-9-unit BIGINT.  DuckDB note: its decimal multiply keeps the wider
+# operand's precision, so one factor is widened to DECIMAL(19,4) to force
+# the int128 DECIMAL(37,8) product Spark produces natively from 18×18.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pair_sql() -> str:
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    moments, selects = [], []
+    for a, b in pairs:
+        p = f"{a}__{b}"
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        da, db = f"CAST({a} AS DECIMAL(18,4))", f"CAST({b} AS DECIMAL(18,4))"
+        da19, db19 = f"CAST({a} AS DECIMAL(19,4))", f"CAST({b} AS DECIMAL(19,4))"
+        moments.append(
+            f"""  COUNT(*) FILTER (WHERE {both}) AS n__{p},
+  CAST(SUM(CASE WHEN {both} THEN {da} END) AS DOUBLE) AS sx__{p},
+  CAST(SUM(CASE WHEN {both} THEN {db} END) AS DOUBLE) AS sy__{p},
+  CAST(SUM(CASE WHEN {both} THEN {da} * {db19} END) AS DOUBLE) AS sxy__{p},
+  CAST(SUM(CASE WHEN {both} THEN {da} * {da19} END) AS DOUBLE) AS sxx__{p},
+  CAST(SUM(CASE WHEN {both} THEN {db} * {db19} END) AS DOUBLE) AS syy__{p}"""
+        )
+        n = f"CAST(n__{p} AS DOUBLE)"
+        vx = f"({n} * sxx__{p} - sx__{p} * sx__{p})"
+        vy = f"({n} * syy__{p} - sy__{p} * sy__{p})"
+        corr = (
+            f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+            f"CAST(round(({n} * sxy__{p} - sx__{p} * sy__{p})"
+            f" / (sqrt({vx}) * sqrt({vy})) * 1e9) AS BIGINT) / 1e9 END"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n__{p} AS n, {corr} AS corr FROM m"
+        )
+    return (
+        "WITH m AS (SELECT\n"
+        + ",\n".join(moments)
+        + "\nFROM lineitem)\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    _corr_pair_sql(),
+    doc="pairwise Pearson correlation of the four lineitem numeric measures "
+    "in ONE scan: exact decimal moment sums (the repo SUM convention) → "
+    "double formula from identical inputs → 1e-9-unit rounding; NULLs drop "
+    "per pair, zero variance yields NULL corr — the feature-redundancy "
+    "profile",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import corr_matrix
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(l, _CORR_COLS)
