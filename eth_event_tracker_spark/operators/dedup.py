@@ -355,7 +355,9 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
         .agg(F.min("src").alias("nmin"))
         .select(F.col("dst").alias("id"), F.least(F.col("dst"), F.col("nmin")).alias("comp"))
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # convergence scalar in decimal: label ids may be 60-bit hashes
+    # (operators/entity.py), whose long sum overflows under ANSI mode
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
@@ -373,7 +375,7 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b", max
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -82,6 +82,33 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str, d: int 
     return joined.groupBy(key_col).agg(F.min("cell_cnt").alias("est"))
 
 
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS counter tables built
+    on the join key with the SAME (d, w): |A ⋈ B| ≈ min over rows of the
+    per-row inner product Σ_col cnt_a·cnt_b (Cormode/Muthukrishnan §4.2).
+    Pass the same sketch twice for the self-join size Σ_k n_k² — the
+    number the planner needs to see a skew blowup coming.
+
+    One-sided like the point estimate: every true (key_a, key_b) match
+    lands in the same cell in every row, so each row's inner product
+    counts all true pairs plus non-negative collision cross-terms —
+    estimate ≥ truth always, and the min over d rows keeps the best row.
+
+    100 TB shape: the inputs are sketches (≤ d·w rows each however large
+    the joined tables are), so this is an equality join + two bounded
+    aggregates over counter rows — join planning without touching the
+    data, mergeable across days/partitions via :func:`cms_merge`.
+    Output: one row, ``est_pairs`` BIGINT (0 for empty inputs)."""
+    prods = (
+        a.join(b.withColumnRenamed("cnt", "cnt_b"), ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    return prods.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("bigint").alias("est_pairs")
+    )
+
+
 def heavy_hitters(
     df: DataFrame, key_col: str, min_count: int, d: int = 4, w: int = 4096
 ) -> DataFrame:
@@ -261,4 +288,65 @@ def kmv_jaccard(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
         (F.sum(both).cast("double") / F.count("*")).alias("jaccard_est")
     ).select(
         F.col("ga").alias("group_a"), F.col("gb").alias("group_b"), "jaccard_est"
+    )
+
+
+def cdf_histogram(
+    df: DataFrame, keys: list[str], value_col: str, cuts: list[float]
+) -> DataFrame:
+    """Batch twin of the streaming :func:`~..streaming.sketch.cdf_codec`
+    build: per-key fixed-cut bucket counts (bucket = #cuts ≤ value, NULL
+    values dropped).  Counts are exact, so merge (cell-wise sum) is
+    build-path-independent — the stream log pins bit-identical to this.
+    One scan, map-side combine, ≤ |key-domain|·(len(cuts)+1) rows."""
+    bucket = sum(
+        (F.when(F.lit(c) <= F.col(value_col), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cdf_quantiles(
+    hist: DataFrame, keys: list[str], cuts: list[float], qs: list[float]
+) -> DataFrame:
+    """Quantile BRACKETS from fixed-cut bucket counts: for each key and
+    q ∈ (0, 1], the bucket holding the ceil(q·n)-th value, reported as
+    (keys…, q, bucket, lo, hi, n) with lo/hi the bucket's cut bounds
+    (NULL for the open ends).  The true q-quantile lies in [lo, hi] —
+    exact integer-count arithmetic, deterministic on any engine; the
+    resolution (not the count) is where a fixed-cut sketch pays
+    vs the equi-depth batch profile.
+
+    Shape: one cumulative window over ≤ |keys|·(len(cuts)+1) counter
+    rows, a |qs|-explode, one min-aggregate — sketch-sized work however
+    large the stream that built the histogram was."""
+    w_cum = Window.partitionBy(*keys).orderBy("bucket")
+    w_all = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    qdf = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    # ceil(q·n) in exact arithmetic: the smallest rank the quantile covers
+    target = F.ceil(F.col("q") * F.col("n").cast("double")).cast("bigint")
+    picked = (
+        qdf.where(F.col("cum") >= target)
+        .groupBy(*keys, "q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    bounds = F.array(*[F.lit(float(c)) for c in cuts])
+    return picked.select(
+        *keys,
+        "q",
+        "bucket",
+        F.when(F.col("bucket") > 0, F.element_at(bounds, F.col("bucket"))).alias("lo"),
+        F.when(
+            F.col("bucket") < len(cuts), F.element_at(bounds, F.col("bucket") + 1)
+        ).alias("hi"),
+        "n",
     )

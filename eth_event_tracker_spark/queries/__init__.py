@@ -137,6 +137,9 @@ _POST_WINDOW = (
     "bm25_batch_queries",
     "histogram_equidepth_lengths",
     "corr_matrix_lineitem",
+    "cms_join_size_events",
+    "entity_resolution_parts",
+    "cdf_quantiles_chars",
 )
 
 

@@ -1607,3 +1607,102 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load_table(spark, sf_dir, "lineitem")
     return corr_matrix(l, _CORR_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (operators/entity.py resolve_entities): q-gram-blocked
+# fuzzy match → transitive closure (recursive-CTE twin, the
+# dedup_minhash_lsh pattern) → min-id golden record.  Match is over
+# DISTINCT part names (≥6 chars, the fuzzy_pairs q-gram guarantee bound;
+# shorter and equal names link by value identity), entity = connected
+# component of the match graph, report = entities that merged ≥2 records.
+# ---------------------------------------------------------------------------
+@register(
+    "entity_resolution_parts",
+    """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS s FROM part
+  WHERE p_name IS NOT NULL AND length(p_name) >= 6),
+pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b
+  FROM names a JOIN names b
+    ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) <= 2),
+edges AS (SELECT s_a AS src, s_b AS dst FROM pairs
+          UNION SELECT s_b, s_a FROM pairs),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+vlabel AS (SELECT id AS s, MIN(comp) AS vl FROM reach GROUP BY id),
+labeled AS (
+  SELECT p.p_partkey, p.p_name, COALESCE(v.vl, p.p_name) AS vl
+  FROM part p LEFT JOIN vlabel v ON p.p_name = v.s
+  WHERE p.p_name IS NOT NULL),
+ent AS (
+  SELECT p_partkey, p_name, vl,
+         MIN(p_partkey) OVER (PARTITION BY vl) AS entity_id,
+         COUNT(*) OVER (PARTITION BY vl) AS n_members
+  FROM labeled)
+SELECT p_partkey, p_name, entity_id, n_members,
+       p_partkey = entity_id AS is_canonical
+FROM ent WHERE n_members >= 2
+""",
+    doc="entity resolution over part names: q-gram-blocked levenshtein ≤ 2 "
+    "match on distinct values → pointer-jumped transitive closure → min-id "
+    "golden record per entity; reports entities that merged ≥2 records",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.entity import resolve_entities
+
+    parts = load_table(spark, sf_dir, "part")
+    return resolve_entities(
+        parts, "p_name", "p_partkey", max_dist=2, min_members=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-cut CDF quantile brackets (operators/sketches.py cdf_histogram +
+# cdf_quantiles; streaming twin = streaming/sketch.cdf_codec): exact
+# integer bucket counts make the whole read path oracle-checkable —
+# unlike rank-approximate sketches, the fixed-cut histogram's
+# "approximation" is entirely in the bucket RESOLUTION, so the bracket
+# arithmetic itself grades hash-green.
+# ---------------------------------------------------------------------------
+_CDF_CUTS = [100.0, 200.0, 300.0, 400.0]
+_CDF_QS = [0.25, 0.5, 0.9]
+
+
+@register(
+    "cdf_quantiles_chars",
+    f"""
+WITH b AS (
+  SELECT lang,
+         CAST({" + ".join(f"(CASE WHEN {c} <= n_chars THEN 1 ELSE 0 END)" for c in _CDF_CUTS)} AS INT) AS bucket
+  FROM documents WHERE n_chars IS NOT NULL),
+h AS (SELECT lang, bucket, COUNT(*) AS cnt FROM b GROUP BY lang, bucket),
+c AS (SELECT lang, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM h),
+qx AS (SELECT c.*, t.q FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in _CDF_QS)}]) AS q) t),
+p AS (SELECT lang, q, n, MIN(bucket) AS bucket FROM qx
+      WHERE cum >= CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+      GROUP BY lang, q, n)
+SELECT lang, q, bucket,
+       CASE WHEN bucket > 0 THEN ([{", ".join(str(c) for c in _CDF_CUTS)}])[bucket] END AS lo,
+       CASE WHEN bucket < {len(_CDF_CUTS)} THEN ([{", ".join(str(c) for c in _CDF_CUTS)}])[bucket + 1] END AS hi,
+       CAST(n AS BIGINT) AS n
+FROM p
+""",
+    doc="per-language quantile brackets (p25/p50/p90) of doc length from a "
+    "fixed-cut CDF histogram — the mergeable, stream-accumulable quantile "
+    "profile: exact bucket counts, bracket = the bucket provably holding "
+    "the ceil(q·n)-th value",
+)
+def cdf_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cdf_histogram, cdf_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = cdf_histogram(docs, ["lang"], "n_chars", _CDF_CUTS)
+    return cdf_quantiles(hist, ["lang"], _CDF_CUTS, _CDF_QS)

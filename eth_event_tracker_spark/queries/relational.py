@@ -751,6 +751,33 @@ def cms_brand_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CMS join-cardinality estimation (operators/sketches.py cms_join_size) in
+# its exactness regime: the self-join blowup Σ n_k² of events on
+# event_type — 5 keys at w=8192, so at least one of the d=4 rows is
+# collision-free and the min-of-inner-products equals the exact count.
+# This is the planner-side use of the sketch: seeing a skewed join's
+# output size from d·w counters without scanning either input.  The
+# error regime (overestimate-only) is pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+@register(
+    "cms_join_size_events",
+    """
+SELECT CAST(SUM(n * n) AS BIGINT) AS est_pairs
+FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_type) t
+""",
+    doc="CMS inner-product join-size estimate == exact self-join cardinality "
+    "in the collision-free-min regime — sketch-based join planning "
+    "(skew-blowup detection) from d·w counters, no data scan",
+)
+def cms_join_size_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_join_size
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "event_type", d=4, w=8192)
+    return cms_join_size(sketch, sketch)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q12 — shipmode priority counts: conditional aggregation (the
 # CASE-inside-SUM shape) after a fact-fact join filtered on the fact side.
 # ---------------------------------------------------------------------------

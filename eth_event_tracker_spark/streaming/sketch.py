@@ -148,6 +148,39 @@ def kmv_codec(keys: list[str], col: str, key_schema: str, k: int = 256) -> Sketc
     )
 
 
+def cdf_codec(
+    keys: list[str], value_col: str, cuts: list[float], key_schema: str
+) -> SketchCodec:
+    """Fixed-cut CDF/histogram log: per-key bucket counts — the
+    QUANTILE sketch on the exactly-once protocol, beside frequencies
+    (CMS), distinct counts (HLL/KMV), and membership (Bloom).
+    ``bucket = #cuts ≤ value`` (the psi_drift convention; NULL values
+    count in no bucket); build = one map-side-combined groupBy, fold =
+    cell-wise sum — associative AND build-path-independent like the
+    CMS/Bloom, so stream-accumulated state pins bit-identical to a
+    batch build over the union (counts are exact integers; the ERROR
+    lives only in quantile READ-time resolution: estimates bracket the
+    true quantile within one bucket — operators/sketches.cdf_quantiles).
+    State is ≤ |keys-domain|·(len(cuts)+1) rows per batch, bounded by
+    the profile-key domain like the HLL codec, never by stream volume.
+    The batch-side adaptive complement is equidepth_histogram."""
+    bucket = sum(
+        (F.when(F.lit(c) <= F.col(value_col), 1).otherwise(0) for c in cuts),
+        F.lit(0),
+    ).cast("int")
+    return SketchCodec(
+        build=lambda df: (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(*keys, bucket.alias("bucket"))
+            .agg(F.count("*").alias("cnt"))
+        ),
+        fold=lambda parts: parts.groupBy(*keys, "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        empty_schema=f"{key_schema}, bucket int, cnt bigint",
+    )
+
+
 _STAGE = "_stage_parts"
 _OLD = "_old_parts"
 _COMMIT = "_COMMIT"

@@ -94,6 +94,10 @@ POST_WINDOW_ORACLES = (
     "kmv_jaccard_event_types",
     "bm25_batch_queries",
     "histogram_equidepth_lengths",
+    "corr_matrix_lineitem",
+    "cms_join_size_events",
+    "entity_resolution_parts",
+    "cdf_quantiles_chars",
 )
 
 

@@ -56,6 +56,59 @@ def test_cms_merge_equals_single_pass(spark):
     assert a == b, "merge of partial sketches must equal the single-pass sketch"
 
 
+def test_cms_join_size_exact_in_collision_free_regime(spark):
+    from eth_event_tracker_spark.operators.sketches import cms_join_size
+
+    a_rows = [f"key_{j}" for j in range(10) for _ in range(j + 1)]
+    b_rows = [f"key_{j}" for j in range(5, 15) for _ in range(2 * j)]
+    a = spark.createDataFrame([(k,) for k in a_rows], "key string")
+    b = spark.createDataFrame([(k,) for k in b_rows], "key string")
+    exact = a.join(b, "key").count()
+    sk_a = cms_build(a, "key", d=4, w=65536)
+    sk_b = cms_build(b, "key", d=4, w=65536)
+    assert cms_join_size(sk_a, sk_b).collect()[0].est_pairs == exact
+    # self-join size = sum of squared key counts
+    self_exact = a.withColumnRenamed("key", "k2").join(
+        a, F.col("key") == F.col("k2")
+    ).count()
+    assert cms_join_size(sk_a, sk_a).collect()[0].est_pairs == self_exact
+
+
+def test_cms_join_size_overestimates_only_under_collisions(spark):
+    from eth_event_tracker_spark.operators.sketches import cms_join_size
+
+    # w=8 over 40 keys: every row has colliding pairs — the estimate
+    # must still never fall below the true join size (one-sided error)
+    a_rows = [f"k{j}" for j in range(40) for _ in range(3)]
+    b_rows = [f"k{j}" for j in range(20, 60) for _ in range(2)]
+    a = spark.createDataFrame([(k,) for k in a_rows], "key string")
+    b = spark.createDataFrame([(k,) for k in b_rows], "key string")
+    exact = a.join(b, "key").count()
+    est = cms_join_size(
+        cms_build(a, "key", d=3, w=8), cms_build(b, "key", d=3, w=8)
+    ).collect()[0].est_pairs
+    assert est >= exact
+
+
+def test_cms_join_size_merge_coherent_and_empty(spark):
+    from eth_event_tracker_spark.operators.sketches import cms_join_size
+
+    rows = [(i, f"k{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, key string")
+    whole = cms_build(df, "key", d=4, w=4096)
+    merged = cms_merge(
+        *[cms_build(df.where(f"i % 2 = {r}"), "key", d=4, w=4096) for r in range(2)]
+    )
+    probe = cms_build(df.where("i < 50"), "key", d=4, w=4096)
+    est_whole = cms_join_size(whole, probe).collect()[0].est_pairs
+    est_merged = cms_join_size(merged, probe).collect()[0].est_pairs
+    assert est_whole == est_merged, "merged partials must estimate like one pass"
+
+    empty = cms_build(df.where("i < 0"), "key", d=4, w=4096)
+    assert cms_join_size(empty, whole).collect()[0].est_pairs == 0
+    assert cms_join_size(empty, empty).collect()[0].est_pairs == 0
+
+
 def _event_file(path, rows):
     import pyarrow as pa
     import pyarrow.parquet as pq
