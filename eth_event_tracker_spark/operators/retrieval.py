@@ -38,10 +38,13 @@ inside the bucket too.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_py
+from ..store.filecompact import compact_dirs, compact_recover, dir_lock
 from .text import bm25_rank, words
 
 _TERM_SEED = 7  # index bucket seed — any fixed value, shared by build + query
@@ -58,23 +61,70 @@ def _tf_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _write(df: DataFrame, tf_all: DataFrame, path: str, id_col: str, n_buckets: int, mode: str) -> None:
-    postings = tf_all.withColumn(
-        "pbucket", (hash60(F.col("term"), _TERM_SEED) % n_buckets).cast("int")
-    )
-    (
-        postings.repartition("pbucket")
-        .sortWithinPartitions("term")
-        .write.mode(mode)
-        .partitionBy("pbucket")
-        .parquet(path.rstrip("/") + "/postings")
-    )
-    dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    docstats = (
-        df.select(id_col)
-        .join(dlen, id_col, "left")
-        .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
-    )
-    docstats.write.mode(mode).parquet(path.rstrip("/") + "/docstats")
+    # the index lock serializes build/append against compact_text_index
+    # (same driver-side flock discipline as the corpus sink), and the
+    # recovery pass means an append can never land files into a
+    # partition whose pre-compaction rows are still staged
+    root = path.rstrip("/")
+    with dir_lock(root):
+        compact_recover(root)
+        if os.path.isdir(root + "/postings"):
+            compact_recover(root + "/postings")
+        postings = tf_all.withColumn(
+            "pbucket", (hash60(F.col("term"), _TERM_SEED) % n_buckets).cast("int")
+        )
+        (
+            postings.repartition("pbucket")
+            .sortWithinPartitions("term")
+            .write.mode(mode)
+            .partitionBy("pbucket")
+            .parquet(root + "/postings")
+        )
+        dlen = tf_all.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        docstats = (
+            df.select(id_col)
+            .join(dlen, id_col, "left")
+            .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
+        )
+        docstats.write.mode(mode).parquet(root + "/docstats")
+
+
+def compact_text_index(
+    spark: SparkSession, path: str, max_files: int = 4, files_after: int = 1
+) -> int:
+    """Small-file compaction for the incrementally-maintained index:
+    every ``append_text_index`` lands one file set per touched
+    ``pbucket`` partition and one more in ``docstats`` — the same
+    streaming-sink small-files problem the curation corpus has, solved
+    through the SAME shared staged-swap protocol
+    (store/filecompact.py): per-partition commit-marked swap, flock
+    against the build/append path, crash recovery on every locked
+    entry.  Postings rewrites re-sort by ``term`` so parquet row-group
+    min/max pruning inside a bucket keeps working after compaction.
+    Query results are pinned bit-identical before/after (tests).
+    Returns the number of partitions compacted."""
+    root = path.rstrip("/")
+    if not os.path.isdir(root):
+        return 0
+    done = 0
+    with dir_lock(root):
+        post_root = root + "/postings"
+        if os.path.isdir(post_root):
+            compact_recover(post_root)
+            names = [
+                n for n in sorted(os.listdir(post_root)) if n.startswith("pbucket=")
+            ]
+            done += compact_dirs(
+                spark, post_root, names, max_files=max_files,
+                files_after=files_after, sort_col="term",
+            )
+        compact_recover(root)
+        if os.path.isdir(root + "/docstats"):
+            done += compact_dirs(
+                spark, root, ["docstats"], max_files=max_files,
+                files_after=files_after,
+            )
+    return done
 
 
 def build_text_index(

@@ -57,17 +57,20 @@ incoming docs against ghosts.
 
 from __future__ import annotations
 
-import fcntl
 import math
 import os
-import shutil
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as OPD
 from ..operators import text as OPT
+from ..store.filecompact import COMMIT as _C_COMMIT
+from ..store.filecompact import OLD as _C_OLD
+from ..store.filecompact import STAGE as _C_STAGE
+from ..store.filecompact import compact_dirs as _compact_dirs
+from ..store.filecompact import compact_recover as _compact_recover
+from ..store.filecompact import dir_lock as _corpus_lock
 
 _SIG_SCHEMA = "doc_id long, seed int, minhash long"
 
@@ -130,56 +133,12 @@ def _corpus_has_data(corpus_dir: str) -> bool:
 # --- corpus maintenance: lock + small-file compaction ----------------------
 # Streaming appends land one file set per micro-batch per touched prefix —
 # the classic streaming-sink small-files problem.  compact_corpus rewrites
-# oversized prefix partitions through a staged, commit-marked swap; the
-# advisory flock (same pattern as streaming/sketch.py, same local-fs /
-# single-driver caveat) serializes it against the ingest writes, and
-# _compact_recover runs on EVERY locked entry so an append can never
-# recreate a prefix whose pre-compaction rows are still staged (which a
-# later recovery would then discard — data loss).
-_C_STAGE = "_compact_stage"
-_C_OLD = "_compact_old"
-_C_COMMIT = "_COMMIT"
-
-
-@contextmanager
-def _corpus_lock(corpus_dir: str):
-    os.makedirs(corpus_dir, exist_ok=True)
-    fd = os.open(os.path.join(corpus_dir, "_LOCK"), os.O_CREAT | os.O_RDWR, 0o644)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
-
-
-def _compact_recover(corpus_dir: str) -> None:
-    """Finish or roll back an interrupted per-prefix compaction swap.
-    Invariants: the swap (rename prefix→_compact_old/…, rename
-    _compact_stage/…→prefix) only starts after the staged partition is
-    fully written and ``_COMMIT``-marked.  So: a committed stage whose
-    live prefix is MISSING rolls forward; an old copy whose live prefix
-    is missing (stage uncommitted) rolls back; everything else in the
-    two scratch roots is debris."""
-    stage_root = os.path.join(corpus_dir, _C_STAGE)
-    old_root = os.path.join(corpus_dir, _C_OLD)
-    if os.path.isdir(stage_root):
-        for name in os.listdir(stage_root):
-            src = os.path.join(stage_root, name)
-            final = os.path.join(corpus_dir, name)
-            if os.path.exists(os.path.join(src, _C_COMMIT)) and not os.path.exists(final):
-                os.rename(src, final)
-    if os.path.isdir(old_root):
-        for name in os.listdir(old_root):
-            src = os.path.join(old_root, name)
-            final = os.path.join(corpus_dir, name)
-            if not os.path.exists(final):
-                os.rename(src, final)
-    for root in (stage_root, old_root):
-        if os.path.isdir(root):
-            shutil.rmtree(root)
-
-
+# oversized prefix partitions through the SHARED staged, commit-marked
+# swap (store/filecompact.py — the inverted text index compacts through
+# the same code); the advisory flock serializes it against the ingest
+# writes, and _compact_recover runs on EVERY locked entry so an append
+# can never recreate a prefix whose pre-compaction rows are still staged
+# (which a later recovery would then discard — data loss).
 def compact_corpus(
     spark: SparkSession,
     corpus_dir: str,
@@ -195,7 +154,6 @@ def compact_corpus(
     live stream (pinned with a live stream in tests)."""
     if not os.path.isdir(corpus_dir):
         return 0
-    done = 0
     with _corpus_lock(corpus_dir):
         _compact_recover(corpus_dir)
         # the minhash signature sidecar accumulates per-batch files the
@@ -206,32 +164,9 @@ def compact_corpus(
         ]
         if os.path.isdir(os.path.join(corpus_dir, "_minhash_sigs")):
             targets.append("_minhash_sigs")
-        for name in targets:
-            pdir = os.path.join(corpus_dir, name)
-            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-            if len(files) <= max_files:
-                continue
-            stage_part = os.path.join(corpus_dir, _C_STAGE, name)
-            if os.path.exists(stage_part):
-                shutil.rmtree(stage_part)
-            spark.read.parquet(pdir).coalesce(files_after).write.mode(
-                "overwrite"
-            ).parquet(stage_part)
-            open(os.path.join(stage_part, _C_COMMIT), "w").close()
-            old_part = os.path.join(corpus_dir, _C_OLD, name)
-            os.makedirs(os.path.dirname(old_part), exist_ok=True)
-            if os.path.exists(old_part):
-                shutil.rmtree(old_part)
-            os.rename(pdir, old_part)
-            os.rename(stage_part, pdir)
-            shutil.rmtree(old_part)
-            os.remove(os.path.join(pdir, _C_COMMIT))
-            done += 1
-        for root in (_C_STAGE, _C_OLD):
-            p = os.path.join(corpus_dir, root)
-            if os.path.isdir(p) and not os.listdir(p):
-                shutil.rmtree(p)
-    return done
+        return _compact_dirs(
+            spark, corpus_dir, targets, max_files=max_files, files_after=files_after
+        )
 
 
 def _bloom_guard(

@@ -117,3 +117,76 @@ def test_bm25_batch_hard_negative_mining(spark, sf_dir):
     assert not {r.doc_id for r in mined} & set(positives)
     want = [r.doc_id for r in sorted(full, key=lambda r: r.rank) if r.doc_id not in positives][:5]
     assert [r.doc_id for r in sorted(mined, key=lambda r: r.rank)] == want
+
+
+def test_compact_text_index_preserves_queries_and_shrinks_files(
+    spark, sf_dir, tmp_path
+):
+    """Appends pile up per-bucket files; compaction rewrites them through
+    the shared staged swap — query results bit-identical, file counts
+    down, second run a no-op."""
+    import os
+
+    from eth_event_tracker_spark.operators.retrieval import compact_text_index
+
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    base = docs.where("doc_id % 4 = 0")
+    idx = str(tmp_path / "idx")
+    build_text_index(base, idx, n_buckets=8)
+    for m in (1, 2, 3):
+        append_text_index(docs.where(f"doc_id % 4 = {m}"), idx, n_buckets=8)
+
+    def nfiles():
+        total = 0
+        for root, _, files in os.walk(idx):
+            total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    before_files = nfiles()
+    want = _rows(bm25_query(spark, idx, TERMS, n_buckets=8))
+    done = compact_text_index(spark, idx, max_files=1, files_after=1)
+    assert done > 0
+    assert nfiles() < before_files
+    assert _rows(bm25_query(spark, idx, TERMS, n_buckets=8)) == want
+    # idempotent: everything already at files_after
+    assert compact_text_index(spark, idx, max_files=1, files_after=1) == 0
+    assert _rows(bm25_query(spark, idx, TERMS, n_buckets=8)) == want
+
+
+def test_compact_text_index_crash_recovery(spark, sf_dir, tmp_path):
+    """Constructed crash windows: a committed stage whose live partition
+    vanished rolls FORWARD; an old copy with an uncommitted stage rolls
+    BACK — recovery runs on the next locked entry (an append)."""
+    import os
+    import shutil
+
+    from eth_event_tracker_spark.operators.retrieval import compact_text_index
+    from eth_event_tracker_spark.store.filecompact import COMMIT, OLD, STAGE
+
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=False)
+    idx = str(tmp_path / "idx")
+    build_text_index(docs.where("doc_id % 2 = 0"), idx, n_buckets=4)
+    want = _rows(bm25_query(spark, idx, TERMS, n_buckets=4))
+
+    post = os.path.join(idx, "postings")
+    name = next(n for n in sorted(os.listdir(post)) if n.startswith("pbucket="))
+    live = os.path.join(post, name)
+
+    # forward: stage a committed copy, delete the live partition
+    stage = os.path.join(post, STAGE, name)
+    shutil.copytree(live, stage)
+    open(os.path.join(stage, COMMIT), "w").close()
+    shutil.rmtree(live)
+    append_text_index(docs.where("doc_id % 2 = 1"), idx, n_buckets=4)
+    assert os.path.isdir(live) and not os.path.isdir(os.path.join(post, STAGE))
+
+    # back: old copy present, stage uncommitted → old rolls back
+    after_append = _rows(bm25_query(spark, idx, TERMS, n_buckets=4))
+    old = os.path.join(post, OLD, name)
+    shutil.copytree(live, old)
+    shutil.rmtree(live)
+    os.makedirs(os.path.join(post, STAGE, name))  # uncommitted debris
+    assert compact_text_index(spark, idx, max_files=999) == 0
+    assert os.path.isdir(live) and not os.path.isdir(os.path.join(post, OLD))
+    assert _rows(bm25_query(spark, idx, TERMS, n_buckets=4)) == after_append
+    assert want  # the pre-append result set was non-trivial
