@@ -93,6 +93,74 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PREFIX FILTERING — the
+    AllPairs/PPJoin candidate rule (Bayardo/Ma/Srikant, WWW 2007): same
+    output as :func:`jaccard_pairs`, strictly smaller candidate set.
+
+    Rule: order each doc's shingles by ascending global document
+    frequency (rarest first; ties by shingle value — a canonical total
+    order), keep only the first ``|s| − ⌈t·|s|⌉ + 1`` as the doc's
+    PREFIX, and generate candidates by equality join on prefix tokens
+    plus the length filter ``t·|a| ≤ |b| ≤ |a|/t``.  Completeness: J ≥ t
+    forces an overlap ≥ ⌈t·max(|a|,|b|)⌉, and two sets with overlap ≥ α
+    must share a token within their first ``|x| − α + 1`` tokens of any
+    common total order — so every qualifying pair survives, while the
+    any-shared-token join explodes on exactly the tokens the prefix rule
+    skips (the frequent ones).  Both ⌈·⌉ and the length bounds take a
+    1e-9 slack so float rounding can only widen the candidate set, never
+    drop a true pair; verification (the shared candidate-driven
+    :func:`jaccard_pairs` tail) is exact either way.
+
+    100 TB shape: candidate volume is Σ per-token prefix-bucket², and
+    prefix tokens are by construction the RARE ones — the frequency-sorted
+    order exists precisely to keep those buckets small.  One extra
+    frequency aggregate + one per-doc rank window over the shingle
+    table; everything else is shared with the any-share path."""
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
+    sh = sh.localCheckpoint(eager=False)  # three consumers below
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_t"))
+    w = Window.partitionBy(id_col).orderBy("df_t", "shingle")
+    t = F.lit(float(threshold))
+    plen = (
+        F.col("n_sh")
+        - F.ceil(t * F.col("n_sh").cast("double") - F.lit(1e-9))
+        + 1
+    )
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("_rnk", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(F.col("_rnk") <= plen)
+        .select(id_col, "shingle", "n_sh")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.col("n_b").cast("double") >= t * F.col("n_a").cast("double") - 1e-9)
+        .where(F.col("n_a").cast("double") >= t * F.col("n_b").cast("double") - 1e-9)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(
+        df, threshold, n, text_col, id_col, candidates=cand, shingles=sh
+    )
+
+
 # MinHash permutation family: one portable sha-based hash per shingle,
 # then k affine permutations over its two 30-bit halves,
 #   m_i = (A_i*h_hi + B_i*h_lo + C_i) mod P,   P = 2^31 - 1 (prime).

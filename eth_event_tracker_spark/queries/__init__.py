@@ -140,6 +140,7 @@ _POST_WINDOW = (
     "cms_join_size_events",
     "entity_resolution_parts",
     "cdf_quantiles_chars",
+    "dedup_jaccard_prefix",
 )
 
 

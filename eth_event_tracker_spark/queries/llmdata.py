@@ -1706,3 +1706,28 @@ def cdf_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hist = cdf_histogram(docs, ["lang"], "n_chars", _CDF_CUTS)
     return cdf_quantiles(hist, ["lang"], _CDF_CUTS, _CDF_QS)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard (operators/dedup.py jaccard_pairs_prefix —
+# the AllPairs/PPJoin candidate rule): the oracle is the same EXHAUSTIVE
+# shingle-join SQL as dedup_ngram_jaccard, so the hash match proves the
+# prefix rule loses no pair while generating strictly fewer candidates
+# (the strict-subset count is pinned in tests/test_llmdata.py).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_jaccard_prefix",
+    f"""
+WITH {_SHINGLES_CTE},
+{_JACCARD_TAIL.format(cand_join="")}
+""",
+    doc="exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via "
+    "PPJoin prefix filtering — rarest-first prefixes join instead of every "
+    "shared shingle; result identical to the exhaustive path, candidates "
+    "strictly fewer",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPD.jaccard_pairs_prefix(
+        docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir)
+    )

@@ -1196,3 +1196,45 @@ def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(edges)
     return labels.groupBy("label").agg(F.count("*").alias("n_members"))
+
+
+@register(
+    "pagerank_cosupply",
+    None,
+    doc="PageRank over the top-500 co-supply pairs (rows-only: power "
+    "iteration is not SQL-expressible; the python-model pin, dangling-mass "
+    "conservation, and one-action-per-round discipline live in pytest) — "
+    "output is the top-20 suppliers by rank",
+)
+def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lists = (
+        li.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .repartition(32)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    top = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "src", "dst")
+        .limit(500)
+        .select("src", "dst")
+    )
+    # undirected co-supply graph → symmetrize so rank flows both ways
+    edges = top.union(top.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iters=10, tol=1e-7)
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(20)
+        .select("node", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"))
+    )

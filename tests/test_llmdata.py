@@ -28,6 +28,83 @@ def test_select_keepers_quality_aware(spark):
     assert got == {1: (2, 0.9), 10: (10, 0.5)}  # tie 2-vs-3 → lowest id
 
 
+def test_prefix_filter_equals_any_share_with_fewer_candidates(spark, sf_dir):
+    """PPJoin prefix filtering is EXACT: same pairs, same jaccard values
+    as the any-shared-shingle path — while generating strictly fewer
+    candidate pairs on a real corpus (the whole point of the rule)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in OPD.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in OPD.jaccard_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    assert got == want and want, "prefix filtering must lose no pair"
+
+    # candidate-set comparison: replicate both generators' pair counts
+    sh = OPD.word_shingles(docs).localCheckpoint(eager=False)
+    any_share = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_t"))
+    w = Window.partitionBy("doc_id").orderBy("df_t", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(F.col("rnk") <= F.col("n_sh") - F.ceil(0.8 * F.col("n_sh") - 1e-9) + 1)
+    )
+    prefixed = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert prefixed < any_share, (prefixed, any_share)
+
+
+def test_prefix_filter_brute_force_small_corpus(spark):
+    """Exhaustive check on a constructed corpus with chained near-dups,
+    exact dups, and short docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # high-jaccard neighbor
+        (3, base),                     # exact dup of 1
+        (4, "one two three"),          # single-shingle doc
+        (5, "one two three"),          # its exact dup
+        (6, "totally different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8, 1.0):
+        want = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in OPD.jaccard_pairs(docs, threshold=t).collect()
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in OPD.jaccard_pairs_prefix(docs, threshold=t).collect()
+        )
+        assert got == want, (t, got, want)
+    assert (1, 3, 1.0) in {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in OPD.jaccard_pairs_prefix(docs, threshold=1.0).collect()
+    }
+
+
 def test_simhash_recall_vs_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     truth = {

@@ -25,6 +25,7 @@ ROWS_ONLY_EXTRAS = {
     "embedding_pq_topk",
     "topic_balanced_docs",
     "community_labels_cosupply",
+    "pagerank_cosupply",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -98,6 +99,7 @@ POST_WINDOW_ORACLES = (
     "cms_join_size_events",
     "entity_resolution_parts",
     "cdf_quantiles_chars",
+    "dedup_jaccard_prefix",
 )
 
 
