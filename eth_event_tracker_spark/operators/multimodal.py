@@ -193,3 +193,28 @@ def resize_stub(assets: DataFrame, width: int = 64, height: int = 64) -> DataFra
     return assets.where(F.col("modality") == "image").mapInPandas(
         thumbs, schema=RESIZE_SCHEMA
     )
+
+
+def media_dedup_exact(assets: DataFrame, header_len: int = 4) -> DataFrame:
+    """Container-metadata-insensitive exact dedup over binary payloads:
+    hash the codec BODY (payload minus the ``header_len``-byte wrapper),
+    not the whole file — the media analogue of text dedup's
+    normalize-then-hash, and the reason re-wrapped copies (new EXIF, new
+    container mux, here the per-asset fake header) still collapse.
+
+    Output: (content_hash, keeper_id, n_copies) — one row per distinct
+    body, keeper = min asset id (deterministic).  Entirely JVM-side
+    (substring/hex/sha2 on BinaryType — no Python, no decode), one
+    shuffle on the uniform content hash; the same shape as
+    dedup.exact_dedup so the curation machinery (clusters, keepers,
+    ledgers) composes unchanged."""
+    body = F.expr(f"substring(payload, {header_len + 1}, length(payload))")
+    h = F.sha2(F.lower(F.hex(body)), 256)
+    return (
+        assets.select(F.col("asset_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("asset_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )

@@ -1034,3 +1034,36 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN tier against exact ground truth — the
+    operational health check a production retrieval pipeline runs on a
+    sampled query set after every index rebuild/append (the pytest
+    recall pins, promoted to a queryable operator).
+
+    Inputs are two result sets shaped (q_id, c_id, …) — typically
+    :func:`cosine_topk_exact` on a query SAMPLE vs any ANN tier at the
+    same k.  Output: (q_id, n_truth, n_hit, recall) per query; aggregate
+    with one more tiny mean/min for the dashboard number and alert when
+    a shifted corpus drags recall under target (re-train centroids /
+    re-derive planes — see ivf_append_to_index's drift caveat).
+
+    100 TB shape: both inputs are |sample|·k rows by construction —
+    one broadcast-size semi join + two bounded aggregates; the expensive
+    side (the exact pass) is priced by the SAMPLE, never the corpus."""
+    truth = exact.select("q_id", "c_id")
+    hits = truth.join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    n_t = truth.groupBy("q_id").agg(F.count("*").alias("n_truth"))
+    n_h = hits.groupBy("q_id").agg(F.count("*").alias("n_hit"))
+    return n_t.join(n_h, "q_id", "left").select(
+        "q_id",
+        "n_truth",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        (
+            F.coalesce("n_hit", F.lit(0)).cast("double")
+            / F.col("n_truth").cast("double")
+        ).alias("recall"),
+    )

@@ -141,6 +141,7 @@ _POST_WINDOW = (
     "entity_resolution_parts",
     "cdf_quantiles_chars",
     "dedup_jaccard_prefix",
+    "multimodal_dedup_exact",
 )
 
 

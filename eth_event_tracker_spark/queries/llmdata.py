@@ -1731,3 +1731,49 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPD.jaccard_pairs_prefix(
         docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Media exact dedup (operators/multimodal.py media_dedup_exact): hash the
+# codec BODY, not the container — the synthetic per-asset header plays
+# the role of EXIF/mux metadata, so re-wrapped copies of the same bytes
+# still collapse.  Fully JVM-side (substring/hex/sha2 on BinaryType),
+# hence fully oracle-checked like the rest of the multimodal plumbing.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup_exact",
+    """
+SELECT sha256(lower(hex(encode(text)))) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    doc="container-insensitive exact media dedup: sha-256 of the payload "
+    "BODY (header stripped) — re-wrapped byte-identical assets collapse; "
+    "one shuffle on the uniform hash, keeper = min asset id",
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import media_dedup_exact, synth_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_dedup_exact(synth_assets(docs))
+
+
+@register(
+    "ann_recall_ivf",
+    None,
+    doc="per-query recall of the IVF ANN tier vs the exact cosine top-5 "
+    "on a 5-query sample (rows-only: the measured quantity is an ANN "
+    "property; recall ≥ 0.8 pinned in pytest) — the index health check "
+    "a pipeline runs after rebuild/append",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = OPS.cosine_topk_exact(queries, corpus, k=5)
+    ivf = OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=5)
+    return ann_recall(exact, ivf)

@@ -273,6 +273,22 @@ def test_decoder_seam_matches_native_features(spark, sf_dir):
 
 
 
+def test_media_dedup_collapses_rewrapped_copies(spark):
+    """Same codec body behind DIFFERENT container headers → one group
+    (the EXIF-stripped-dedup semantic); different bodies stay apart;
+    keeper is the min asset id."""
+    rows = [
+        (1, b"\xfe\xed\x00\x01" + b"same-bytes"),
+        (2, b"\xfe\xed\x00\x99" + b"same-bytes"),   # re-wrapped copy
+        (3, b"\xfe\xed\x00\x01" + b"other-bytes"),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {r.content_hash: r for r in OPM.media_dedup_exact(assets).collect()}
+    assert len(out) == 2
+    groups = sorted((r.n_copies, r.keeper_id) for r in out.values())
+    assert groups == [(1, 3), (2, 1)]
+
+
 def test_multimodal_null_payload_is_per_row_not_per_batch(spark):
     """A NULL payload must null out that row's features/thumb, not fail
     the whole Arrow batch/task (round-6 advice, low) — and the decoder

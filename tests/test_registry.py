@@ -26,6 +26,7 @@ ROWS_ONLY_EXTRAS = {
     "topic_balanced_docs",
     "community_labels_cosupply",
     "pagerank_cosupply",
+    "ann_recall_ivf",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -100,6 +101,7 @@ POST_WINDOW_ORACLES = (
     "entity_resolution_parts",
     "cdf_quantiles_chars",
     "dedup_jaccard_prefix",
+    "multimodal_dedup_exact",
 )
 
 
