@@ -25,3 +25,33 @@ def with_scalars(df: DataFrame, **aggs: Column) -> DataFrame:
     """
     scalar_row = df.agg(*[c.alias(name) for name, c in aggs.items()])
     return df.crossJoin(F.broadcast(scalar_row))
+
+
+def json_quarantine(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+    """Dead-letter routing for a semi-structured parse, in ONE pass:
+    every row comes back with its parsed VARIANT (``parsed``), an ``ok``
+    flag, and a ``reason`` — good rows flow on, bad rows are the
+    quarantine table after a filter, and neither side re-scans the
+    input (the classic two-branch "parse then anti-join the failures"
+    costs the scan twice and can diverge between branches).
+
+    The validity test is the VARIANT parser (``try_parse_json``) — the
+    STRICT RFC reader — deliberately not ``from_json``: Spark's
+    permissive Jackson path happily extracts fields from a TRUNCATED
+    document (``'{"k": 87'`` parses), so it cannot back a quarantine
+    decision.  A NULL payload is its own reason (a malformed producer
+    and a missing field are different on-call pages).  Pure codegen —
+    no Python, no shuffle; extract typed fields downstream with
+    ``try_variant_get`` and route on ``reason``."""
+    parsed = F.try_parse_json(F.col(col))
+    reason = (
+        F.when(F.col(col).isNull(), F.lit("null_payload"))
+        .when(parsed.isNull(), F.lit("malformed_json"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        *keep,
+        parsed.alias("parsed"),
+        (reason == "ok").alias("ok"),
+        reason.alias("reason"),
+    )

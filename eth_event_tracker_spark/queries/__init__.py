@@ -142,6 +142,7 @@ _POST_WINDOW = (
     "cdf_quantiles_chars",
     "dedup_jaccard_prefix",
     "multimodal_dedup_exact",
+    "events_parse_quarantine",
 )
 
 

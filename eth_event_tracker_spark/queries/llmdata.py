@@ -1777,3 +1777,18 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = OPS.cosine_topk_exact(queries, corpus, k=5)
     ivf = OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=5)
     return ann_recall(exact, ivf)
+
+
+@register(
+    "quality_classifier_scores",
+    None,
+    doc="model-based quality scoring (rows-only: L-BFGS float reduction "
+    "order is layout-dependent): LR over hashed TF-IDF distilled from the "
+    "rule gate's own verdicts — the learned filter tier; accuracy / "
+    "teacher-agreement / decision-stability pinned in pytest",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import distill_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distill_quality_gate(docs, dim=64, max_iter=15)

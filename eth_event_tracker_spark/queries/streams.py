@@ -692,3 +692,49 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parse quarantine (operators/scalars.py json_quarantine): the dead-letter
+# pattern for semi-structured ingestion — every 7th event's props is
+# mangled (last char dropped: valid JSON → malformed) and the router
+# splits ok/malformed WITH their typed aggregates in one pass.  The
+# engines agree bit-for-bit because both sides see the same mangling and
+# DuckDB's json_valid matches from_json's null-on-malformed here.
+# ---------------------------------------------------------------------------
+@register(
+    "events_parse_quarantine",
+    """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS p
+  FROM events)
+SELECT event_type,
+       CASE WHEN json_valid(p) THEN 'ok' ELSE 'malformed_json' END AS reason,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN json_valid(p)
+                     THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END)
+            AS BIGINT) AS sum_k
+FROM m GROUP BY 1, 2
+""",
+    doc="dead-letter parse routing: malformed JSON rows quarantine with a "
+    "reason while good rows aggregate typed — one scan, no second parse, "
+    "per (event_type, reason) audit counts",
+)
+def events_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scalars import json_quarantine
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    routed = json_quarantine(ev, "props", keep=["event_type"])
+    k = F.try_variant_get(F.col("parsed"), "$.k", "long")
+    return routed.groupBy("event_type", "reason").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+    )

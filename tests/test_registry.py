@@ -27,6 +27,7 @@ ROWS_ONLY_EXTRAS = {
     "community_labels_cosupply",
     "pagerank_cosupply",
     "ann_recall_ivf",
+    "quality_classifier_scores",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -102,6 +103,7 @@ POST_WINDOW_ORACLES = (
     "cdf_quantiles_chars",
     "dedup_jaccard_prefix",
     "multimodal_dedup_exact",
+    "events_parse_quarantine",
 )
 
 

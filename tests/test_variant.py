@@ -70,3 +70,34 @@ def test_events_variant_extract_vs_oracle(spark, sf_dir, duck):
 
     name = "events_variant_extract"
     compare(all_queries()[name](spark, sf_dir), duck, all_oracles()[name], name)
+
+
+def test_json_quarantine_routes_reasons(spark):
+    """Strict routing: well-formed parses, truncated JSON quarantines
+    (the exact document Spark's permissive from_json would wrongly
+    accept), NULL payload gets its own reason."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.operators.scalars import json_quarantine
+
+    rows = [
+        (1, '{"k": 87}'),
+        (2, '{"k": 87'),       # truncated — must NOT pass a strict parser
+        (3, None),
+        (4, '[1, 2, 3]'),      # valid JSON, non-object — still parses
+        (5, 'not json at all'),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    out = {r.id: r for r in json_quarantine(df, "payload", keep=["id"]).collect()}
+    assert out[1].ok and out[1].reason == "ok"
+    assert not out[2].ok and out[2].reason == "malformed_json"
+    assert out[3].reason == "null_payload"
+    assert out[4].ok
+    assert out[5].reason == "malformed_json"
+    k = {
+        r.id: r.k
+        for r in json_quarantine(df, "payload", keep=["id"])
+        .select("id", F.try_variant_get("parsed", "$.k", "long").alias("k"))
+        .collect()
+    }
+    assert k[1] == 87 and k[2] is None and k[4] is None
