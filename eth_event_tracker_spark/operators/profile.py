@@ -318,3 +318,57 @@ def equidepth_histogram(
             F.count("*").alias("n"),
         )
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS fit of ``y_col`` over ``x_col`` — the trend
+    profile (is each source's quality/length/value drifting, and how
+    fast) beside the point-in-time monitors (psi_drift's distribution
+    shift, corr_matrix's co-movement).  Output:
+    (group_col, n, slope, intercept) with slope in y-units per x-unit.
+
+    Same exactness recipe as corr_matrix: the five moments per group
+    (Σx, Σy, Σxy, Σx², n) are summed as DECIMAL(18,4) values/products —
+    exact and order-independent — then slope/intercept run in double
+    from those identical inputs and round to 1e-9 units, so the result
+    hash-matches any engine computing the same formula.  Caller
+    responsibility: pass an x already shifted to a small origin (e.g.
+    seconds since the corpus epoch, not raw Unix time) — the moments
+    stay exact either way, but a well-conditioned x keeps the double
+    formula's cancellation benign on BOTH engines equally.  Rows with a
+    NULL in either column drop from that group's fit; a zero-variance x
+    yields NULL slope/intercept (vertical line — undefined).
+
+    100 TB shape: ONE aggregate with map-side partials — no joins, no
+    window, |groups| rows out."""
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    dx = x.cast("decimal(18,4)")
+    dy = y.cast("decimal(18,4)")
+    g = df.groupBy(group_col).agg(
+        F.count(F.when(both, F.lit(1))).alias("n"),
+        F.sum(F.when(both, dx)).cast("double").alias("sx"),
+        F.sum(F.when(both, dy)).cast("double").alias("sy"),
+        F.sum(F.when(both, dx * dy)).cast("double").alias("sxy"),
+        F.sum(F.when(both, dx * dx)).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+
+    def _r9(c):
+        return F.round(c * F.lit(1e9)).cast("long").cast("double") / F.lit(1e9)
+
+    return g.select(
+        group_col,
+        "n",
+        F.when(vx > 0, _r9(slope)).alias("slope"),
+        F.when(vx > 0, _r9(intercept)).alias("intercept"),
+    )

@@ -143,6 +143,7 @@ _POST_WINDOW = (
     "dedup_jaccard_prefix",
     "multimodal_dedup_exact",
     "events_parse_quarantine",
+    "trend_value_by_type",
 )
 
 

@@ -738,3 +738,56 @@ def events_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(k).alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-type OLS trend (operators/profile.py ols_trend): slope of event
+# value over time — the drift-TREND profile beside PSI's distribution
+# shift.  Exact decimal moments (the corr_matrix recipe; DuckDB widens
+# one product factor to DECIMAL(19,4) for the int128 multiply), double
+# formula from identical inputs, 1e-9 rounding; x is seconds since the
+# fixture epoch (2024-01-01) so the double cancellation stays benign on
+# both engines equally.
+# ---------------------------------------------------------------------------
+_TREND_X0 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "trend_value_by_type",
+    f"""
+WITH m AS (
+  SELECT event_type,
+    COUNT(*) FILTER (WHERE ts IS NOT NULL AND value IS NOT NULL) AS n,
+    CAST(SUM(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+      THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_X0} AS DECIMAL(18,4)) END) AS DOUBLE) AS sx,
+    CAST(SUM(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+      THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sy,
+    CAST(SUM(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+      THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_X0} AS DECIMAL(18,4))
+           * CAST(value AS DECIMAL(19,4)) END) AS DOUBLE) AS sxy,
+    CAST(SUM(CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+      THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_X0} AS DECIMAL(18,4))
+           * CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_X0} AS DECIMAL(19,4)) END) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1e9) AS BIGINT) / 1e9
+  END AS slope,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    CAST(round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE) * 1e9) AS BIGINT) / 1e9
+  END AS intercept
+FROM m
+""",
+    doc="per-event-type OLS trend of value over time (exact decimal "
+    "moments → double slope/intercept → 1e-9 rounding): the drift-trend "
+    "profile — one aggregate, map-side partials, |types| rows",
+)
+def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import ols_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts") - F.lit(_TREND_X0)
+    return ols_trend(ev, "event_type", x, "value")

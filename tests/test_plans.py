@@ -317,6 +317,12 @@ _SCALAR_BROADCAST_OK = {
     # |groups|² pair frame built from a broadcast of the |groups| list
     "kmv_jaccard_event_types",
     "triangle_count_cosupply",
+    # 5-query exact side broadcasts against the corpus (cosine_topk_exact),
+    # same sanctioned shape as embedding_cosine_topk
+    "ann_recall_ivf",
+    # hashed_tfidf_vectors' 1-row corpus-size scalar broadcast (the
+    # tfidf_top_terms shape) under both the train and score passes
+    "quality_classifier_scores",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate
@@ -328,6 +334,9 @@ _ARROW_SEAM_OK = {
     # the Bloom probe (mapInPandas bit tests over the broadcast bitmap) —
     # result pinned parameter-independent and equal to the exact anti-join
     "dedup_bloom_filter_against",
+    # the IVF arm's centroid assign/probe panda-UDFs (the embedding_ann
+    # seam, reached through the recall monitor's approx side)
+    "ann_recall_ivf",
 }
 
 

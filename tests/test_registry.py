@@ -104,6 +104,7 @@ POST_WINDOW_ORACLES = (
     "dedup_jaccard_prefix",
     "multimodal_dedup_exact",
     "events_parse_quarantine",
+    "trend_value_by_type",
 )
 
 

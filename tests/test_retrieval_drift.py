@@ -288,3 +288,33 @@ def test_corr_matrix_registry_shape(spark, sf_dir):
     assert all(r.corr is not None and -1.0 <= r.corr <= 1.0 for r in out)
     # synthetic lineitem: price/quantity/discount/tax are independent
     assert all(abs(r.corr) < 0.3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# OLS trend profile
+# ---------------------------------------------------------------------------
+def test_ols_trend_recovers_planted_slope(spark):
+    from eth_event_tracker_spark.operators.profile import ols_trend
+
+    rows = (
+        [("up", float(x), 3.0 + 2.0 * x) for x in range(50)]
+        + [("down", float(x), 10.0 - 0.5 * x) for x in range(50)]
+        + [("flatx", 7.0, float(v)) for v in range(5)]  # zero x variance
+        + [("gaps", 0.0, 1.0), ("gaps", 1.0, None), ("gaps", 2.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in ols_trend(df, "g", "x", "y").collect()}
+    assert out["up"].slope == 2.0 and out["up"].intercept == 3.0
+    assert out["down"].slope == -0.5 and out["down"].intercept == 10.0
+    assert out["flatx"].slope is None and out["flatx"].intercept is None
+    # NULL y drops that row only: fit through (0,1),(2,5) → slope 2, b 1
+    assert out["gaps"].n == 2 and out["gaps"].slope == 2.0 and out["gaps"].intercept == 1.0
+
+
+def test_ols_trend_registry_shape(spark, sf_dir):
+    from eth_event_tracker_spark.queries.streams import trend_value_by_type
+
+    out = trend_value_by_type(spark, sf_dir).collect()
+    assert len(out) == 5
+    # synthetic values are time-stationary: slopes are tiny but defined
+    assert all(r.slope is not None and abs(r.slope) < 0.01 for r in out)
