@@ -165,6 +165,45 @@ def _cmd_corpus(args) -> int:
     raise SystemExit(f"unknown corpus action {args.action!r}")
 
 
+def _cmd_index(args) -> int:
+    """Retrieval-index admin — the inverted text index as a managed
+    table: build from a parquet corpus, append new docs, compact the
+    per-append small files (shared staged-swap protocol), and query
+    BM25 through the index."""
+    from .operators.retrieval import (
+        append_text_index,
+        bm25_query,
+        build_text_index,
+        compact_text_index,
+    )
+    from .session import get_spark
+
+    spark = get_spark()
+    if args.action in ("build", "append"):
+        if not args.corpus:
+            raise SystemExit(f"{args.action} requires --corpus")
+        docs = spark.read.parquet(args.corpus)
+        fn = build_text_index if args.action == "build" else append_text_index
+        fn(docs, args.dir, n_buckets=args.buckets)
+        print(f"{args.action}: indexed {docs.count()} doc(s) at {args.dir}")
+        return 0
+    if args.action == "compact":
+        n = compact_text_index(spark, args.dir, max_files=args.max_files)
+        print(f"compacted {n} partition(s)")
+        return 0
+    if args.action == "query":
+        if not args.terms:
+            raise SystemExit("query requires --terms")
+        out = bm25_query(
+            spark, args.dir, args.terms.split(","), n_buckets=args.buckets,
+            top_n=args.limit,
+        )
+        for row in out.collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    raise SystemExit(f"unknown index action {args.action!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="eth_event_tracker_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -205,6 +244,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--max-files", type=int, default=4)
     cp.add_argument("--bloom-log", help="bloom log directory (seed-bloom)")
     cp.set_defaults(fn=_cmd_corpus)
+
+    ip = sub.add_parser("index", help="inverted-index maintenance (build / append / compact / query)")
+    ip.add_argument("action", choices=["build", "append", "compact", "query"])
+    ip.add_argument("--dir", required=True, help="index directory")
+    ip.add_argument("--corpus", help="parquet corpus path (build/append)")
+    ip.add_argument("--buckets", type=int, default=64)
+    ip.add_argument("--max-files", type=int, default=4)
+    ip.add_argument("--terms", help="comma-separated query terms (query)")
+    ip.add_argument("--limit", type=int, default=10)
+    ip.set_defaults(fn=_cmd_index)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -83,3 +83,37 @@ def test_cli_corpus_maintenance(tmp_path, capsys, spark):
         spark, str(corpus), recrawl, bloom_log_dir=str(tmp_path / "bl"), batch_id=0
     )
     assert {r.doc_id for r in corpus_view(spark, str(corpus)).collect()} == before
+
+
+def test_cli_index_lifecycle(tmp_path, capsys, spark):
+    """index build → query → append → compact → identical query results:
+    the retrieval index driven end-to-end through the CLI."""
+    import json as _json
+
+    docs = [
+        (i, f"vector stream merge data number {i}", "en", "s0")
+        for i in range(20)
+    ]
+    corpus_a = tmp_path / "docs_a"
+    corpus_b = tmp_path / "docs_b"
+    spark.createDataFrame(docs[:12], "doc_id long, text string, lang string, source string").write.parquet(str(corpus_a))
+    spark.createDataFrame(docs[12:], "doc_id long, text string, lang string, source string").write.parquet(str(corpus_b))
+    idx = tmp_path / "idx"
+
+    assert main(["index", "build", "--dir", str(idx), "--corpus", str(corpus_a), "--buckets", "8"]) == 0
+    assert "indexed 12" in capsys.readouterr().out
+
+    assert main(["index", "query", "--dir", str(idx), "--terms", "vector,stream", "--buckets", "8"]) == 0
+    first = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert first and all(r["matched"] == 2 for r in first)
+
+    assert main(["index", "append", "--dir", str(idx), "--corpus", str(corpus_b), "--buckets", "8"]) == 0
+    capsys.readouterr()
+    assert main(["index", "query", "--dir", str(idx), "--terms", "vector,stream", "--buckets", "8"]) == 0
+    with_appended = capsys.readouterr().out
+
+    assert main(["index", "compact", "--dir", str(idx), "--max-files", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted" in out
+    assert main(["index", "query", "--dir", str(idx), "--terms", "vector,stream", "--buckets", "8"]) == 0
+    assert capsys.readouterr().out == with_appended
