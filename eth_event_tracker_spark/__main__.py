@@ -204,6 +204,58 @@ def _cmd_index(args) -> int:
     raise SystemExit(f"unknown index action {args.action!r}")
 
 
+def _cmd_dq(args) -> int:
+    """Data-quality surface — the declarative expectation suite from the
+    command line: ``audit`` prints the per-check report for a parquet
+    path (exit 1 on any failing check — the CI-gate contract), ``publish``
+    runs the full write–audit–publish flow (store/wap.py), ``report``
+    prints the evidence a published snapshot carries."""
+    from .operators.expectations import run_suite, suite_from_spec
+    from .session import get_spark
+
+    if args.action == "report":
+        from .store.wap import read_audit
+
+        print(json.dumps(read_audit(args.out), indent=1, sort_keys=True))
+        return 0
+
+    if not args.suite:
+        raise SystemExit(f"{args.action} requires --suite <spec.json>")
+    with open(args.suite) as fh:
+        checks = suite_from_spec(json.load(fh))
+    spark = get_spark()
+    data = spark.read.parquet(args.data)
+
+    if args.action == "audit":
+        rows = run_suite(data, checks).collect()
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
+        failed = [r["check"] for r in rows if not r["passed"]]
+        if failed:
+            print(f"FAILED: {', '.join(failed)}", file=sys.stderr)
+            return 1
+        print(f"ok: {len(rows)} check(s) passed", file=sys.stderr)
+        return 0
+
+    if args.action == "publish":
+        from .store.wap import AuditFailedError, publish_with_audit
+
+        try:
+            audit = publish_with_audit(
+                data,
+                args.out,
+                checks,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
+                mode="overwrite" if args.overwrite else "error",
+            )
+        except AuditFailedError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
+        print(f"published {args.out}: {len(audit['checks'])} check(s) green")
+        return 0
+    raise SystemExit(f"unknown dq action {args.action!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="eth_event_tracker_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -254,6 +306,15 @@ def main(argv: list[str] | None = None) -> int:
     ip.add_argument("--terms", help="comma-separated query terms (query)")
     ip.add_argument("--limit", type=int, default=10)
     ip.set_defaults(fn=_cmd_index)
+
+    dp = sub.add_parser("dq", help="data-quality contract (audit / publish / report)")
+    dp.add_argument("action", choices=["audit", "publish", "report"])
+    dp.add_argument("--data", help="input parquet path (audit/publish)")
+    dp.add_argument("--suite", help="JSON expectation-suite spec (audit/publish)")
+    dp.add_argument("--out", help="published snapshot directory (publish/report)")
+    dp.add_argument("--partition-by", help="comma-separated partition columns (publish)")
+    dp.add_argument("--overwrite", action="store_true", help="replace an existing snapshot")
+    dp.set_defaults(fn=_cmd_dq)
 
     args = ap.parse_args(argv)
     return args.fn(args)

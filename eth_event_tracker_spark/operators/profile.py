@@ -372,3 +372,48 @@ def ols_trend(
         F.when(vx > 0, _r9(slope)).alias("slope"),
         F.when(vx > 0, _r9(intercept)).alias("intercept"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 3,
+    scale: int = 10000,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group robust outlier flags via the median / MAD rule: a row is
+    an outlier when ``|x - median| > k * MAD`` where MAD is the median of
+    the absolute deviations — the robust alternative to mean/stddev
+    z-scores (a single wild value shifts the mean AND inflates sigma,
+    masking itself; the median and MAD have a 50% breakdown point).
+
+    Engine-portable exactness: values are quantized to BIGINT units via
+    the repo's DECIMAL(18,4) convention (``xq = value * scale``), so both
+    medians interpolate over integers — the results are half-/quarter-
+    integers, exactly representable in double, and every comparison is
+    exact on both engines.  MAD == 0 (over half the group identical)
+    flags EVERY deviating row — the textbook rule's behavior, documented
+    here rather than papered over.
+
+    Returns the input columns plus ``xq`` (quantized value), ``med`` and
+    ``mad`` (in quantized units, double), and ``is_outlier`` (boolean;
+    NULL for NULL values — they have no deviation).
+
+    100 TB shape: ONE shuffle — both medians are unbounded-frame window
+    aggregates over the same ``partitionBy(group)`` exchange (two Window
+    nodes, one Exchange).  Exact percentile buffers each group's values;
+    at extreme group sizes pass ``approx=True`` for the
+    ``approx_percentile`` sketch tier (mergeable, constant memory —
+    flags may differ within sketch error near the threshold)."""
+    xq = (F.col(value_col).cast("decimal(18,4)") * scale).cast("long")
+    w = Window.partitionBy(group_col)
+    pctl = "approx_percentile" if approx else "percentile"
+    step1 = df.withColumn("xq", xq).withColumn(
+        "med", F.expr(f"{pctl}(xq, 0.5)").over(w).cast("double")
+    )
+    dev = F.abs(F.col("xq").cast("double") - F.col("med"))
+    step2 = step1.withColumn("dev", dev).withColumn(
+        "mad", F.expr(f"{pctl}(dev, 0.5)").over(w).cast("double")
+    )
+    return step2.withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("mad"))

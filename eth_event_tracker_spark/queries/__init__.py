@@ -144,6 +144,9 @@ _POST_WINDOW = (
     "multimodal_dedup_exact",
     "events_parse_quarantine",
     "trend_value_by_type",
+    # round 7 continuation: data-quality + robust-outlier profiles
+    "dq_expectations_orders",
+    "outliers_mad_lineitem",
 )
 
 

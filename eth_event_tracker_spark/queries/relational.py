@@ -1238,3 +1238,126 @@ def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite (operators/expectations.py): the
+# Deequ-style declarative data contract over orders — completeness,
+# key distinctness, set/range/regex compliance, row count, mean bounds —
+# ALL evaluated in one aggregate pass (single scan, map-side partials,
+# 1-row intermediate exploded to the report).  Ratio metrics are exact
+# BIGINT-count ratios (one double division, engine-portable); the mean
+# uses the repo-wide DECIMAL(18,4) sum convention.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectations_orders",
+    """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(o_custkey) AS ck_nn,
+         COUNT(DISTINCT o_orderkey) AS ok_dc,
+         COUNT(o_orderkey) AS ok_nn,
+         COUNT(o_orderstatus) AS st_nn,
+         COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS st_ok,
+         COUNT(o_totalprice) AS tp_nn,
+         COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 500000 THEN 1 END) AS tp_ok,
+         COUNT(o_orderpriority) AS pr_nn,
+         COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+               THEN 1 END) AS pr_ok,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tp_sum
+  FROM orders),
+r AS (
+  SELECT 'row_count' AS chk, CAST(n_rows AS DOUBLE) AS value,
+         CAST(1 AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi FROM a
+  UNION ALL
+  SELECT 'completeness(o_custkey)',
+         CAST(ck_nn AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0),
+         1.0, NULL FROM a
+  UNION ALL
+  SELECT 'distinctness(o_orderkey)',
+         CAST(ok_dc AS DOUBLE) / NULLIF(CAST(ok_nn AS DOUBLE), 0),
+         1.0, NULL FROM a
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)',
+         CAST(st_ok AS DOUBLE) / NULLIF(CAST(st_nn AS DOUBLE), 0),
+         1.0, NULL FROM a
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+         CAST(tp_ok AS DOUBLE) / NULLIF(CAST(tp_nn AS DOUBLE), 0),
+         0.99, NULL FROM a
+  UNION ALL
+  SELECT 'matches(o_orderpriority)',
+         CAST(pr_ok AS DOUBLE) / NULLIF(CAST(pr_nn AS DOUBLE), 0),
+         1.0, NULL FROM a
+  UNION ALL
+  SELECT 'mean_between(o_totalprice)',
+         tp_sum / NULLIF(CAST(tp_nn AS DOUBLE), 0),
+         100000.0, 400000.0 FROM a)
+SELECT chk AS "check", value, lo, hi,
+       CASE WHEN value IS NULL THEN false
+            ELSE (lo IS NULL OR value >= lo) AND (hi IS NULL OR value <= hi)
+       END AS passed
+FROM r
+""",
+    doc="declarative data-quality expectation suite over orders "
+    "(completeness / key distinctness / set-range-regex compliance / "
+    "row count / mean bounds) — ONE aggregate pass, per-check report "
+    "rows with measured metric + bounds + verdict",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as X
+
+    o = load_table(spark, sf_dir, "orders")
+    suite = [
+        X.row_count(lo=1),
+        X.completeness("o_custkey", 1.0),
+        X.distinctness("o_orderkey", 1.0),
+        X.in_set("o_orderstatus", ["O", "F", "P"], 1.0),
+        X.in_range("o_totalprice", 0, 500000, 0.99),
+        X.matches("o_orderpriority", "^[1-5]-[A-Z ]+$", 1.0),
+        X.mean_between("o_totalprice", 100000.0, 400000.0),
+    ]
+    return X.run_suite(o, suite)
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outlier detection (operators/profile.py mad_outliers):
+# median/MAD flags, exact-integer quantization so both engines
+# interpolate identical medians (halves/quarters — exactly representable
+# doubles; see the operator docstring).  One shuffle: both medians are
+# window aggregates over the same partitionBy exchange.
+# ---------------------------------------------------------------------------
+@register(
+    "outliers_mad_lineitem",
+    """
+WITH q AS (
+  SELECT l_returnflag AS g,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+  FROM lineitem),
+m AS (
+  SELECT g, xq, quantile_cont(xq, 0.5) OVER (PARTITION BY g) AS med FROM q),
+d AS (
+  SELECT g, med, abs(CAST(xq AS DOUBLE) - med) AS dev FROM m),
+dd AS (
+  SELECT g, med, dev, quantile_cont(dev, 0.5) OVER (PARTITION BY g) AS mad
+  FROM d)
+SELECT g AS l_returnflag, COUNT(*) AS n,
+       MIN(med) AS med, MIN(mad) AS mad,
+       COUNT(CASE WHEN dev > 3 * mad THEN 1 END) AS n_out
+FROM dd GROUP BY g
+""",
+    doc="median/MAD robust outlier flags per return flag (50% breakdown "
+    "point vs mean/stddev self-masking) — exact-integer quantization, one "
+    "shuffle, per-group counts of flagged rows",
+)
+def outliers_mad_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = mad_outliers(li, "l_returnflag", "l_extendedprice", k=3)
+    return flagged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_out"),
+    )

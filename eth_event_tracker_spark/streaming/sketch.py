@@ -181,6 +181,29 @@ def cdf_codec(
     )
 
 
+def dq_codec(checks) -> SketchCodec:
+    """Data-quality metrics log: the expectation suite's aggregates
+    (operators/expectations.py) as durable per-batch ``(metric, val)``
+    partials — the data contract evaluated continuously over a stream.
+    Counts and decimal sums fold by exact cell-wise decimal addition —
+    associative AND build-path-independent like the CMS/Bloom/CDF
+    codecs, so the accumulated state (and the report derived from it via
+    ``report_from_metrics``) pins bit-identical to a batch ``run_suite``
+    over the union of every ingested batch.  State is |aliases| rows per
+    batch — bounded by the suite, never the stream.  Non-mergeable
+    checks (exact count-distinct) are rejected at build time; use the
+    HLL codec for streaming distinct counts."""
+    from ..operators.expectations import metrics_rows
+
+    return SketchCodec(
+        build=lambda df: metrics_rows(df, checks),
+        fold=lambda parts: parts.groupBy("metric").agg(
+            F.sum("val").cast("decimal(38,6)").alias("val")
+        ),
+        empty_schema="metric string, val decimal(38,6)",
+    )
+
+
 _STAGE = "_stage_parts"
 _OLD = "_old_parts"
 _COMMIT = "_COMMIT"

@@ -117,3 +117,51 @@ def test_cli_index_lifecycle(tmp_path, capsys, spark):
     assert "compacted" in out
     assert main(["index", "query", "--dir", str(idx), "--terms", "vector,stream", "--buckets", "8"]) == 0
     assert capsys.readouterr().out == with_appended
+
+
+def test_cli_dq_lifecycle(tmp_path, capsys, spark):
+    """audit (green + red exit codes) -> publish -> report, end to end."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "in.parquet")
+    spark.range(10).select(
+        "id", (F.col("id") * 10.0).alias("price")
+    ).write.parquet(data)
+    suite = tmp_path / "suite.json"
+    suite.write_text(
+        json.dumps(
+            [
+                {"type": "row_count", "lo": 1},
+                {"type": "completeness", "col": "id", "min_ratio": 1.0},
+                {"type": "in_range", "col": "price", "lo": 0, "hi": 1000},
+                {"type": "mean_between", "col": "price", "lo": 0, "hi": 100},
+            ]
+        )
+    )
+    assert main(["dq", "audit", "--data", data, "--suite", str(suite)]) == 0
+    cap = capsys.readouterr()
+    rows = [json.loads(line) for line in cap.out.strip().splitlines()]
+    assert len(rows) == 4 and all(r["passed"] for r in rows)
+    assert "4 check(s) passed" in cap.err
+
+    # a red contract exits 1 and names the failing check
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([{"type": "in_range", "col": "price", "lo": 0, "hi": 5}]))
+    assert main(["dq", "audit", "--data", data, "--suite", str(bad)]) == 1
+    assert "FAILED: in_range(price)" in capsys.readouterr().err
+
+    out = str(tmp_path / "snap")
+    assert main(["dq", "publish", "--data", data, "--suite", str(suite), "--out", out]) == 0
+    assert "4 check(s) green" in capsys.readouterr().out
+    assert os.path.isdir(out)
+
+    # failing publish quarantines and exits 1; snapshot untouched
+    assert main(["dq", "publish", "--data", data, "--suite", str(bad),
+                 "--out", out, "--overwrite"]) == 1
+    assert "quarantined" in capsys.readouterr().err
+
+    assert main(["dq", "report", "--out", out]) == 0
+    audit = json.loads(capsys.readouterr().out)
+    assert audit["ok"] and len(audit["checks"]) == 4

@@ -105,6 +105,9 @@ POST_WINDOW_ORACLES = (
     "multimodal_dedup_exact",
     "events_parse_quarantine",
     "trend_value_by_type",
+    # round 7 continuation: data-quality + robust-outlier profiles
+    "dq_expectations_orders",
+    "outliers_mad_lineitem",
 )
 
 
