@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
-from .text import normalize, word_shingles
+from .text import normalize, word_shingles, words
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -569,4 +569,75 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find MAXIMAL word
+    spans that occur in >= ``min_docs`` distinct documents, as
+    per-document ``[span_start, span_end]`` word-offset intervals ready
+    for surgical removal.  Unlike ``chunk_documents``-based span dedup
+    (fixed non-overlapping 16-word cells — a duplicate straddling a
+    cell boundary is invisible), this slides an n-gram at EVERY word
+    position, so a shared substring is caught at any alignment, and
+    adjacent duplicated positions merge into one maximal span via
+    gaps-and-islands (pos - row_number is constant within a run).
+
+    Returns (id_col, span_start, span_end, n_words, n_grams): a span of
+    g consecutive duplicated n-grams covers g + n - 1 words.
+
+    100 TB shape: three shuffles, each on a high-cardinality key — the
+    n-gram group (map-side combine folds each partition's repeats
+    before the exchange), the hit back-join on the same key, and the
+    per-doc window.  The group key here is the shingle STRING so the
+    DuckDB oracle reproduces it exactly; production would key on
+    xxhash64(shingle) to shrink the exchange (collisions only ever ADD
+    a candidate position — the span is still a true duplicate region
+    at 2^-64 false-mark probability).  The suffix-array formulation of
+    the paper is single-node; this is the distributed equivalent."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ws = words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.struct(
+            i.cast("long").alias("p"),
+            F.array_join(F.slice(ws, i + 1, n), " ").alias("g"),
+        ),
+    )
+    pos = (
+        df.repartition(par, F.col(id_col))
+        .where(F.size(ws) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("x"))
+        .select(id_col, F.col("x.p").alias("p"), F.col("x.g").alias("g"))
+    )
+    dup = (
+        pos.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = pos.join(dup, "g").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = hits.withColumn("grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words"),
+            "n_grams",
+        )
     )

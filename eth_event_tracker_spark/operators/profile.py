@@ -417,3 +417,56 @@ def mad_outliers(
         "mad", F.expr(f"{pctl}(dev, 0.5)").over(w).cast("double")
     )
     return step2.withColumn("is_outlier", F.col("dev") > F.lit(k) * F.col("mad"))
+
+
+def winsorize_tukey(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.5,
+    scale: int = 10000,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group Tukey-fence winsorization: values are clipped to
+    ``[Q1 - k*IQR, Q3 + k*IQR]`` — the boxplot rule, the standard
+    robust clip a feature pipeline applies before aggregation so a few
+    wild rows cannot dominate a sum/mean (the flag-only complement is
+    ``mad_outliers``; this one REPAIRS instead of reporting).
+
+    Engine-exact by construction: values quantize to BIGINT units
+    (DECIMAL(18,4) ``* scale``), and the quartile positions
+    ``(n-1)*0.25`` / ``(n-1)*0.75`` are dyadic — every interpolated
+    quartile, fence (k=1.5 is exact binary), and clipped value is a
+    quarter-integer, exactly representable in double whichever
+    algebraically-equivalent interpolation formula an engine uses.
+    Arbitrary p-quantile clipping would NOT have this property (0.01 is
+    not binary-exact, so engines can disagree in the last ulp).
+
+    Returns input columns plus ``xq``, ``lo_fence``/``hi_fence``
+    (quantized units) and ``clipped`` (quantized, winsorized).  NULL
+    values stay NULL and never clip.
+
+    100 TB shape: ONE shuffle — both quartiles ride a single
+    ``partitionBy(group)`` window exchange, clipping is a projection.
+    ``approx=True`` swaps in mergeable ``approx_percentile`` when exact
+    per-group buffering is too large."""
+    xq = (F.col(value_col).cast("decimal(18,4)") * scale).cast("long")
+    w = Window.partitionBy(group_col)
+    pctl = "approx_percentile" if approx else "percentile"
+    q = (
+        df.withColumn("xq", xq)
+        .withColumn("q1", F.expr(f"{pctl}(xq, 0.25)").over(w).cast("double"))
+        .withColumn("q3", F.expr(f"{pctl}(xq, 0.75)").over(w).cast("double"))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = (F.col("q1") - F.lit(k) * iqr).alias("lo_fence")
+    hi = (F.col("q3") + F.lit(k) * iqr).alias("hi_fence")
+    out = q.withColumn("lo_fence", lo).withColumn("hi_fence", hi)
+    # explicit NULL guard: least/greatest IGNORE nulls (a NULL value
+    # would silently clip to the low fence instead of staying NULL)
+    clipped = F.when(
+        F.col("xq").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(F.greatest(F.col("xq").cast("double"), F.col("lo_fence")), F.col("hi_fence"))
+    )
+    return out.withColumn("clipped", clipped).drop("q1", "q3")

@@ -1067,3 +1067,154 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
             / F.col("n_truth").cast("double")
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): the third compression tier beside PQ.
+# PQ quantizes SUBVECTORS against trained centroids (high ratio, needs
+# training); SQ8 quantizes each DIMENSION to one byte against per-dim
+# [min, max] bounds — 4× smaller than float32 with near-exact recall,
+# no codebook training, and re-encodable on append without drift (the
+# bounds are the only state: 2·d floats on the driver).  The FAISS
+# SQ8/ScalarQuantizer design, re-expressed as Catalyst expressions.
+# ---------------------------------------------------------------------------
+def sq_train(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> "np.ndarray":
+    """Per-dimension [min, max] bounds over the corpus → (2, d) float64.
+
+    One pass: posexplode → groupBy(dim) min/max with map-side combine —
+    the shuffle carries d rows per partition, never the vectors."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("dim")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train: corpus is empty — nothing to bound")
+    bounds = np.array([[r["lo"] for r in rows], [r["hi"] for r in rows]])
+    return bounds
+
+
+def _sq_lits(bounds: "np.ndarray"):
+    lo, hi = bounds
+    step = (hi - lo) / 255.0
+    inv = np.where(step > 0, 1.0 / np.where(step > 0, step, 1.0), 0.0)
+    los = F.array(*[F.lit(float(v)) for v in lo])
+    steps = F.array(*[F.lit(float(v)) for v in step])
+    invs = F.array(*[F.lit(float(v)) for v in inv])
+    return los, steps, invs
+
+
+def sq_encode(
+    df: DataFrame,
+    bounds: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "sq_codes",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of per-dim byte codes
+    ``clamp(floor((x - lo) / step + 0.5), 0, 255)``.  floor(+0.5) — not
+    round() — on BOTH the Spark side and the numpy twin, so the two can
+    never disagree on a .5 tie (round() is half-up here, half-even in
+    numpy).  A degenerate dimension (hi == lo) encodes 0 and decodes to
+    exactly ``lo``.  Out-of-range values (an append beyond the trained
+    bounds) clamp — the standard SQ saturation semantics.  Pure JVM."""
+    los, steps, invs = _sq_lits(bounds)
+    d = bounds.shape[1]
+    v = F.col(vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (v[i].cast("double") - F.element_at(los, i + 1))
+                    * F.element_at(invs, i + 1)
+                    + F.lit(0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def sq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    bounds: "np.ndarray",
+    k: int = 5,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "sq_codes",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Compressed-domain search + exact rerank, the PQ-ADC discipline:
+    the scan touches ONLY (id, codes) — squared distance to the DECODED
+    corpus vector ``Σ (q_i − (lo_i + c_i·step_i))²`` as one
+    indexed-transform fold against broadcast per-query arrays; the raw
+    vectors are joined back for just the ``shortlist·k`` survivors per
+    query, exactly reranked on true squared distance.  Output
+    (q_id, vec_id, dist, rank ≤ k), ties by id, ``exclude_self`` uniform
+    with every other tier."""
+    los, steps, _ = _sq_lits(bounds)
+    d = bounds.shape[1]
+    qrows = queries.select(id_col, vec_col).collect()  # small by contract
+    spark = queries.sparkSession
+    luts = spark.createDataFrame(
+        [(int(r[0]), [float(v) for v in r[1]]) for r in qrows],
+        "q_id long, qv array<double>",
+    )
+    c = F.col(codes_col)
+    approx = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: (
+                F.element_at(F.col("qv"), i + 1)
+                - F.element_at(los, i + 1)
+                - c[i].cast("double") * F.element_at(steps, i + 1)
+            )
+            * (
+                F.element_at(F.col("qv"), i + 1)
+                - F.element_at(los, i + 1)
+                - c[i].cast("double") * F.element_at(steps, i + 1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("c_id"), codes_col)
+        .crossJoin(F.broadcast(luts))
+        .select("q_id", "c_id", approx.alias("adc_dist"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist * k)
+        .join(
+            corpus_codes.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+            "c_id",
+        )
+        .join(F.broadcast(luts), "q_id")
+    )
+    exact = short.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "c_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
+    )

@@ -742,3 +742,62 @@ def bm25_rank(
         .limit(top_n)
         .select(id_col, "matched", (F.col("s_e6").cast("double") / 1e6).alias("score"))
     )
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-1-smoothed bigram model — the second-order LM quality signal
+    (CCNet uses a 5-gram KenLM; the bigram is the same filter one order
+    up from ``unigram_logprob``, catching scrambled-word text that
+    unigram frequencies cannot: "the of and a" has great unigrams and
+    terrible bigrams).  p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with
+    V = |distinct successor vocabulary|.  Output (id, n_bigrams,
+    logprob).
+
+    Scale shape: everything model-keyed runs over the per-(doc, w1, w2)
+    COUNT table — one row per distinct pair per doc, never the token
+    stream; the conditional totals aggregate that same table; V is a
+    broadcast 1-row scalar.  Determinism: ln() sees an exact integer
+    ratio (correctly-rounded double on both engines, ln agrees to
+    <= 1 ulp), per-bigram log-probs round to INTEGER 1e-9 units so the
+    weighted sum is an exact BIGINT (order-independent), and the mean
+    is two correctly-rounded double divisions — the unigram_logprob
+    convention exactly."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("w1"),
+            F.element_at(ws, i + 2).alias("w2"),
+        ),
+    )
+    pairs = (
+        df.repartition(par, F.col(id_col))
+        .where(F.size(ws) >= 2)
+        .select(F.col(id_col), F.explode(bg).alias("x"))
+        .select(id_col, F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
+    )
+    # three consumers (pair totals, predecessor totals, scoring join): one eval
+    tf = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = tf.groupBy("w1").agg(F.sum("tf").alias("c1"))
+    v = tf.agg(F.countDistinct("w2").alias("v"))
+    logp_e9 = F.round(
+        F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+        * 1e9
+    ).cast("long")
+    scored = (
+        tf.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), "tf", (F.col("tf") * logp_e9).alias("contrib_e9"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        (F.sum("contrib_e9").cast("double") / F.sum("tf") / F.lit(1e9)).alias("logprob"),
+    )

@@ -147,6 +147,9 @@ _POST_WINDOW = (
     # round 7 continuation: data-quality + robust-outlier profiles
     "dq_expectations_orders",
     "outliers_mad_lineitem",
+    "winsorize_tukey_events",
+    "dedup_substring_spans",
+    "quality_bigram_logprob",
 )
 
 

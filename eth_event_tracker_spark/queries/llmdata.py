@@ -577,6 +577,23 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.pq_adc_topk(queries, codes, books, k=5)
 
 
+@register(
+    "embedding_sq8_topk",
+    None,
+    "SQ8 compressed-domain ANN: per-dim byte codes (4x smaller, no "
+    "training) scored in the compressed domain + exact rerank — the "
+    "scalar-quantization tier beside PQ (rows-only extra; encode/recall/"
+    "plan pins in tests/test_sq.py)",
+)
+def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    bounds = OPS.sq_train(corpus)
+    codes = OPS.sq_encode(corpus, bounds)
+    return OPS.sq_adc_topk(queries, codes, bounds, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — no image/audio libs in container)
 # ---------------------------------------------------------------------------
@@ -1792,3 +1809,86 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return distill_quality_gate(docs, dim=64, max_iter=15)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (operators/dedup.py duplicate_spans): the
+# Lee et al. 2022 maximal-span formulation — sliding 8-gram at EVERY
+# word position over the planted-duplicates corpus (same fixture as
+# dedup_spans: doc_id % 10 docs re-appear under shifted ids), duplicated
+# positions merged to maximal [start, end] intervals via
+# gaps-and-islands.  The chunked dedup_spans misses any duplicate that
+# straddles a 16-word cell boundary; this one is alignment-free.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_substring_spans",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+w AS (SELECT doc_id, string_split({_NORM}, ' ') AS words FROM corpus),
+pos AS (SELECT doc_id, words, unnest(generate_series(0, len(words) - 8)) AS p
+        FROM w WHERE len(words) >= 8),
+sh AS (SELECT doc_id, p, array_to_string(words[p+1 : p+8], ' ') AS g FROM pos),
+dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM sh JOIN dup USING (g)),
+isl AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM hits),
+s AS (SELECT doc_id, MIN(p) AS span_start, MAX(p) + 7 AS span_end, COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, grp)
+SELECT doc_id, span_start, span_end,
+       span_end - span_start + 1 AS n_words, n_grams
+FROM s
+""",
+    doc="exact-substring span dedup (Lee et al. maximal spans): sliding "
+    "8-grams shared across >= 2 docs, adjacent hits merged to maximal "
+    "per-doc [start, end] word intervals — alignment-free, unlike the "
+    "fixed-cell dedup_spans",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return OPD.duplicate_spans(docs.unionByName(dups), n=8, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality (operators/text.py bigram_logprob): add-1-smoothed
+# second-order LM score — same integer-1e-9 portability recipe as
+# quality_unigram_logprob (exact integer ratio into ln, BIGINT weighted
+# sum, two correctly-rounded double divisions).
+# ---------------------------------------------------------------------------
+@register(
+    "quality_bigram_logprob",
+    f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split({_NORM}, ' '), x -> x <> '') AS words
+           FROM documents),
+bg AS (SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+       FROM (SELECT doc_id, words, unnest(generate_series(0, len(words) - 2)) AS i
+             FROM w WHERE len(words) >= 2)),
+tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(tf) AS c1 FROM tf GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+                               / CAST(c1.c1 + v.v AS DOUBLE)) * 1e9) AS BIGINT)
+           AS contrib_e9
+  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(contrib_e9) AS DOUBLE) / SUM(tf) / 1e9 AS logprob
+FROM scored GROUP BY doc_id
+""",
+    doc="add-1-smoothed bigram LM quality score: per-(doc,w1,w2)-count "
+    "table only, broadcast successor-vocab scalar, integer-1e-9 "
+    "log-prob sums (the unigram_logprob convention one order up)",
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.bigram_logprob(docs)

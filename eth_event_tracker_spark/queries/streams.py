@@ -791,3 +791,61 @@ def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     x = F.unix_timestamp("ts") - F.lit(_TREND_X0)
     return ols_trend(ev, "event_type", x, "value")
+
+
+# ---------------------------------------------------------------------------
+# Tukey-fence winsorization (operators/profile.py winsorize_tukey):
+# per-type robust clipping at [Q1 - 1.5·IQR, Q3 + 1.5·IQR].  Dyadic
+# quartile positions + integer quantization make every fence and
+# clipped value a binary-exact fraction on both engines (see the
+# operator docstring — arbitrary p like 0.01 would NOT be portable).
+# One window exchange; the winsorized sum uses the decimal convention.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorize_tukey_events",
+    """
+WITH q AS (
+  SELECT event_type AS g,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+  FROM events),
+w AS (
+  SELECT g, xq,
+         quantile_cont(xq, 0.25) OVER (PARTITION BY g) AS q1,
+         quantile_cont(xq, 0.75) OVER (PARTITION BY g) AS q3
+  FROM q),
+c AS (
+  SELECT g, xq,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence,
+         CASE WHEN xq IS NULL THEN NULL
+              ELSE least(greatest(CAST(xq AS DOUBLE), q1 - 1.5 * (q3 - q1)),
+                         q3 + 1.5 * (q3 - q1))
+         END AS clipped
+  FROM w)
+SELECT g AS event_type,
+       COUNT(xq) AS n,
+       MIN(lo_fence) AS lo_fence,
+       MIN(hi_fence) AS hi_fence,
+       COUNT(CASE WHEN CAST(xq AS DOUBLE) < lo_fence THEN 1 END) AS n_lo,
+       COUNT(CASE WHEN CAST(xq AS DOUBLE) > hi_fence THEN 1 END) AS n_hi,
+       CAST(SUM(CAST(clipped AS DECIMAL(18,4))) AS DOUBLE) AS win_sum
+FROM c GROUP BY g
+""",
+    doc="per-type Tukey-fence winsorization (boxplot clip, engine-exact "
+    "dyadic quartiles): fences, clip counts, and the winsorized sum — "
+    "one window exchange + one aggregate",
+)
+def winsorize_tukey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import winsorize_tukey
+
+    ev = load_table(spark, sf_dir, "events")
+    wz = winsorize_tukey(ev, "event_type", "value", k=1.5)
+    xqd = F.col("xq").cast("double")
+    return wz.groupBy(F.col("event_type")).agg(
+        F.count("xq").alias("n"),
+        F.min("lo_fence").alias("lo_fence"),
+        F.min("hi_fence").alias("hi_fence"),
+        F.count(F.when(xqd < F.col("lo_fence"), 1)).alias("n_lo"),
+        F.count(F.when(xqd > F.col("hi_fence"), 1)).alias("n_hi"),
+        F.sum(F.col("clipped").cast("decimal(18,4)")).cast("double").alias("win_sum"),
+    )

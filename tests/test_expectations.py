@@ -188,3 +188,69 @@ class TestMadOutliers:
         assert [
             (r["g"], r["v"], r["is_outlier"]) for r in exact.collect()
         ] == [(r["g"], r["v"], r["is_outlier"]) for r in approx.collect()]
+
+
+@pytest.fixture(scope="module")
+def wz_df(spark):
+    # group w: 1..8 plus a wild 1000 -> Q1/Q3 interpolate on dyadic
+    # positions; group c: constant (IQR 0 -> fences collapse to the
+    # constant, every deviation clips); NULL row stays NULL
+    w = [("w", float(v)) for v in range(1, 9)] + [("w", 1000.0)]
+    c = [("c", 5.0)] * 4 + [("c", 9.0), ("c", None)]
+    return spark.createDataFrame(
+        w + c,
+        T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+class TestWinsorizeTukey:
+    def test_planted_fences_and_clip(self, wz_df):
+        from eth_event_tracker_spark.operators.profile import winsorize_tukey
+
+        out = [r for r in winsorize_tukey(wz_df, "g", "v").collect() if r["g"] == "w"]
+        # n=9 values {1..8, 1000} quantized x10000: Q1 at pos 2 -> 3.0,
+        # Q3 at pos 6 -> 7.0, IQR 4 -> fences [-3, 13] (x10000)
+        assert all(r["lo_fence"] == -3.0 * 10000 for r in out)
+        assert all(r["hi_fence"] == 13.0 * 10000 for r in out)
+        clipped = sorted(r["clipped"] for r in out)
+        assert clipped == sorted(
+            [v * 10000.0 for v in range(1, 9)] + [13.0 * 10000]
+        ), "only the wild value clips, and exactly to the hi fence"
+
+    def test_constant_group_and_null(self, wz_df):
+        from eth_event_tracker_spark.operators.profile import winsorize_tukey
+
+        out = [r for r in winsorize_tukey(wz_df, "g", "v").collect() if r["g"] == "c"]
+        # values {5,5,5,5,9}: Q1 = Q3 = 5 -> IQR 0 -> both fences 5;
+        # the 9 clips down to 5
+        vals = {r["v"]: r for r in out if r["v"] is not None}
+        assert vals[9.0]["clipped"] == 5.0 * 10000
+        assert vals[5.0]["clipped"] == 5.0 * 10000
+        nulls = [r for r in out if r["v"] is None]
+        assert len(nulls) == 1 and nulls[0]["clipped"] is None, (
+            "NULL must stay NULL (least/greatest would silently clip it "
+            "to the low fence without the guard)"
+        )
+
+    def test_one_exchange_plan(self, wz_df):
+        from eth_event_tracker_spark.operators.profile import winsorize_tukey
+
+        plan = (
+            winsorize_tukey(wz_df.repartition(4), "g", "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("hashpartitioning") <= 1
+
+    def test_repartition_deterministic(self, wz_df):
+        from eth_event_tracker_spark.operators.profile import winsorize_tukey
+
+        a = winsorize_tukey(wz_df.repartition(1), "g", "v").orderBy("g", "v")
+        b = winsorize_tukey(wz_df.repartition(7), "g", "v").orderBy("g", "v")
+        assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]

@@ -298,6 +298,9 @@ _SCALAR_BROADCAST_OK = {
     "changelog_incremental_agg",
     # broadcast of the per-query ADC lookup tables (|queries| rows)
     "embedding_pq_topk",
+    # SQ8's per-query (q_id, qv) broadcast — the same |queries|-row
+    # ADC shape as embedding_pq_topk
+    "embedding_sq8_topk",
     # TPC-H scalar-threshold subqueries: 1-row (total, n) / avg-balance
     # scalar broadcast against the grouped side with an INEQUALITY
     # predicate, so Catalyst cannot rewrite to BHJ (q15's equality
@@ -323,6 +326,9 @@ _SCALAR_BROADCAST_OK = {
     # hashed_tfidf_vectors' 1-row corpus-size scalar broadcast (the
     # tfidf_top_terms shape) under both the train and score passes
     "quality_classifier_scores",
+    # 1-row successor-vocab scalar broadcast (the unigram corpus-total
+    # shape one order up)
+    "quality_bigram_logprob",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate

@@ -28,6 +28,7 @@ ROWS_ONLY_EXTRAS = {
     "pagerank_cosupply",
     "ann_recall_ivf",
     "quality_classifier_scores",
+    "embedding_sq8_topk",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -108,6 +109,9 @@ POST_WINDOW_ORACLES = (
     # round 7 continuation: data-quality + robust-outlier profiles
     "dq_expectations_orders",
     "outliers_mad_lineitem",
+    "winsorize_tukey_events",
+    "dedup_substring_spans",
+    "quality_bigram_logprob",
 )
 
 
