@@ -4,7 +4,8 @@ pre-training data pipeline actually runs them.
     raw docs
       → quality gate          (rule-based keep/drop, text.quality_verdicts)
       → PII redaction         (text.redact_pii — redacted text flows on)
-      → LM quality filter     (text.unigram_logprob ≥ threshold, optional)
+      → LM quality filter     (text.unigram_logprob or bigram_logprob
+                               ≥ threshold, optional)
       → decontamination       (text.ngram_decontaminate vs an eval set)
       → exact dedup           (dedup.exact_dedup — content-hash keep-min)
       → near-dup clustering   (dedup.minhash_lsh_dedup → dup_clusters,
@@ -83,6 +84,7 @@ def curate(
     filter_against: DataFrame | None = None,
     contamination_max: float = 0.2,
     lm_logprob_min: float | None = None,
+    lm_order: int = 1,
     jaccard_threshold: float = 0.8,
     mix_rates: dict[str, float] | None = None,
     mix_default_rate: float = 0.0,
@@ -108,9 +110,11 @@ def curate(
     ``already_in_corpus``).
 
     ``eval_df`` enables the decontamination stage; ``lm_logprob_min``
-    enables the unigram-LM quality filter (docs whose mean token
-    log-prob under the corpus's own unigram model falls below the
-    threshold are dropped — gibberish and rare-token soup score low);
+    enables the LM quality filter (docs whose mean log-prob under the
+    corpus's own model falls below the threshold are dropped —
+    gibberish and rare-token soup score low); ``lm_order`` picks the
+    model: 1 = unigram (CCNet-class), 2 = add-1 bigram, which also
+    catches scrambled-word text whose unigram statistics are fine;
     ``mix_rates`` enables the mixture-sampling stage; ``upsample``
     enables the UPSAMPLING half of mixture flattening (round-6 advice
     #4): tail ``stratum_col`` strata are repeated toward √n proportions
@@ -174,9 +178,15 @@ def curate(
     # 2b. LM quality: unigram log-prob filter (CCNet-class) ----------------
     # Runs on the REDACTED text so the scored tokens are exactly the kept
     # tokens (redaction tags count like any other token on both sides).
+    # ``lm_order=2`` swaps in the add-1-smoothed bigram model — the
+    # second-order filter that also catches scrambled-word text whose
+    # unigram statistics are fine (operators/text.py bigram_logprob).
     if lm_logprob_min is not None:
+        if lm_order not in (1, 2):
+            raise ValueError(f"lm_order must be 1 or 2, got {lm_order!r}")
         stages.append("lm_quality")
-        lm = OPT.unigram_logprob(cur)
+        score = OPT.unigram_logprob if lm_order == 1 else OPT.bigram_logprob
+        lm = score(cur)
         low = lm.where(F.col("logprob") < lm_logprob_min)
         ledgers.append(_ledger(low, "lm_quality", F.lit("low_logprob")))
         cur = cur.join(low.select("doc_id"), "doc_id", "left_anti")

@@ -14,22 +14,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """Exact triangle count of an undirected graph, one row
-    (n_nodes, n_edges, n_triangles).
-
-    The classic distributed algorithm: orient every edge from its
-    lower-(degree, id) endpoint to the higher one — a total order, so
-    the orientation is acyclic and each triangle has exactly ONE node
-    with two out-edges — then count wedges (u→v, u→w) that close via an
-    oriented edge (v→w).  Degree orientation is the skew fix: out-degree
-    is bounded by O(√m) regardless of hubs, so the wedge self-join never
-    explodes on a high-degree node the way a naive src-keyed join would.
-    Every pair-forming step is an equality join (on u, then on (v, w));
-    the input is deduped and self-loops dropped."""
-    e = (
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected canonical form: (a < b), self-loops dropped, deduped."""
+    return (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(
@@ -38,30 +25,64 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = (
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _orient(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree orientation (u → w from lower (degree, id) to higher): a
+    total order, so the orientation is acyclic, each triangle has
+    exactly ONE node with two out-edges, and out-degree is bounded by
+    O(√m) regardless of hubs — the skew fix that keeps the wedge
+    self-join from exploding on a high-degree node."""
     da = deg.select(F.col("v").alias("_va"), F.col("d").alias("_da"))
     db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("_db"))
     lower_first = F.struct(F.col("_da"), F.col("a")) < F.struct(F.col("_db"), F.col("b"))
-    ori = (
+    return (
         e.join(da, F.col("a") == F.col("_va"))
         .join(db, F.col("b") == F.col("_vb"))
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
-        .localCheckpoint(eager=False)  # read 3× below; cut the join lineage
+        .localCheckpoint(eager=False)  # read 3× downstream; cut the join lineage
     )
+
+
+def _closed_wedges(ori: DataFrame) -> DataFrame:
+    """(u, v1, v2) triples where wedge u→v1, u→v2 closes via the
+    oriented edge v1→v2 — each triangle appears exactly ONCE (the
+    closure edge's own orientation picks one of the wedge's two
+    orderings)."""
     o1 = ori.select(F.col("u"), F.col("w").alias("v1"))
     o2 = ori.select(F.col("u"), F.col("w").alias("v2"))
     wedges = o1.join(o2, "u").where(F.col("v1") != F.col("v2"))
-    closed = wedges.join(
+    return wedges.join(
         ori.select(F.col("u").alias("v1"), F.col("w").alias("v2")), ["v1", "v2"], "left_semi"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph, one row
+    (n_nodes, n_edges, n_triangles).
+
+    The classic distributed algorithm: orient every edge from its
+    lower-(degree, id) endpoint to the higher one, then count wedges
+    (u→v, u→w) that close via an oriented edge (v→w) — see _orient for
+    why degree orientation is the skew fix.  Every pair-forming step is
+    an equality join (on u, then on (v, w))."""
+    e = _canon_edges(edges, src, dst)
+    deg = _degrees(e)
+    closed = _closed_wedges(_orient(e, deg))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     return (
@@ -70,6 +91,39 @@ def triangle_count(
         .crossJoin(F.broadcast(n_edges))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient:
+    (node, degree, n_tri, lcc) with lcc = 2·tri / (d·(d−1)), NULL for
+    degree-< 2 nodes (the coefficient is undefined, not zero).
+
+    Same degree-oriented wedge machinery as triangle_count — each
+    closed wedge (u, v1, v2) is one distinct triangle, exploded to its
+    three member nodes and counted per node (one extra |triangles|-row
+    explode + groupBy over triangle_count's plan).  Determinism: tri
+    and d·(d−1) are exact integers, lcc one correctly-rounded double
+    division — hash-exact vs the SQL twin."""
+    e = _canon_edges(edges, src, dst)
+    deg = _degrees(e)
+    closed = _closed_wedges(_orient(e, deg))
+    members = closed.select(
+        F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("v")
+    )
+    tri = members.groupBy("v").agg(F.count("*").alias("n_tri"))
+    joined = deg.join(tri, "v", "left").select(
+        F.col("v").alias("node"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * F.col("n_tri")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    )
+    return joined.withColumn("lcc", lcc)
 
 
 def pagerank(
@@ -201,3 +255,50 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k,
+    by iterative peeling — drop all sub-k nodes, recompute degrees on
+    the surviving subgraph, repeat to fixpoint (a chain unravels one
+    link per round, which is why the loop, not one filter).  Returns
+    (node, degree) with degree measured INSIDE the core.
+
+    The density filter of the graph family: after near-dup edges build
+    clusters, the k-core separates genuinely dense duplicate families
+    from chains of borderline pairs that LPA would happily glue into
+    one community.
+
+    100 TB shape: per round ONE degree aggregate + one two-sided
+    semi-join of the edge list against the survivor set (equality
+    joins on the endpoint keys), lineage cut per round, and a single
+    driver action (the surviving-edge count) — the LPA/PageRank loop
+    discipline.  Rounds are bounded by the longest peel chain, ≤
+    max_rounds as a backstop."""
+    e = _canon_edges(edges, src, dst)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = _degrees(e)
+        keep = deg.where(F.col("d") >= k).select("v")
+        e2 = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    out = _degrees(e).select(F.col("v").alias("node"), F.col("d").alias("degree"))
+    # isolated survivors cannot exist: degree ≥ k ≥ 1 inside the core
+    return out

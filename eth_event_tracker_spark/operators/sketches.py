@@ -252,14 +252,13 @@ def kmv_estimate(sketch: DataFrame, keys: list[str], k: int = 256) -> DataFrame:
     return agg.select(*keys, est.alias("n_distinct_est"))
 
 
-def kmv_jaccard(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
-    """Pairwise Jaccard estimates between every two groups of one
-    sketch table: U = bottom-k of the two sketches' hash union,
-    J = |{h ∈ U : h in BOTH sketches}| / |U|  (group_a < group_b).
-
-    Scale shape: the |groups| list broadcasts into a pair frame; each
-    pair processes ≤ 2k sketch rows — |groups|²·k work total,
-    independent of the data the sketches summarize."""
+def _kmv_pair_flags(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Shared pair machinery for the pairwise KMV estimators: for every
+    group pair (ga < gb), the bottom-k of the two sketches' hash UNION,
+    each hash flagged with membership (_ina/_inb as 1-or-NULL).  The
+    union of two bottom-k sketches' k smallest values is itself the
+    union's KMV sketch — that closure is what makes every pairwise
+    estimate below computable from sketches alone."""
     m = sketch.select(F.col(group_col).alias("g"), "h").localCheckpoint(eager=False)
     groups = m.select("g").distinct()
     pairs = (
@@ -276,18 +275,66 @@ def kmv_jaccard(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
     )
     w = Window.partitionBy("ga", "gb").orderBy("h")
     topk = uni.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    flagged = (
+    return (
         topk.join(
             ha.withColumn("_ina", F.lit(1)), ["ga", "h"], "left"
         ).join(hb.withColumn("_inb", F.lit(1)), ["gb", "h"], "left")
     )
+
+
+def _kmv_both():
     # left-join misses are NULL: isNotNull, not == 1 (NULL & TRUE is
-    # NULL, and a disjoint pair would aggregate to NULL instead of 0)
-    both = (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast("int")
+    # NULL, and a disjoint pair would aggregate to NULL instead of 0).
+    # A function, not a module constant — Column construction needs an
+    # active session.
+    return (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast("int")
+
+
+def kmv_jaccard(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups of one
+    sketch table: U = bottom-k of the two sketches' hash union,
+    J = |{h ∈ U : h in BOTH sketches}| / |U|  (group_a < group_b).
+
+    Scale shape: the |groups| list broadcasts into a pair frame; each
+    pair processes ≤ 2k sketch rows — |groups|²·k work total,
+    independent of the data the sketches summarize."""
+    flagged = _kmv_pair_flags(sketch, group_col, k)
     return flagged.groupBy("ga", "gb").agg(
-        (F.sum(both).cast("double") / F.count("*")).alias("jaccard_est")
+        (F.sum(_kmv_both()).cast("double") / F.count("*")).alias("jaccard_est")
     ).select(
         F.col("ga").alias("group_a"), F.col("gb").alias("group_b"), "jaccard_est"
+    )
+
+
+def kmv_set_sizes(sketch: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise set-algebra cardinalities from the SAME KMV sketches:
+    (group_a, group_b, jaccard_est, union_est, inter_est) — the sketch
+    answers |A ∪ B| and |A ∩ B| for every pair without touching the
+    data again (the planner/profiler use: overlap sizing between
+    sources, shards, or time slices).
+
+    Math: the bottom-k of the two sketches' hash-union is the union's
+    own KMV sketch, so |A ∪ B| uses the standard (k−1)·2⁶⁰ / h_(k)
+    estimator (exact when the union holds < k hashes), and
+    |A ∩ B| = J · |A ∪ B| by inclusion–exclusion on the Jaccard.
+    Determinism: every term is an exact integer or a correctly-rounded
+    double of exact integers — the estimate hash-matches the SQL twin
+    bit-for-bit, like kmv_estimate."""
+    flagged = _kmv_pair_flags(sketch, group_col, k)
+    agg = flagged.groupBy("ga", "gb").agg(
+        (F.sum(_kmv_both()).cast("double") / F.count("*")).alias("jaccard_est"),
+        F.count("*").alias("_c"),
+        F.max("h").alias("_hk"),
+    )
+    union_est = F.when(F.col("_c") < k, F.col("_c").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / F.col("_hk")
+    )
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "jaccard_est",
+        union_est.alias("union_est"),
+        (F.col("jaccard_est") * union_est).alias("inter_est"),
     )
 
 
@@ -349,4 +396,52 @@ def cdf_quantiles(
             F.col("bucket") < len(cuts), F.element_at(bounds, F.col("bucket") + 1)
         ).alias("hi"),
         "n",
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window_hours: int = 3,
+    lgk: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGEABLE sketches: per
+    (keys…, hour) an HLL register bank, then the rolling estimate via
+    ``hll_union_agg`` over a RANGE frame of the preceding
+    ``window_hours`` — (keys…, hour, n_hour_exact, n_rolling_est).
+
+    Why not exact: a sliding COUNT(DISTINCT) re-deduplicates the whole
+    trailing window at every slide — at 100 TB that is window_hours×
+    the distinct shuffle, every hour, forever.  Register banks union in
+    O(2^lgk) per step regardless of cardinality, the same
+    persisted-log property the CMS/Bloom/KMV logs use; the hourly
+    sketch table is all that is ever kept.  The frame is RANGE over
+    epoch seconds, not ROWS — an hour with no events must still age
+    out of the window (a ROWS frame would silently stretch the window
+    across gaps).  Per-hour exact counts ride along for free (the
+    groupBy already shuffles on (keys, hour)) as the in-window accuracy
+    reference."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        df.groupBy(*keys, hour.alias("hour"))
+        .agg(
+            F.expr(f"hll_sketch_agg({value_col}, {lgk})").alias("sketch"),
+            F.countDistinct(value_col).alias("n_hour_exact"),
+        )
+        .withColumn("_sec", F.unix_timestamp("hour"))
+    )
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("_sec")
+        .rangeBetween(-(window_hours - 1) * 3600, 0)
+    )
+    return hourly.select(
+        *keys,
+        "hour",
+        "n_hour_exact",
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sketch)").over(w)).alias(
+            "n_rolling_est"
+        ),
     )

@@ -150,6 +150,8 @@ _POST_WINDOW = (
     "winsorize_tukey_events",
     "dedup_substring_spans",
     "quality_bigram_logprob",
+    "kmv_set_sizes_event_types",
+    "clustering_coeff_cosupply",
 )
 
 

@@ -1892,3 +1892,53 @@ FROM scored GROUP BY doc_id
 def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return OPT.bigram_logprob(docs)
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (operators/sketches.py kmv_set_sizes): |A∪B| and
+# |A∩B| per group pair from the SAME sketches as kmv_jaccard — the
+# bottom-k of two sketches' hash union is the union's own KMV sketch
+# (closure), so union_est is the standard (k−1)·2⁶⁰/h_(k) and
+# inter_est = J·union_est by inclusion–exclusion.  Deterministic →
+# exact oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_set_sizes_event_types",
+    f"""
+WITH {_KMV_SK},
+gs AS (SELECT DISTINCT g FROM sk),
+p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+uni AS (SELECT DISTINCT ga, gb, h FROM (
+    SELECT p.ga, p.gb, s.h FROM p JOIN sk s ON s.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, s.h FROM p JOIN sk s ON s.g = p.gb) u),
+topk AS (SELECT ga, gb, h FROM (
+    SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni) z
+    WHERE rn <= {_KMV_K}),
+fl AS (SELECT t.ga, t.gb, t.h,
+         CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS inboth
+       FROM topk t
+       LEFT JOIN sk a ON a.g = t.ga AND a.h = t.h
+       LEFT JOIN sk b ON b.g = t.gb AND b.h = t.h),
+ag AS (SELECT ga, gb,
+         CAST(SUM(inboth) AS DOUBLE) / COUNT(*) AS jaccard_est,
+         COUNT(*) AS c, MAX(h) AS hk
+       FROM fl GROUP BY ga, gb)
+SELECT ga AS group_a, gb AS group_b, jaccard_est,
+       CASE WHEN c < {_KMV_K} THEN CAST(c AS DOUBLE)
+            ELSE {_KMV_K - 1} * 1152921504606846976.0 / hk END AS union_est,
+       jaccard_est * (CASE WHEN c < {_KMV_K} THEN CAST(c AS DOUBLE)
+            ELSE {_KMV_K - 1} * 1152921504606846976.0 / hk END) AS inter_est
+FROM ag
+""",
+    doc="pairwise |A∪B| / |A∩B| estimates between event types' user sets "
+    "from the same KMV sketches (bottom-k closure under union + "
+    "inclusion–exclusion) — |groups|²·k work, no second data scan; "
+    "deterministic → exact oracle",
+)
+def kmv_set_sizes_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_profile, kmv_set_sizes
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_profile(ev, ["event_type"], "user_id", k=_KMV_K)
+    return kmv_set_sizes(sk, "event_type", k=_KMV_K)

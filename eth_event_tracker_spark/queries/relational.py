@@ -1019,37 +1019,56 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
-    # pair generation WITHOUT a self-join: per-part supplier lists are
-    # bounded (~26 suppliers/part at every SF), so sort_array + a nested
-    # transform explodes each part's ordered pairs locally — one shuffle
-    # on l_partkey instead of a join shuffle plus a probe
-    li = load_table(spark, sf_dir, "lineitem")
-    # the repartition matters: AQE coalesces the post-groupBy exchange by
-    # the SMALL list-table size, but the explode below blows each row up
-    # ~325× — without re-spreading, millions of pair rows land on two
-    # tasks.  Explode-after-exchange defeats size-based coalescing; give
-    # the blowup its parallelism explicitly.
-    lists = (
-        li.groupBy("l_partkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .repartition(32)
-    )
-    pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    edges = (
-        pairs.groupBy("src", "dst")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "src", "dst")
-        .limit(500)
-        .select("src", "dst")
-    )
-    return triangle_count(edges)
+    return triangle_count(_cosupply_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (operators/graph.py local_clustering):
+# the per-node refinement of the triangle count — same degree-oriented
+# wedge machinery, each closed wedge exploded to its three member
+# nodes.  lcc = 2·tri / (d·(d−1)) is one double division of exact
+# integers, so the whole profile hash-matches the oracle; degree-<2
+# nodes get NULL (undefined, not zero).
+# ---------------------------------------------------------------------------
+@register(
+    "clustering_coeff_cosupply",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          ORDER BY cnt DESC, a, b LIMIT 500),
+deg AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
+        GROUP BY v),
+ori AS (SELECT CASE WHEN (da.d, pairs.a) < (db.d, pairs.b) THEN pairs.a ELSE pairs.b END AS u,
+               CASE WHEN (da.d, pairs.a) < (db.d, pairs.b) THEN pairs.b ELSE pairs.a END AS w
+        FROM pairs JOIN deg da ON da.v = pairs.a JOIN deg db ON db.v = pairs.b),
+closed AS (SELECT u, v1, v2
+           FROM (SELECT o1.u, o1.w AS v1, o2.w AS v2
+                 FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.w <> o2.w) wedges
+           WHERE EXISTS (SELECT 1 FROM ori WHERE ori.u = wedges.v1 AND ori.w = wedges.v2)),
+tri AS (SELECT v, COUNT(*) AS n_tri FROM (
+          SELECT u AS v FROM closed
+          UNION ALL SELECT v1 FROM closed
+          UNION ALL SELECT v2 FROM closed) t GROUP BY v)
+SELECT deg.v AS node, deg.d AS degree,
+       CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+       END AS lcc
+FROM deg LEFT JOIN tri ON tri.v = deg.v
+""",
+    doc="per-node local clustering coefficient over the top-500 co-supply "
+    "pairs: degree-oriented closed wedges exploded to member nodes; "
+    "lcc = 2·tri/(d·(d−1)) exact-integer division, NULL below degree 2",
+)
+def clustering_coeff_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import local_clustering
+
+    return local_clustering(_cosupply_edges(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1162,17 +1181,18 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "community_labels_cosupply",
-    None,
-    doc="label-propagation communities over the top-500 co-supply pairs "
-    "(rows-only: iterative LPA is not SQL-expressible; planted-clique "
-    "recovery, determinism, and oscillation-freedom pinned in pytest) — "
-    "output is the per-community size table",
-)
-def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-500 co-supply pairs (src < dst) — the shared graph fixture
+    for the triangle / LPA / PageRank / clustering entries.
 
+    Pair generation WITHOUT a self-join: per-part supplier lists are
+    bounded (~26 suppliers/part at every SF), so sort_array + a nested
+    transform explodes each part's ordered pairs locally — one shuffle
+    on l_partkey instead of a join shuffle plus a probe.  The
+    repartition matters: AQE coalesces the post-groupBy exchange by the
+    SMALL list-table size, but the explode blows each row up ~325× —
+    without re-spreading, millions of pair rows land on two tasks
+    (explode-after-exchange defeats size-based coalescing)."""
     li = load_table(spark, sf_dir, "lineitem")
     lists = (
         li.groupBy("l_partkey")
@@ -1187,14 +1207,27 @@ def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.src", "p.dst")
-    edges = (
+    return (
         pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "src", "dst")
         .limit(500)
         .select("src", "dst")
     )
-    labels = label_propagation(edges)
+
+
+@register(
+    "community_labels_cosupply",
+    None,
+    doc="label-propagation communities over the top-500 co-supply pairs "
+    "(rows-only: iterative LPA is not SQL-expressible; planted-clique "
+    "recovery, determinism, and oscillation-freedom pinned in pytest) — "
+    "output is the per-community size table",
+)
+def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(_cosupply_edges(spark, sf_dir))
     return labels.groupBy("label").agg(F.count("*").alias("n_members"))
 
 
@@ -1209,27 +1242,7 @@ def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
-    lists = (
-        li.groupBy("l_partkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .repartition(32)
-    )
-    pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
-    top = (
-        pairs.groupBy("src", "dst")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "src", "dst")
-        .limit(500)
-        .select("src", "dst")
-    )
+    top = _cosupply_edges(spark, sf_dir)
     # undirected co-supply graph → symmetrize so rank flows both ways
     edges = top.union(top.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, n_iters=10, tol=1e-7)
@@ -1361,3 +1374,19 @@ def outliers_mad_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mad").alias("mad"),
         F.count(F.when(F.col("is_outlier"), 1)).alias("n_out"),
     )
+
+
+@register(
+    "kcore_cosupply",
+    None,
+    doc="2-core of the top-500 co-supply graph (rows-only: iterative "
+    "peeling is not SQL-expressible; python-model equivalence, "
+    "chain-unravelling, and clique-survival pinned in pytest) — output "
+    "is the surviving (node, in-core degree) table; k=2 because the "
+    "top-500 graph turns tree-like at sf0.1 (559 nodes / 500 edges) and "
+    "higher cores are empty there",
+)
+def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    return kcore(_cosupply_edges(spark, sf_dir), k=2)

@@ -352,3 +352,56 @@ def test_curate_corpus_extension_stage(spark, sf_dir):
     # survivors to running curate on the fresh half alone
     want = {r.doc_id for r in curate(fresh).kept.select("doc_id").collect()}
     assert kept_ids == want
+
+
+def test_curate_lm_order2_catches_scrambled_text(spark, sf_dir):
+    """lm_order=2 swaps in the bigram model: a scrambled-word doc whose
+    TOKENS are all corpus-common (great unigrams, broken transitions)
+    is dropped by the bigram filter at a threshold the fluent corpus
+    clears.  The unigram filter at the same threshold cannot separate
+    it (that is the point of the second order)."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.operators.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    # a repeated fluent sentence (its own bigrams recur 4×, supporting
+    # themselves in the corpus model) vs the SAME word multiset
+    # seed-shuffled — aperiodic, so nearly every transition is novel
+    # (an interleave/reversal would NOT work: interleaving a periodic
+    # sequence is still periodic, its bigrams self-support just as well)
+    import random
+
+    fluent_words = ("the value of the table and the row of the data " * 4).split()
+    shuffled = list(fluent_words)
+    random.Random(0).shuffle(shuffled)
+    scrambled = " ".join(shuffled)
+    planted = spark.createDataFrame(
+        [
+            (990011, " ".join(fluent_words), "en", "synthetic", 200),
+            (990012, scrambled, "en", "synthetic", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(planted)
+
+    # pick a threshold between the two planted docs' bigram scores
+    scores = {
+        r["doc_id"]: r["logprob"]
+        for r in bigram_logprob(planted.unionByName(docs)).collect()
+        if r["doc_id"] in (990011, 990012)
+    }
+    assert scores[990012] < scores[990011], "scrambling must cost log-prob"
+    thr = (scores[990011] + scores[990012]) / 2
+
+    res = curate(corpus, lm_logprob_min=thr, lm_order=2)
+    kept_ids = {r.doc_id for r in res.kept.select("doc_id").collect()}
+    assert 990011 in kept_ids and 990012 not in kept_ids
+    lm_rows = res.dropped.where("stage = 'lm_quality'").collect()
+    assert any(r.doc_id == 990012 and r.reason == "low_logprob" for r in lm_rows)
+
+    # invalid order is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_order"):
+        curate(corpus, lm_logprob_min=-5.0, lm_order=3)

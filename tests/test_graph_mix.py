@@ -4,6 +4,7 @@ temperature_mix (√n mixture flattening)."""
 from __future__ import annotations
 
 import itertools
+import pytest
 import random
 
 from pyspark.sql import functions as F
@@ -267,3 +268,110 @@ def test_temperature_samplers_keep_null_stratum_rows(spark):
     null_up = up.where(F.col("lang").isNull()).count()
     assert null_up == 40, f"NULL stratum must upsample like any other, got {null_up}"
     assert up.where(F.col("lang") == "en").count() == 400  # head stays 1x
+
+
+class TestLocalClustering:
+    def _lcc(self, spark, edges):
+        from eth_event_tracker_spark.operators.graph import local_clustering
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: (r["degree"], r["n_tri"], r["lcc"])
+            for r in local_clustering(df).collect()
+        }
+
+    def test_complete_k4_is_all_ones(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        got = self._lcc(spark, k4)
+        # every node: degree 3, in 3 triangles, lcc = 2*3/(3*2) = 1.0
+        assert got == {v: (3, 3, 1.0) for v in range(4)}
+
+    def test_star_hub_is_zero_leaves_null(self, spark):
+        star = [(0, i) for i in range(1, 6)]
+        got = self._lcc(spark, star)
+        assert got[0] == (5, 0, 0.0), "hub has wedges but no closures"
+        for leaf in range(1, 6):
+            assert got[leaf] == (1, 0, None), "degree-1 lcc is undefined"
+
+    def test_triangle_with_tail(self, spark):
+        # triangle 0-1-2 plus tail 2-3: node 2 has degree 3, 1 triangle
+        # -> lcc = 2/(3*2) = 1/3 exactly
+        got = self._lcc(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+        assert got[0] == (2, 1, 1.0)
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (3, 1, pytest.approx(1 / 3, abs=0))
+        assert got[3] == (1, 0, None)
+
+    def test_coheres_with_triangle_count(self, spark):
+        from eth_event_tracker_spark.operators.graph import (
+            local_clustering,
+            triangle_count,
+        )
+
+        rng = [(i, (i * 7 + 3) % 40) for i in range(120)] + [
+            (i % 23, (i * 5 + 1) % 23) for i in range(80)
+        ]
+        edges = [(a, b) for a, b in rng if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total = triangle_count(df).first()["n_triangles"]
+        per_node = local_clustering(df).agg(F.sum("n_tri")).first()[0]
+        # each triangle contributes to exactly 3 nodes
+        assert per_node == 3 * total
+
+
+def _py_kcore(edges, k):
+    """Reference peel in pure python."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+class TestKCore:
+    def _run(self, spark, edges, k):
+        from eth_event_tracker_spark.operators.graph import kcore
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+
+    def test_clique_survives_tails_peel(self, spark):
+        k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+        tails = [(0, 10), (10, 11), (11, 12)]  # chain hanging off the clique
+        got = self._run(spark, k5 + tails, k=4)
+        assert got == {v: 4 for v in range(5)}, (
+            "the 5-clique is the 4-core; the chain must fully unravel"
+        )
+
+    def test_chain_unravels_iteratively(self, spark):
+        # a pure path: every node has degree <= 2 but the 2-core of a
+        # path is EMPTY — each round only exposes the next endpoint, so
+        # this pins the fixpoint loop (one filter pass would stop early)
+        path = [(i, i + 1) for i in range(10)]
+        assert self._run(spark, path, k=2) == {}
+        # ...while a cycle IS its own 2-core
+        cycle = path + [(10, 0)]
+        assert self._run(spark, cycle, k=2) == {v: 2 for v in range(11)}
+
+    def test_matches_python_model(self, spark):
+        edges = [(i % 17, (i * 3 + 1) % 17) for i in range(60)] + [
+            (i % 29, (i * 7 + 2) % 29) for i in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        for k in (1, 2, 3, 4):
+            assert self._run(spark, edges, k=k) == _py_kcore(edges, k), k
+
+    def test_k1_drops_nothing_but_isolates(self, spark):
+        got = self._run(spark, [(1, 2), (3, 4), (5, 5)], k=1)
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}, "self-loop 5 is no edge"

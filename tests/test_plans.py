@@ -319,6 +319,7 @@ _SCALAR_BROADCAST_OK = {
     "drift_psi_sources",
     # |groups|² pair frame built from a broadcast of the |groups| list
     "kmv_jaccard_event_types",
+    "kmv_set_sizes_event_types",
     "triangle_count_cosupply",
     # 5-query exact side broadcasts against the corpus (cosine_topk_exact),
     # same sanctioned shape as embedding_cosine_topk

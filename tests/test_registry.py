@@ -29,6 +29,7 @@ ROWS_ONLY_EXTRAS = {
     "ann_recall_ivf",
     "quality_classifier_scores",
     "embedding_sq8_topk",
+    "kcore_cosupply",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -112,6 +113,8 @@ POST_WINDOW_ORACLES = (
     "winsorize_tukey_events",
     "dedup_substring_spans",
     "quality_bigram_logprob",
+    "kmv_set_sizes_event_types",
+    "clustering_coeff_cosupply",
 )
 
 

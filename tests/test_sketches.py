@@ -4,6 +4,7 @@ that makes the sketch usable as bounded cross-batch state)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from eth_event_tracker_spark.operators.sketches import cms_build, cms_estimate, cms_merge
@@ -772,3 +773,123 @@ def test_kmv_jaccard_exact_when_groups_fit_in_k(spark):
     out = kmv_jaccard(sk, "g", k=256).collect()
     # |A∪B| = 45, |A∩B| = 15 → exactly 1/3
     assert len(out) == 1 and out[0].jaccard_est == 15 / 45
+
+
+def test_kmv_set_sizes_exact_when_groups_fit_in_k(spark):
+    from eth_event_tracker_spark.operators.sketches import kmv_profile, kmv_set_sizes
+
+    rows = (
+        [("A", f"u{i}") for i in range(30)]
+        + [("B", f"u{i}") for i in range(15, 45)]
+        + [("C", f"z{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=256)
+    got = {
+        (r.group_a, r.group_b): r for r in kmv_set_sizes(sk, "g", k=256).collect()
+    }
+    # union < k → the exact regime: union/intersection recovered exactly
+    ab = got[("A", "B")]
+    assert ab.union_est == 45.0 and ab.inter_est == 15.0
+    ac = got[("A", "C")]
+    assert ac.union_est == 40.0 and ac.inter_est == 0.0 and ac.jaccard_est == 0.0
+
+
+def test_kmv_set_sizes_estimation_regime(spark):
+    from eth_event_tracker_spark.operators.sketches import kmv_profile, kmv_set_sizes
+
+    # A = 0..2000, B = 1000..3000: |A∪B| = 3000, |A∩B| = 1000
+    rows = [("A", f"u{i}") for i in range(0, 2000)] + [
+        ("B", f"u{i}") for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=256)
+    (r,) = kmv_set_sizes(sk, "g", k=256).collect()
+    assert abs(r.union_est - 3000) / 3000 <= 0.15, r
+    assert abs(r.inter_est - 1000) / 1000 <= 0.30, r
+    # internal consistency: inter = J * union by construction
+    assert r.inter_est == pytest.approx(r.jaccard_est * r.union_est, abs=1e-9)
+
+
+def test_kmv_set_sizes_coheres_with_jaccard(spark):
+    from eth_event_tracker_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_profile,
+        kmv_set_sizes,
+    )
+
+    rows = [("A", f"u{i}") for i in range(0, 800)] + [
+        ("B", f"u{i}") for i in range(400, 1200)
+    ] + [("C", f"u{i}") for i in range(600, 900)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=64)
+    jac = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in kmv_jaccard(sk, "g", k=64).collect()
+    }
+    sizes = {
+        (r.group_a, r.group_b): r.jaccard_est
+        for r in kmv_set_sizes(sk, "g", k=64).collect()
+    }
+    # the refactored shared pair machinery must leave kmv_jaccard's
+    # numbers bit-identical
+    assert jac == sizes
+
+
+class TestRollingDistinct:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, ts timestamp, u long")
+
+    def test_matches_exact_trailing_window(self, spark):
+        from datetime import datetime
+
+        from eth_event_tracker_spark.operators.sketches import rolling_distinct
+
+        rows = []
+        for h in range(8):
+            for i in range(40):
+                # per-hour users overlap across hours: u in [h*20, h*20+40)
+                rows.append(("a", datetime(2024, 1, 1, h, i % 60), h * 20 + i))
+        df = self._mk(spark, rows)
+        got = {
+            r["hour"].hour: (r["n_hour_exact"], r["n_rolling_est"])
+            for r in rolling_distinct(df, ["g"], "ts", "u", window_hours=3).collect()
+        }
+        assert len(got) == 8
+        tol = 3 * 1.04 / (2**12) ** 0.5  # 3σ HLL error at lgk=12
+        for h in range(8):
+            exact_hour = 40
+            lo = max(0, (h - 2) * 20)
+            exact_roll = (h * 20 + 40) - lo
+            n_exact, n_est = got[h]
+            assert n_exact == exact_hour
+            assert abs(n_est - exact_roll) <= max(tol * exact_roll, 2.0), (h, got[h])
+
+    def test_gap_hours_age_out(self, spark):
+        from datetime import datetime
+
+        from eth_event_tracker_spark.operators.sketches import rolling_distinct
+
+        # users {0..9} at hour 0, users {100..109} at hour 5: with a
+        # 3-hour window the hour-5 rolling set must NOT include hour 0
+        # (a ROWS frame would — only two rows exist per group)
+        rows = [("a", datetime(2024, 1, 1, 0, 0), i) for i in range(10)]
+        rows += [("a", datetime(2024, 1, 1, 5, 0), 100 + i) for i in range(10)]
+        got = {
+            r["hour"].hour: r["n_rolling_est"]
+            for r in rolling_distinct(self._mk(spark, rows), ["g"], "ts", "u", window_hours=3).collect()
+        }
+        assert abs(got[0] - 10) <= 1 and abs(got[5] - 10) <= 1, got
+
+    def test_groups_isolated(self, spark):
+        from datetime import datetime
+
+        from eth_event_tracker_spark.operators.sketches import rolling_distinct
+
+        rows = [("a", datetime(2024, 1, 1, 0, 0), i) for i in range(5)]
+        rows += [("b", datetime(2024, 1, 1, 0, 0), i) for i in range(500, 520)]
+        got = {
+            (r["g"], r["hour"].hour): r["n_rolling_est"]
+            for r in rolling_distinct(self._mk(spark, rows), ["g"], "ts", "u").collect()
+        }
+        assert abs(got[("a", 0)] - 5) <= 1 and abs(got[("b", 0)] - 20) <= 1
