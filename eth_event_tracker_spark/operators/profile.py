@@ -470,3 +470,50 @@ def winsorize_tukey(
         F.least(F.greatest(F.col("xq").cast("double"), F.col("lo_fence")), F.col("hi_fence"))
     )
     return out.withColumn("clipped", clipped).drop("q1", "q3")
+
+
+def zipf_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_r: int = 100,
+) -> DataFrame:
+    """Per-group Zipf fit: OLS slope of ln(term frequency) over
+    ln(rank) across each group's ``top_r`` most frequent terms —
+    (group, n, slope, intercept).  Natural language sits near slope −1
+    (Zipf's law); a source whose slope is far off is machine-generated,
+    template-expanded, or vocabulary-collapsed — the corpus-forensics
+    signal beside psi_drift (distribution SHIFT) and lang_id (which
+    language): this one asks "is it language at all".
+
+    Determinism: rank comes from a total order (freq DESC, term ASC);
+    x = round(ln(rank)·1e4)/1e4 and y = round(ln(freq)·1e4)/1e4 — ln()
+    of exact integers agrees across engines to ≤1 ulp and the 1e-4
+    quantization absorbs it; the quantized values are exactly the
+    DECIMAL(18,4) grid :func:`ols_trend` casts to, and in NATURAL ln
+    units every decimal moment stays < 2^53 in raw units, so the
+    decimal→double conversions are correctly rounded on both engines
+    (1e-9-unit inputs would push Σxy to ~1e21 where DuckDB's two-step
+    decimal→double cast drifts a ulp, and an intercept of ~5e9 is too
+    large for the final 1e-9 rounding to absorb it — measured, not
+    theoretical).  Slope is unitless (ln-units cancel): the Zipf
+    exponent directly.
+
+    100 TB shape: the fit consumes the per-(group, term) COUNT table —
+    never the token stream; one window ranks within each group; the
+    moments aggregate ≤ top_r rows per group with map-side partials."""
+    toks = (
+        df.select(F.col(group_col), F.explode(F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+        )).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), "term")
+    rk = tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_r)
+    pts = rk.select(
+        group_col,
+        (F.round(F.log(F.col("rank").cast("double")) * 1e4).cast("long") / F.lit(1e4)).alias("x"),
+        (F.round(F.log(F.col("n").cast("double")) * 1e4).cast("long") / F.lit(1e4)).alias("y"),
+    )
+    return ols_trend(pts, group_col, "x", "y")

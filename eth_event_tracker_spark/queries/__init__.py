@@ -152,6 +152,7 @@ _POST_WINDOW = (
     "quality_bigram_logprob",
     "kmv_set_sizes_event_types",
     "clustering_coeff_cosupply",
+    "zipf_slope_sources",
 )
 
 

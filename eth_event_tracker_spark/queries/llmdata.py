@@ -1942,3 +1942,52 @@ def kmv_set_sizes_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sk = kmv_profile(ev, ["event_type"], "user_id", k=_KMV_K)
     return kmv_set_sizes(sk, "event_type", k=_KMV_K)
+
+
+# ---------------------------------------------------------------------------
+# Zipf corpus forensics (operators/profile.py zipf_profile): OLS of
+# ln(freq) over ln(rank), top-100 terms per source.  x/y are BIGINT
+# 1e-9 ln-units (the unigram_logprob portability convention), the fit
+# is the ols_trend exact-decimal-moment recipe with the DECIMAL(19,4)
+# widening that forces DuckDB's int128 product.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_slope_sources",
+    f"""
+WITH tok AS (SELECT source, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY source, term),
+rk AS (SELECT source, term, n,
+              row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rank
+       FROM tf),
+pts AS (SELECT source,
+          CAST(round(ln(CAST(rank AS DOUBLE)) * 1e4) AS BIGINT) / 1e4 AS x,
+          CAST(round(ln(CAST(n AS DOUBLE)) * 1e4) AS BIGINT) / 1e4 AS y
+        FROM rk WHERE rank <= 100),
+m AS (SELECT source, COUNT(*) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY source)
+SELECT source, n,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    CAST(round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) * 1e9) AS BIGINT) / 1e9
+  END AS slope,
+  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0 THEN
+    CAST(round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+               / CAST(n AS DOUBLE) * 1e9) AS BIGINT) / 1e9
+  END AS intercept
+FROM m
+""",
+    doc="per-source Zipf fit (OLS of ln-freq over ln-rank, top-100 "
+    "terms): the is-it-language-at-all corpus forensic — consumes the "
+    "(source, term) count table, one ranking window, exact decimal "
+    "moments",
+)
+def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import zipf_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_profile(docs, group_col="source", text_col="text", top_r=100)

@@ -849,3 +849,27 @@ def winsorize_tukey_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(xqd > F.col("hi_fence"), 1)).alias("n_hi"),
         F.sum(F.col("clipped").cast("decimal(18,4)")).cast("double").alias("win_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct users via windowed HLL union (operators/sketches.py
+# rolling_distinct): per (event_type, hour) register banks, trailing-3h
+# estimate through hll_union_agg over a RANGE frame on epoch seconds.
+# Rows-only: DuckDB has no register-compatible DataSketches HLL; the
+# error bound vs the exact trailing distinct and the gap-hour aging are
+# pinned in tests/test_sketches.py.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_distinct_users",
+    None,
+    doc="trailing-3h distinct users per event type from mergeable HLL "
+    "sketches (hll_union_agg over a RANGE frame — an exact sliding "
+    "COUNT(DISTINCT) would re-shuffle the whole window every slide; "
+    "register banks union in O(2^lgk)); rows-only, error + gap-aging "
+    "pinned in pytest",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import rolling_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_distinct(ev, ["event_type"], "ts", "user_id", window_hours=3)

@@ -1,0 +1,176 @@
+"""Property fuzz for the round-7 operators, each against an
+independent pure-python reference implementing the documented
+semantics from scratch (not the Spark plan re-expressed):
+duplicate_spans, kmv_set_sizes, winsorize_tukey's approx tier."""
+
+from __future__ import annotations
+
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eth_event_tracker_spark.operators.dedup import duplicate_spans
+from eth_event_tracker_spark.operators.profile import winsorize_tukey
+from eth_event_tracker_spark.operators.sketches import kmv_profile, kmv_set_sizes
+
+# tiny alphabet → shared n-grams arise constantly, including partial
+# overlaps and intra-doc repeats
+WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+DOC = st.lists(WORD, min_size=0, max_size=24)
+CORPUS = st.lists(DOC, min_size=2, max_size=7)
+
+N = 3  # n-gram width under fuzz
+
+
+def _py_spans(texts: list[list[str]], n: int, min_docs: int = 2):
+    """Reference: sliding n-grams, cross-doc duplicated positions,
+    gaps-and-islands merge."""
+    grams: dict[tuple[str, ...], set[int]] = {}
+    pos: dict[int, list[int]] = {}
+    for d, ws in enumerate(texts):
+        for p in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[p : p + n]), set()).add(d)
+    dup = {g for g, docs in grams.items() if len(docs) >= min_docs}
+    for d, ws in enumerate(texts):
+        hits = [p for p in range(len(ws) - n + 1) if tuple(ws[p : p + n]) in dup]
+        if hits:
+            pos[d] = hits
+    out = set()
+    for d, hits in pos.items():
+        start = prev = hits[0]
+        cnt = 1
+        for p in hits[1:]:
+            if p == prev + 1:
+                prev = p
+                cnt += 1
+            else:
+                out.add((d, start, prev + n - 1, prev + n - start, cnt))
+                start = prev = p
+                cnt = 1
+        out.add((d, start, prev + n - 1, prev + n - start, cnt))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(CORPUS)
+def test_duplicate_spans_matches_python_reference(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_words"], r["n_grams"])
+        for r in duplicate_spans(df, n=N).collect()
+    }
+    assert got == _py_spans(corpus, N)
+
+
+def _h60(s: str) -> int:
+    from eth_event_tracker_spark.functions.hashing import hash60_py
+
+    return hash60_py(s, 0)
+
+
+SETS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=40),
+    min_size=2,
+    max_size=4,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(SETS, st.sampled_from([4, 8, 256]))
+def test_kmv_set_sizes_matches_python_reference(spark, groups, k):
+    rows = [(chr(97 + g), v) for g, vs in enumerate(groups) for v in vs]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "g string, item string")
+    sk = kmv_profile(df, ["g"], "item", k=k)
+    got = {
+        (r["group_a"], r["group_b"]): (r["jaccard_est"], r["union_est"], r["inter_est"])
+        for r in kmv_set_sizes(sk, "g", k=k).collect()
+    }
+
+    # python reference from the same documented sketch definition
+    hsets = {
+        chr(97 + g): {_h60(str(v)) for v in vs} for g, vs in enumerate(groups) if vs
+    }
+    sketches = {g: set(sorted(hs)[:k]) for g, hs in hsets.items()}
+    want = {}
+    names = sorted(sketches)
+    for i, ga in enumerate(names):
+        for gb in names[i + 1 :]:
+            uni = sorted(sketches[ga] | sketches[gb])[:k]
+            j = sum(1 for h in uni if h in sketches[ga] and h in sketches[gb]) / len(uni)
+            u = float(len(uni)) if len(uni) < k else (k - 1) * 1152921504606846976.0 / uni[-1]
+            want[(ga, gb)] = (j, u, j * u)
+    assert set(got) == set(want)
+    for pair in want:
+        for a, b in zip(got[pair], want[pair]):
+            assert a == pytest.approx(b, rel=1e-12), (pair, got[pair], want[pair])
+
+
+def test_winsorize_approx_tier_equals_exact_on_fixture(spark):
+    """approx_percentile returns corpus ELEMENTS (nearest rank), never
+    interpolations — so the approx tier equals the exact tier exactly
+    when the quartile positions (n−1)·{0.25, 0.75} are integers
+    (n = 4m+1 per group).  The same pin the MAD approx tier carries;
+    guards the flag actually switching implementations without
+    changing semantics where they must agree."""
+    rows = [("g1", float(v)) for v in range(1, 29)] + [
+        ("g1", 500.0),  # n = 29 → quartiles land on elements 7 and 21
+        ("g2", 7.0),
+        ("g2", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cols = ["g", "v", "lo_fence", "hi_fence", "clipped"]
+    exact = winsorize_tukey(df, "g", "v", approx=False).select(cols).orderBy("g", "v")
+    approx = winsorize_tukey(df, "g", "v", approx=True).select(cols).orderBy("g", "v")
+    assert [r.asDict() for r in exact.collect()] == [
+        r.asDict() for r in approx.collect()
+    ]
+
+
+class TestZipfProfile:
+    def test_planted_zipf_slope_near_minus_one(self, spark):
+        from eth_event_tracker_spark.operators.profile import zipf_profile
+
+        # term t_r appears round(1000/r) times -> ln f = ln 1000 - ln r,
+        # an exact slope of -1 up to the harmonic rounding
+        words = []
+        for r in range(1, 60):
+            words += [f"t{r:03d}"] * round(1000 / r)
+        df = spark.createDataFrame(
+            [("zipf", " ".join(words))], "source string, text string"
+        )
+        (row,) = zipf_profile(df, top_r=50).collect()
+        assert row["n"] == 50
+        assert abs(row["slope"] + 1.0) < 0.05, row
+        # intercept ~ ln(1000)
+        import math
+
+        assert abs(row["intercept"] - math.log(1000)) < 0.2, row
+
+    def test_uniform_corpus_slope_near_zero(self, spark):
+        from eth_event_tracker_spark.operators.profile import zipf_profile
+
+        words = [f"u{r}" for r in range(50)] * 20  # every term 20x
+        df = spark.createDataFrame(
+            [("flat", " ".join(words))], "source string, text string"
+        )
+        (row,) = zipf_profile(df, top_r=50).collect()
+        assert row["slope"] == 0.0, "identical frequencies -> flat fit"
+
+    def test_groups_fit_independently_and_deterministic(self, spark):
+        from eth_event_tracker_spark.operators.profile import zipf_profile
+
+        zipf_words = []
+        for r in range(1, 40):
+            zipf_words += [f"t{r:03d}"] * round(400 / r)
+        rows = [("z", " ".join(zipf_words)), ("f", " ".join([f"u{r}" for r in range(40)] * 5))]
+        df = spark.createDataFrame(rows, "source string, text string")
+        a = {r["source"]: (r["slope"], r["intercept"]) for r in zipf_profile(df.repartition(1), top_r=30).collect()}
+        b = {r["source"]: (r["slope"], r["intercept"]) for r in zipf_profile(df.repartition(5), top_r=30).collect()}
+        assert a == b
+        assert a["f"][0] == 0.0 and a["z"][0] < -0.8

@@ -30,6 +30,7 @@ ROWS_ONLY_EXTRAS = {
     "quality_classifier_scores",
     "embedding_sq8_topk",
     "kcore_cosupply",
+    "rolling_distinct_users",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -115,6 +116,7 @@ POST_WINDOW_ORACLES = (
     "quality_bigram_logprob",
     "kmv_set_sizes_event_types",
     "clustering_coeff_cosupply",
+    "zipf_slope_sources",
 )
 
 
