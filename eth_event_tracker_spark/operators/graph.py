@@ -279,12 +279,15 @@ def kcore(
     semi-join of the edge list against the survivor set (equality
     joins on the endpoint keys), lineage cut per round, and a single
     driver action (the surviving-edge count) — the LPA/PageRank loop
-    discipline.  Rounds are bounded by the longest peel chain, ≤
-    max_rounds as a backstop."""
+    discipline.  Rounds are bounded by the longest peel chain (a path
+    sheds both endpoints per round, so ~diameter/2); if ``max_rounds``
+    is exhausted BEFORE the fixpoint the result would be a silently
+    too-large core, so the loop raises instead of returning it."""
     e = _canon_edges(edges, src, dst)
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
-        if n_edges == 0:
+        if converged:
             break
         deg = _degrees(e)
         keep = deg.where(F.col("d") >= k).select("v")
@@ -295,10 +298,15 @@ def kcore(
             .localCheckpoint(eager=False)
         )
         n2 = e2.count()
+        converged = n2 == n_edges or n2 == 0
         e = e2
-        if n2 == n_edges:
-            break
         n_edges = n2
+    if not converged:
+        raise RuntimeError(
+            f"kcore: no fixpoint within max_rounds={max_rounds} "
+            f"({n_edges} edges still peeling) — raise max_rounds; a "
+            "partial peel is NOT the k-core"
+        )
     out = _degrees(e).select(F.col("v").alias("node"), F.col("d").alias("degree"))
     # isolated survivors cannot exist: degree ≥ k ≥ 1 inside the core
     return out

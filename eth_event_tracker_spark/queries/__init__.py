@@ -153,6 +153,7 @@ _POST_WINDOW = (
     "kmv_set_sizes_event_types",
     "clustering_coeff_cosupply",
     "zipf_slope_sources",
+    "dedup_recall_minhash",
 )
 
 

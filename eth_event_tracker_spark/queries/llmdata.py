@@ -1991,3 +1991,46 @@ def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_profile(docs, group_col="source", text_col="text", top_r=100)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall monitor: the banded tier's verified pairs are by
+# construction exact-pairs ∩ candidates (the verify stage recomputes
+# the SAME shingle Jaccard at the SAME threshold), so recall of the
+# banding is |exact ∩ cand| / |exact| — and both sides are
+# hash-deterministic, making this a FULL-ORACLE recall monitor (the
+# ANN tiers' ann_recall is rows-only; this one's every digit is
+# graded).  The index-health check a dedup pipeline runs after
+# changing k / band geometry.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_recall_minhash",
+    f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_CAND_CTE},
+{_PAIRS_CTE.format(cand_join="")}
+SELECT COUNT(*) AS n_exact,
+       COUNT(c.doc_a) AS n_lsh,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*) END AS recall
+FROM pairs p LEFT JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+""",
+    doc="recall of the MinHash(16)+LSH(4×4) banding vs the exhaustive "
+    "shingle-Jaccard pairs at threshold 0.8 — fully oracle-graded "
+    "(both tiers hash-deterministic); one row (n_exact, n_lsh, recall)",
+)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    exact = OPD.jaccard_pairs(docs, threshold=0.8, shingles=sh)
+    lsh = OPD.minhash_lsh_dedup(docs, threshold=0.8, k=16, band_rows=4, shingles=sh)
+    ne = exact.agg(F.count("*").alias("n_exact"))
+    nl = lsh.agg(F.count("*").alias("n_lsh"))
+    return ne.crossJoin(F.broadcast(nl)).select(
+        "n_exact",
+        "n_lsh",
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_lsh").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+    )

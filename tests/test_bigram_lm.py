@@ -90,3 +90,25 @@ class TestBigramLogprob:
         a = bigram_logprob(_mk(spark, rows).repartition(1)).orderBy("doc_id").collect()
         b = bigram_logprob(_mk(spark, rows).repartition(9)).orderBy("doc_id").collect()
         assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BLM_DOC = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(BLM_DOC, min_size=1, max_size=6))
+def test_bigram_logprob_fuzz_vs_python_model(spark, corpus):
+    texts = {i: " ".join(ws) for i, ws in enumerate(corpus)}
+    df = _mk(spark, list(texts.items()))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    want = _py_model(texts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-12), d

@@ -375,3 +375,16 @@ class TestKCore:
     def test_k1_drops_nothing_but_isolates(self, spark):
         got = self._run(spark, [(1, 2), (3, 4), (5, 5)], k=1)
         assert got == {1: 1, 2: 1, 3: 1, 4: 1}, "self-loop 5 is no edge"
+
+
+def test_kcore_raises_on_exhausted_rounds(spark):
+    """A partial peel is NOT the k-core: exhausting max_rounds before
+    the fixpoint must raise, never return the too-large intermediate."""
+    from eth_event_tracker_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(12)]  # needs ~6 rounds at k=2
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        kcore(df, k=2, max_rounds=2)
+    # and with enough rounds the same input converges to empty
+    assert kcore(df, k=2, max_rounds=50).count() == 0

@@ -330,6 +330,8 @@ _SCALAR_BROADCAST_OK = {
     # 1-row successor-vocab scalar broadcast (the unigram corpus-total
     # shape one order up)
     "quality_bigram_logprob",
+    # two 1-row pair-count scalars assembled onto the recall row
+    "dedup_recall_minhash",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate

@@ -117,6 +117,7 @@ POST_WINDOW_ORACLES = (
     "kmv_set_sizes_event_types",
     "clustering_coeff_cosupply",
     "zipf_slope_sources",
+    "dedup_recall_minhash",
 )
 
 
