@@ -163,3 +163,25 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def kfold_split(
+    df: DataFrame,
+    k: int = 5,
+    coherence_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign a deterministic ``fold`` ∈ [0, k) for k-fold
+    cross-validation: ``hash60(coherence) % k``.  Same leakage contract
+    as :func:`leakage_safe_split` — rows with EQUAL coherence values
+    (pass the normalized text, or a near-dup cluster representative)
+    always share a fold, so no duplicate can straddle a train/eval
+    boundary in ANY of the k rotations.  Unlike the cumulative-band
+    split, modulo gives k equal-probability cells directly.  Pure
+    projection — zero shuffle, zero join; re-running with the same seed
+    on a grown corpus never moves an existing row's fold."""
+    if k < 2:
+        raise ValueError(f"kfold_split: k must be >= 2, got {k}")
+    col = F.col(coherence_col if coherence_col is not None else key_col).cast("string")
+    return df.withColumn("fold", F.pmod(hash60(col, seed), F.lit(k)).cast("int"))

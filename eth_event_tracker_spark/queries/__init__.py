@@ -154,6 +154,7 @@ _POST_WINDOW = (
     "clustering_coeff_cosupply",
     "zipf_slope_sources",
     "dedup_recall_minhash",
+    "kfold_assignments",
 )
 
 

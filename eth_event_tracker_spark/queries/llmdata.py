@@ -2034,3 +2034,26 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lsh").cast("double") / F.col("n_exact"),
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold CV assignment (operators/splits.py kfold_split): hash60(text)
+# % k — same text-coherence leakage contract as split_leakage_safe
+# (identical docs share a fold in every rotation), modulo instead of
+# cumulative bands.  Pure projection, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "kfold_assignments",
+    f"""
+SELECT doc_id, lang, CAST({_SPLIT_H} % 5 AS INT) AS fold
+FROM documents
+""",
+    doc="deterministic 5-fold CV assignment hashed on the TEXT "
+    "(exact-dup coherence: no duplicate straddles a train/eval "
+    "boundary in any rotation); pure projection, zero shuffle",
+)
+def kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import kfold_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kfold_split(docs, k=5, coherence_col="text").select("doc_id", "lang", "fold")

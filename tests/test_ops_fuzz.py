@@ -174,3 +174,44 @@ class TestZipfProfile:
         b = {r["source"]: (r["slope"], r["intercept"]) for r in zipf_profile(df.repartition(5), top_r=30).collect()}
         assert a == b
         assert a["f"][0] == 0.0 and a["z"][0] < -0.8
+
+
+class TestKFoldSplit:
+    def test_duplicates_share_fold_and_balance(self, spark):
+        from eth_event_tracker_spark.operators.splits import kfold_split
+
+        rows = [(i, f"unique text {i}") for i in range(200)]
+        rows += [(1000 + i, "the same duplicated text") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = kfold_split(df, k=5, coherence_col="text").collect()
+        dup_folds = {r["fold"] for r in got if r["doc_id"] >= 1000}
+        assert len(dup_folds) == 1, "exact duplicates must share one fold"
+        from collections import Counter
+
+        counts = Counter(r["fold"] for r in got)
+        assert set(counts) <= set(range(5))
+        assert min(counts.values()) >= 15, f"grossly unbalanced: {counts}"
+
+    def test_fold_stable_under_corpus_growth(self, spark):
+        from eth_event_tracker_spark.operators.splits import kfold_split
+
+        small = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(50)], "doc_id long, text string"
+        )
+        grown = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r["fold"] for r in kfold_split(small, k=7, coherence_col="text").collect()}
+        b = {r["doc_id"]: r["fold"] for r in kfold_split(grown, k=7, coherence_col="text").collect()}
+        assert all(b[d] == f for d, f in a.items()), (
+            "growing the corpus must never move an existing row's fold"
+        )
+
+    def test_k_validation(self, spark):
+        from eth_event_tracker_spark.operators.splits import kfold_split
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _p
+
+        with _p.raises(ValueError, match="k must be"):
+            kfold_split(df, k=1)

@@ -118,6 +118,7 @@ POST_WINDOW_ORACLES = (
     "clustering_coeff_cosupply",
     "zipf_slope_sources",
     "dedup_recall_minhash",
+    "kfold_assignments",
 )
 
 
