@@ -199,3 +199,50 @@ def weighted_sample(
         .where(F.col("_rn") <= n)
         .drop("_aes", "_rn")
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture planning: given a total training-token budget, compute the
+    per-stratum sampling plan under a temperature-2 (√-flattened) target
+    mixture — (group, n_docs, n_tokens, share, target_share,
+    planned_tokens, epochs, sample_rate).  The arithmetic every
+    pre-training data card publishes: how many tokens each source
+    contributes, how many epochs (repeat factor > 1 for upsampled tails),
+    and the downsample rate for over-represented heads.  The EXECUTION of
+    this plan is ``temperature_mix`` / ``temperature_upsample``; this
+    operator is the budgeting step that decides the knobs.
+
+    Scale + determinism: one scan to per-group exact token counts
+    (map-side combined), totals as a 1-row broadcast scalar, then pure
+    projection.  √n is quantized to BIGINT 1e-6 units so the normalizer
+    is an exact integer sum (sqrt is IEEE-correctly-rounded, unlike
+    pow); every published ratio is one correctly-rounded double division
+    of bit-identical inputs."""
+    ws = F.filter(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+                  lambda t: t != F.lit(""))
+    per = (
+        df.select(group_col, F.size(ws).alias("_n_tok"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("_n_tok").alias("n_tokens"))
+        .withColumn("_s_e6", F.round(F.sqrt(F.col("n_tokens")) * 1e6).cast("long"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"), F.sum("_s_e6").alias("_tot_s")
+    )
+    target = F.col("_s_e6").cast("double") / F.col("_tot_s")
+    planned = F.floor(F.lit(float(budget_tokens)) * target).cast("long")
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tot_tokens")).alias("share"),
+        target.alias("target_share"),
+        planned.alias("planned_tokens"),
+        (planned.cast("double") / F.col("n_tokens")).alias("epochs"),
+        F.least(F.lit(1.0), planned.cast("double") / F.col("n_tokens")).alias("sample_rate"),
+    )

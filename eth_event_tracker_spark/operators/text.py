@@ -801,3 +801,185 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.sum("tf").alias("n_bigrams"),
         (F.sum("contrib_e9").cast("double") / F.sum("tf") / F.lit(1e9)).alias("logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate forensics + collocation mining + quality-signal fusion.
+#
+# Three corpus-level reports a training-data pipeline runs AFTER dedup to
+# understand what survived: which n-grams dominate the corpus (boilerplate
+# headers/footers the span dedup should have caught), which word pairs are
+# genuine collocations (tokenizer-merge candidates / phrase vocabulary),
+# and a single fused quality rank from the independent quality signals.
+# ---------------------------------------------------------------------------
+
+
+def ngram_boilerplate(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    top: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Most-duplicated word n-grams corpus-wide: (gram, n_docs, n_occ,
+    doc_share), top-`top` by (n_docs, n_occ, gram).  The forensic
+    complement of ``duplicate_spans``: spans REMOVE duplicated text per
+    doc; this reports WHICH grams dominate, so a pipeline owner can see
+    the boilerplate (nav bars, license headers, templated intros) that
+    survived document-level dedup.
+
+    Scale shape: positions explode once (repartitioned by doc first so
+    one parquet file cannot serialize the explode); the per-(doc, gram)
+    count groups WITHOUT a second exchange (hash-partitioning on doc
+    satisfies the (doc, gram) clustering); the gram-level rollup is the
+    one real shuffle, map-side combined; corpus size is a 1-row
+    broadcast scalar; top-k is a TakeOrdered, never a global sort."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+    )
+    per_doc = (
+        df.repartition(par, F.col(id_col))
+        .where(F.size(ws) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("occ"))
+    )
+    agg = per_doc.groupBy("gram").agg(
+        F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ")
+    )
+    n_corpus = df.agg(F.count("*").alias("n_corpus"))
+    return (
+        agg.where(F.col("n_docs") >= min_docs)
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "gram",
+            "n_docs",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            (F.col("n_docs").cast("double") / F.col("n_corpus")).alias("doc_share"),
+        )
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), "gram")
+        .limit(top)
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top adjacent-word collocations by pointwise mutual information:
+    (w1, w2, c12, pmi), top-`top` by (pmi, w1, w2).  PMI =
+    ln(c12·N / (c1·c2)) over bigram-position counts (c1 = occurrences
+    of w1 as a LEFT word, c2 = of w2 as a RIGHT word, N = total bigram
+    positions) — the classic collocation / phrase-vocabulary miner
+    (tokenizer merge candidates, multi-word entities).
+
+    Scale shape: the token stream collapses to the corpus-wide
+    (w1, w2) count table in one map-side-combined shuffle; the marginal
+    counts aggregate that SAME table (never the stream again); N is a
+    1-row broadcast scalar; top-k is a TakeOrdered.  Determinism: each
+    ln() sees an exact BIGINT, rounds to INTEGER 1e-9 units, and PMI is
+    an exact integer sum of the four terms — bit-portable (the
+    zipf/ols ln-of-integer convention)."""
+    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    bg = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, i + 1).alias("w1"),
+            F.element_at(ws, i + 2).alias("w2"),
+        ),
+    )
+    c12 = (
+        df.where(F.size(ws) >= 2)
+        .select(F.explode(bg).alias("x"))
+        .select(F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint(eager=False)  # three consumers: marginals ×2 + scoring
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n"))
+
+    def _ln_e9(c):
+        return F.round(F.log(c.cast("double")) * 1e9).cast("long")
+
+    return (
+        c12.where(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            (
+                (
+                    _ln_e9(F.col("c12"))
+                    + _ln_e9(F.col("n"))
+                    - _ln_e9(F.col("c1"))
+                    - _ln_e9(F.col("c2"))
+                ).cast("double")
+                / F.lit(1e9)
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top)
+    )
+
+
+def quality_ensemble(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused per-doc quality rank from three INDEPENDENT signals —
+    unigram LM log-prob, bigram LM log-prob, and the rule tier's
+    stopword ratio — each min-max normalized over the corpus, then
+    averaged: (doc_id, q_unigram, q_bigram, q_stopword, ensemble).
+    The single scalar a pipeline thresholds when no one signal is
+    trusted alone (LM scores love repetitive text; rule ratios love
+    stopword-stuffed spam; the blend demotes both failure modes).
+
+    Scale + determinism: min-max (not z-score or percent_rank) is
+    deliberate — the normalizer is ONE aggregate broadcast as a 1-row
+    scalar (a global percent_rank would plan a SinglePartition window),
+    and min/max are exact order statistics, so every normalized value
+    is a correctly-rounded double of bit-identical inputs on both
+    engines.  Docs under 2 words carry no bigram signal and are
+    excluded (inner join), matching the LM operators' own domains."""
+    uni = unigram_logprob(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("logprob").alias("q_unigram")
+    )
+    bi = bigram_logprob(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("logprob").alias("q_bigram")
+    )
+    rule = quality_scores(df, text_col=text_col).select(
+        id_col, F.col("stopword_ratio").alias("q_stopword")
+    )
+    j = uni.join(bi, id_col).join(rule, id_col)
+    mm = j.agg(
+        F.min("q_unigram").alias("mn_u"),
+        F.max("q_unigram").alias("mx_u"),
+        F.min("q_bigram").alias("mn_b"),
+        F.max("q_bigram").alias("mx_b"),
+        F.min("q_stopword").alias("mn_s"),
+        F.max("q_stopword").alias("mx_s"),
+    )
+
+    def _norm(x, mn, mx):
+        return F.when(F.col(mx) > F.col(mn), (F.col(x) - F.col(mn)) / (F.col(mx) - F.col(mn)))
+
+    nu = _norm("q_unigram", "mn_u", "mx_u")
+    nb = _norm("q_bigram", "mn_b", "mx_b")
+    ns = _norm("q_stopword", "mn_s", "mx_s")
+    return j.crossJoin(F.broadcast(mm)).select(
+        id_col,
+        "q_unigram",
+        "q_bigram",
+        "q_stopword",
+        (F.round((nu + nb + ns) / 3 * 1e9).cast("long") / F.lit(1e9)).alias("ensemble"),
+    )

@@ -155,6 +155,12 @@ _POST_WINDOW = (
     "zipf_slope_sources",
     "dedup_recall_minhash",
     "kfold_assignments",
+    # round 7 continuation: corpus forensics + mixture planning + journeys
+    "ngram_boilerplate_top",
+    "pmi_collocations_top",
+    "quality_ensemble_docs",
+    "token_budget_plan_sources",
+    "journey_paths_top",
 )
 
 

@@ -2057,3 +2057,165 @@ def kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kfold_split(docs, k=5, coherence_col="text").select("doc_id", "lang", "fold")
+
+
+# ---------------------------------------------------------------------------
+# Corpus boilerplate forensics (operators/text.py ngram_boilerplate):
+# most-duplicated 8-grams corpus-wide — the post-dedup report showing
+# which templated text (headers, footers, nav bars) survived.  One
+# explode, per-(doc,gram) count reusing the doc partitioning, one
+# gram-level shuffle, 1-row corpus-size broadcast, TakeOrdered.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_boilerplate_top",
+    f"""
+WITH {_WORDS_CTE},
+g AS (SELECT doc_id, array_to_string(words[i+1:i+8], ' ') AS gram
+      FROM (SELECT doc_id, words, unnest(generate_series(0, len(words) - 8)) AS i
+            FROM w WHERE len(words) >= 8)),
+d AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram),
+a AS (SELECT gram, COUNT(*) AS n_docs, CAST(SUM(occ) AS BIGINT) AS n_occ FROM d GROUP BY gram),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents)
+SELECT gram, n_docs, n_occ, CAST(n_docs AS DOUBLE) / n_corpus AS doc_share
+FROM a CROSS JOIN n WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 50
+""",
+    doc="top duplicated 8-grams with doc/occurrence counts and corpus "
+    "share — boilerplate forensics over the (doc, gram) count table; "
+    "deterministic top-50 by (n_docs, n_occ, gram)",
+)
+def ngram_boilerplate_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.ngram_boilerplate(docs, n=8, min_docs=2, top=50)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (operators/text.py pmi_collocations): adjacent-word
+# pointwise mutual information over bigram-position counts — the
+# phrase-vocabulary / tokenizer-merge-candidate miner.  PMI is an exact
+# BIGINT sum of four 1e-9-unit ln() terms (the zipf ln-of-integer
+# convention), so the ranking is bit-portable.
+# ---------------------------------------------------------------------------
+@register(
+    "pmi_collocations_top",
+    f"""
+WITH {_WORDS_CTE},
+bg AS (SELECT words[i+1] AS w1, words[i+2] AS w2
+       FROM (SELECT words, unnest(generate_series(0, len(words) - 2)) AS i
+             FROM w WHERE len(words) >= 2)),
+c AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY w1),
+c2 AS (SELECT w2, SUM(c12) AS c2 FROM c GROUP BY w2),
+n AS (SELECT SUM(c12) AS n FROM c)
+SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS c12,
+       CAST(CAST(round(ln(CAST(c.c12 AS DOUBLE)) * 1e9) AS BIGINT)
+            + CAST(round(ln(CAST(n.n AS DOUBLE)) * 1e9) AS BIGINT)
+            - CAST(round(ln(CAST(c1.c1 AS DOUBLE)) * 1e9) AS BIGINT)
+            - CAST(round(ln(CAST(c2.c2 AS DOUBLE)) * 1e9) AS BIGINT) AS DOUBLE) / 1e9 AS pmi
+FROM c JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+WHERE c.c12 >= 5
+ORDER BY pmi DESC, c.w1, c.w2 LIMIT 50
+""",
+    doc="top-50 adjacent-word collocations by PMI (min bigram count 5): "
+    "token stream -> one (w1,w2) count table, marginals aggregate that "
+    "same table, 1-row total broadcast, TakeOrdered",
+)
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.pmi_collocations(docs, min_count=5, top=50)
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal fusion (operators/text.py quality_ensemble): unigram LM
+# + bigram LM + stopword ratio, each min-max normalized over the corpus
+# (1-row broadcast normalizer — a global percent_rank would plan a
+# SinglePartition window), averaged to one thresholdable scalar.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_ensemble_docs",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+cnt AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+tot AS (SELECT SUM(tf) AS t FROM tf),
+uscored AS (
+  SELECT tf.doc_id, tf.tf,
+         tf.tf * CAST(round(ln(CAST(cnt.c AS DOUBLE) / tot.t) * 1e9) AS BIGINT) AS contrib_e9
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot),
+uni AS (SELECT doc_id, CAST(SUM(contrib_e9) AS DOUBLE) / SUM(tf) / 1e9 AS q_unigram
+        FROM uscored GROUP BY doc_id),
+bgp AS (SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+        FROM (SELECT doc_id, words, unnest(generate_series(0, len(words) - 2)) AS i
+              FROM w WHERE len(words) >= 2)),
+btf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bgp GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, SUM(tf) AS c12 FROM btf GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(tf) AS c1 FROM btf GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2) AS v FROM btf),
+bscored AS (
+  SELECT btf.doc_id, btf.tf,
+         btf.tf * CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE)
+                               / CAST(c1.c1 + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS contrib_e9
+  FROM btf JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+bi AS (SELECT doc_id, CAST(SUM(contrib_e9) AS DOUBLE) / SUM(tf) / 1e9 AS q_bigram
+       FROM bscored GROUP BY doc_id),
+rule AS (SELECT doc_id,
+           len(list_filter(words, x -> x IN ({_STOP_EN_SQL}))) / len(words) AS q_stopword
+         FROM w),
+j AS (SELECT uni.doc_id, q_unigram, q_bigram, q_stopword
+      FROM uni JOIN bi USING (doc_id) JOIN rule USING (doc_id)),
+mm AS (SELECT MIN(q_unigram) AS mn_u, MAX(q_unigram) AS mx_u,
+              MIN(q_bigram) AS mn_b, MAX(q_bigram) AS mx_b,
+              MIN(q_stopword) AS mn_s, MAX(q_stopword) AS mx_s FROM j)
+SELECT doc_id, q_unigram, q_bigram, q_stopword,
+  CAST(round((
+      (CASE WHEN mx_u > mn_u THEN (q_unigram - mn_u) / (mx_u - mn_u) END)
+    + (CASE WHEN mx_b > mn_b THEN (q_bigram - mn_b) / (mx_b - mn_b) END)
+    + (CASE WHEN mx_s > mn_s THEN (q_stopword - mn_s) / (mx_s - mn_s) END)
+  ) / 3 * 1e9) AS BIGINT) / 1e9 AS ensemble
+FROM j CROSS JOIN mm
+""",
+    doc="fused quality rank: unigram LM + bigram LM + stopword ratio, "
+    "min-max normalized via one broadcast aggregate, averaged and "
+    "1e-9-rounded; docs under 2 words excluded (no bigram signal)",
+)
+def quality_ensemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.quality_ensemble(docs)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning (operators/sampling.py token_budget_plan):
+# the data-card arithmetic — per-source token counts, √-flattened target
+# shares, planned tokens / epochs / downsample rates for a fixed budget.
+# ---------------------------------------------------------------------------
+@register(
+    "token_budget_plan_sources",
+    f"""
+WITH t AS (SELECT source,
+                  len(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS n_tok
+           FROM documents),
+per AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM t GROUP BY source),
+pe AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS s_e6 FROM per),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+               CAST(SUM(s_e6) AS BIGINT) AS tot_s FROM pe)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / tot_tokens AS share,
+       CAST(s_e6 AS DOUBLE) / tot_s AS target_share,
+       CAST(floor(1000000.0 * (CAST(s_e6 AS DOUBLE) / tot_s)) AS BIGINT) AS planned_tokens,
+       CAST(floor(1000000.0 * (CAST(s_e6 AS DOUBLE) / tot_s)) AS DOUBLE) / n_tokens AS epochs,
+       least(1.0, CAST(floor(1000000.0 * (CAST(s_e6 AS DOUBLE) / tot_s)) AS DOUBLE) / n_tokens)
+         AS sample_rate
+FROM pe CROSS JOIN tot
+""",
+    doc="per-source token budget plan for a 1M-token target under a "
+    "temperature-2 mixture: one scan to exact per-group token counts, "
+    "1-row broadcast totals, pure projection; sqrt quantized to BIGINT "
+    "1e-6 units so the normalizer is an exact integer sum",
+)
+def token_budget_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_plan(docs, budget_tokens=1_000_000, group_col="source")

@@ -873,3 +873,63 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rolling_distinct(ev, ["event_type"], "ts", "user_id", window_hours=3)
+
+
+# ---------------------------------------------------------------------------
+# Journey / clickstream path mining: each user's first-3-event-type path
+# rendered as a string, then the corpus-wide path frequency table — the
+# "what do users do first" report feeding funnel design, and the ordered
+# sequence-assembly primitive SFT-style data preparation uses (group →
+# total-order sort → deterministic render).
+#
+# Scale shape: ONE exchange on user_id serves both the ranking window and
+# the per-user aggregate (the groupBy reuses the window's partitioning);
+# collect_list only ever sees the ≤3 surviving rows per user (the rank
+# filter runs BEFORE aggregation, so a power-user's event history never
+# materializes in one task); the path rollup is the second, path-keyed
+# shuffle; top-k is a TakeOrdered.  Determinism: (ts, event_id) is a
+# total order (event_id unique), array_sort on the (rn, type) struct
+# fixes collect_list's arrival order.
+# ---------------------------------------------------------------------------
+@register(
+    "journey_paths_top",
+    """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+j AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT journey, COUNT(*) AS n_users
+FROM j GROUP BY journey
+ORDER BY n_users DESC, journey LIMIT 20
+""",
+    doc="top-20 first-3-event journeys: rank window + per-user ordered "
+    "render on one user_id exchange, path-keyed rollup, TakeOrdered",
+)
+def journey_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pref = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    per_user = pref.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        per_user.groupBy("journey")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "journey")
+        .limit(20)
+    )

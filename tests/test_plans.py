@@ -332,6 +332,12 @@ _SCALAR_BROADCAST_OK = {
     "quality_bigram_logprob",
     # two 1-row pair-count scalars assembled onto the recall row
     "dedup_recall_minhash",
+    # 1-row corpus-size / bigram-total / min-max-normalizer / budget-total
+    # scalar broadcasts (the tfidf_top_terms shape)
+    "ngram_boilerplate_top",
+    "pmi_collocations_top",
+    "quality_ensemble_docs",
+    "token_budget_plan_sources",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate

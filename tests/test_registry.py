@@ -119,6 +119,12 @@ POST_WINDOW_ORACLES = (
     "zipf_slope_sources",
     "dedup_recall_minhash",
     "kfold_assignments",
+    # round 7 continuation: corpus forensics + mixture planning + journeys
+    "ngram_boilerplate_top",
+    "pmi_collocations_top",
+    "quality_ensemble_docs",
+    "token_budget_plan_sources",
+    "journey_paths_top",
 )
 
 
