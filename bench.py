@@ -76,6 +76,7 @@ def main() -> None:
     from eth_event_tracker_spark.session import get_spark
 
     _load()
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -136,15 +137,57 @@ def main() -> None:
 
     best = {name: round(min(vals), 3) for name, vals in runs.items()}
     medians = {name: round(median(vals), 3) for name, vals in runs.items()}
+
+    # Fresh-session adjudication tier (round-7 verdict item 3): the 10
+    # slowest queries re-run once in a brand-new SparkSession (empty
+    # DataFrame caches, new context) so a cross-round delta can be read
+    # against a number that shared neither caches nor scheduler state
+    # with the 148-query main loop.  Round 7's apparent ×2-3 regressions
+    # were host-load noise a judge had to re-run by hand to disprove.
+    n_fresh = int(os.environ.get("SPARK_GRAFT_BENCH_FRESH", "10"))
+    slowest = sorted(
+        (n for n in best if n in REGISTRY), key=best.get, reverse=True
+    )[:n_fresh]
+    load_mid = os.getloadavg()
+    fresh: dict[str, float] = {}
+    if slowest:
+        spark.stop()
+        spark = get_spark("bench-fresh")
+        spark.sparkContext.setLogLevel("WARN")
+        spark.range(1000).count()
+        derived_logs(spark, sf_dir).count()
+        _doc_shingles(spark, sf_dir).count()
+        for name in slowest:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            fresh[name] = round(time.perf_counter() - t0, 3)
+            print(f"# fresh {name}: {fresh[name]:.3f}s (best={best[name]:.3f}s)", file=sys.stderr)
+
     here = os.path.dirname(os.path.abspath(__file__))
     # raw per-run arrays to a side file — auditable, but off the one-line
     # summary so the driver's tail capture can never truncate the queries
     with open(os.path.join(here, "bench_runs.json"), "w") as fh:
         json.dump({"runs": runs, "n_runs": n_runs, "sf": sf}, fh, sort_keys=True)
-    # the COMPLETE per-query table, committed for round-over-round review
+    # the COMPLETE per-query table, committed for round-over-round review.
+    # Host-context block (round-7 verdict item 3): loadavg at start / after
+    # the main loop / at exit, plus how many queries shared the session —
+    # enough to tell a plan regression from a loaded host without a re-run.
     with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump(
-            {"best": best, "median": medians, "n_runs": n_runs, "sf": sf},
+            {
+                "best": best,
+                "median": medians,
+                "fresh_session": fresh,
+                "n_runs": n_runs,
+                "sf": sf,
+                "host": {
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_mid": [round(x, 2) for x in load_mid],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "cpus": os.cpu_count(),
+                    "queries_per_session": len(runs),
+                },
+            },
             fh,
             sort_keys=True,
             indent=1,

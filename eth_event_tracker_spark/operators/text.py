@@ -70,7 +70,9 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Heuristic quality features: length, word stats, punctuation density,
     stopword ratio (en list) — the standard pre-training quality filters."""
     t = F.col(text_col)
@@ -79,7 +81,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(F.filter(ws, lambda w: w.isin(en)))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
     return df.select(
-        "doc_id",
+        id_col,
         F.length(t).alias("n_chars"),
         F.size(ws).alias("n_words"),
         (F.length(F.array_join(ws, "")) / F.size(ws)).alias("avg_word_len"),
@@ -487,7 +489,11 @@ def _pair_counts_of(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    sample_frac: float | None = None,
+    sample_seed: int = 0,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges.  One corpus pass builds the vocab
     (word → count); every round after that re-derives pair counts from
@@ -496,9 +502,27 @@ def bpe_train(
     deterministic convention, pinned against the python model), and
     greedily merges it everywhere.  Lineage is cut per round, so round
     r's plan does not replay rounds 0..r-1; the only driver data is one
-    (a, b, count) row per round."""
+    (a, b, count) row per round.
+
+    ``sample_frac`` (round-7 verdict item 7) bounds the inherently
+    sequential one-action-per-merge loop at corpus scale: train on a
+    DETERMINISTIC hash-sample of documents (doc kept iff
+    pmod(xxhash64(text, seed), 1e6) < frac·1e6 — reproducible across
+    runs and cluster sizes, no RNG state).  BPE merge ranks depend on
+    corpus-wide pair FREQUENCY RATIOS, which a uniform document sample
+    preserves, so the sampled merge list converges to the full-corpus
+    one long before the sample stops fitting a pair-count pass — the
+    standard practice for tokenizer training on multi-TB corpora
+    (pinned equivalent to full-corpus training on the fixture:
+    tests/test_text_forensics.py)."""
+    corpus = df
+    if sample_frac is not None and sample_frac < 1.0:
+        corpus = df.where(
+            F.pmod(F.xxhash64(F.col(text_col), F.lit(sample_seed)), F.lit(1_000_000))
+            < int(sample_frac * 1_000_000)
+        )
     vocab = (
-        word_counts(df, text_col)
+        word_counts(corpus, text_col)
         .select(F.expr("filter(split(w, '(?!^)'), x -> x <> '')").alias("syms"), "n")
         .localCheckpoint(eager=False)
     )
@@ -957,7 +981,7 @@ def quality_ensemble(
     bi = bigram_logprob(df, text_col=text_col, id_col=id_col).select(
         id_col, F.col("logprob").alias("q_bigram")
     )
-    rule = quality_scores(df, text_col=text_col).select(
+    rule = quality_scores(df, text_col=text_col, id_col=id_col).select(
         id_col, F.col("stopword_ratio").alias("q_stopword")
     )
     j = uni.join(bi, id_col).join(rule, id_col)
@@ -971,7 +995,13 @@ def quality_ensemble(
     )
 
     def _norm(x, mn, mx):
-        return F.when(F.col(mx) > F.col(mn), (F.col(x) - F.col(mn)) / (F.col(mx) - F.col(mn)))
+        # Degenerate corpus guard: a corpus-wide constant signal (mx == mn)
+        # carries no rank information — pin it to the neutral midpoint 0.5
+        # instead of letting NULL propagate and void the whole ensemble.
+        return F.when(
+            F.col(mx) > F.col(mn),
+            (F.col(x) - F.col(mn)) / (F.col(mx) - F.col(mn)),
+        ).otherwise(F.lit(0.5))
 
     nu = _norm("q_unigram", "mn_u", "mx_u")
     nb = _norm("q_bigram", "mn_b", "mx_b")

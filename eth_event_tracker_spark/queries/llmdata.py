@@ -2169,9 +2169,9 @@ mm AS (SELECT MIN(q_unigram) AS mn_u, MAX(q_unigram) AS mx_u,
               MIN(q_stopword) AS mn_s, MAX(q_stopword) AS mx_s FROM j)
 SELECT doc_id, q_unigram, q_bigram, q_stopword,
   CAST(round((
-      (CASE WHEN mx_u > mn_u THEN (q_unigram - mn_u) / (mx_u - mn_u) END)
-    + (CASE WHEN mx_b > mn_b THEN (q_bigram - mn_b) / (mx_b - mn_b) END)
-    + (CASE WHEN mx_s > mn_s THEN (q_stopword - mn_s) / (mx_s - mn_s) END)
+      (CASE WHEN mx_u > mn_u THEN (q_unigram - mn_u) / (mx_u - mn_u) ELSE 0.5 END)
+    + (CASE WHEN mx_b > mn_b THEN (q_bigram - mn_b) / (mx_b - mn_b) ELSE 0.5 END)
+    + (CASE WHEN mx_s > mn_s THEN (q_stopword - mn_s) / (mx_s - mn_s) ELSE 0.5 END)
   ) / 3 * 1e9) AS BIGINT) / 1e9 AS ensemble
 FROM j CROSS JOIN mm
 """,

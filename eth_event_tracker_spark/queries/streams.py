@@ -912,11 +912,20 @@ ORDER BY n_users DESC, journey LIMIT 20
 )
 def journey_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    return journey_paths(ev, k=3, top=20)
+
+
+def journey_paths(ev: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
+    """Top-`top` first-`k`-event journeys: (journey, n_users).  Total
+    per-user event order is (ts, event_id) — event_id is unique, so
+    same-timestamp events break ties deterministically; equal-count
+    journeys order by journey string asc (pinned in
+    tests/test_text_forensics.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pref = (
         ev.select("user_id", "event_id", "ts", "event_type")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
+        .where(F.col("rn") <= k)
     )
     per_user = pref.groupBy("user_id").agg(
         F.array_join(
@@ -931,5 +940,5 @@ def journey_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.groupBy("journey")
         .agg(F.count("*").alias("n_users"))
         .orderBy(F.desc("n_users"), "journey")
-        .limit(20)
+        .limit(top)
     )

@@ -46,3 +46,71 @@ def test_registry_entry_in_pinned_range(spark, sf_dir):
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.8, [(r.q_id, r.recall) for r in rows]
     assert all(r.n_truth == 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ivf_tune_nprobe: the monitor closed into a loop (round-7 verdict item 5).
+# Fixture geometry: three tight 2-D direction clusters at 0/20/40 degrees;
+# boundary queries at 10/30 degrees have true neighbours in TWO adjacent
+# clusters, so probing one bucket cannot reach the target and probing two
+# must.  Deterministic (explicit angles, no randomness).
+# ---------------------------------------------------------------------------
+def _angle_vec(deg: float) -> list[float]:
+    import math
+
+    return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+
+def _tune_fixture(spark):
+    corpus_rows = []
+    vid = 0
+    for base in (0.0, 20.0, 40.0):
+        for j in range(10):
+            corpus_rows.append((vid, _angle_vec(base + (j - 4.5) * 0.4)))
+            vid += 1
+    queries_rows = [(100, _angle_vec(10.0)), (101, _angle_vec(30.0))]
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(queries_rows, schema),
+        spark.createDataFrame(corpus_rows, schema),
+    )
+
+
+def test_ivf_tune_nprobe_minimal_probe_meets_target(spark):
+    from eth_event_tracker_spark.operators.similarity import (
+        ann_recall,
+        ivf_tune_nprobe,
+    )
+
+    queries, corpus = _tune_fixture(spark)
+    n_probe, curve = ivf_tune_nprobe(
+        queries,
+        corpus,
+        k=6,
+        n_centroids=3,
+        target_recall=0.9,
+        exclude_self=False,
+    )
+    # probe=1 must fail (each query's 6 nearest straddle two clusters:
+    # one bucket holds at most 10 of 30 candidates and the true top-6
+    # splits across the boundary), a wider probe must pass
+    assert curve[0]["n_probe"] == 1 and curve[0]["mean_recall"] < 0.9
+    assert 1 < n_probe <= 3
+    # minimality: the chosen level is the FIRST on the curve meeting
+    # target — every earlier level is below it
+    assert curve[-1]["n_probe"] == n_probe
+    assert curve[-1]["mean_recall"] >= 0.9
+    assert all(pt["mean_recall"] < 0.9 for pt in curve[:-1])
+    # curve is monotone non-decreasing (candidates only grow with probe)
+    rs = [pt["mean_recall"] for pt in curve]
+    assert rs == sorted(rs)
+
+
+def test_ivf_tune_nprobe_trivial_target_picks_one(spark):
+    from eth_event_tracker_spark.operators.similarity import ivf_tune_nprobe
+
+    queries, corpus = _tune_fixture(spark)
+    n_probe, curve = ivf_tune_nprobe(
+        queries, corpus, k=2, n_centroids=3, target_recall=0.0, exclude_self=False
+    )
+    assert n_probe == 1 and len(curve) == 1
