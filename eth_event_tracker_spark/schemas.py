@@ -41,6 +41,13 @@ LOG_SCHEMA = StructType(
 # Raw log as delivered by the source (before indx assignment).
 RAW_LOG_SCHEMA = StructType([f for f in LOG_SCHEMA.fields if f.name != "indx"])
 
+# Changelog stream row: a log plus its Added/Removed action — the
+# readStream-native form of the reference's Event{Added,Removed} stream
+# (tracker.go:763-829), emitted by sources/changelog_source.py.
+CHANGELOG_STREAM_SCHEMA = StructType(
+    [StructField("action", StringType(), False), *RAW_LOG_SCHEMA.fields]
+)
+
 # Chain headers incl. fork branches (web3.Block usage, tracker.go:237-247).
 BLOCK_SCHEMA = StructType(
     [

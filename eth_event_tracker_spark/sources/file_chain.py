@@ -34,6 +34,23 @@ def dump_chain(provider: MockProvider, chain_dir: str | os.PathLike) -> None:
             }
             f.write(json.dumps(rec) + "\n")
     os.replace(tmp, d / "blocks.jsonl")
+    # by-hash table: EVERY block the provider has ever seen, including
+    # orphaned fork branches — the stand-in for a node's fetch-by-hash
+    # surface (S-2, tracker.go:797-815).  This only grows, which is what
+    # makes the reorg-aware changelog source's offsets replayable: a
+    # restarted micro-batch re-fetches its exact blocks by hash even
+    # after the canonical file was rewritten by a later reorg.
+    tmp2 = d / "by_hash.jsonl.tmp"
+    with tmp2.open("w") as f:
+        for b in provider.by_hash.values():
+            rec = {
+                "number": b.block_number,
+                "hash": b.hash,
+                "parent_hash": b.parent_hash,
+                "logs": [{**lg, "data": lg["data"].hex()} for lg in b.logs()],
+            }
+            f.write(json.dumps(rec) + "\n")
+    os.replace(tmp2, d / "by_hash.jsonl")
     (d / "meta.json").write_text(
         json.dumps({"chain_id": provider.chain_id, "genesis": provider.genesis_hash()})
     )
@@ -45,6 +62,7 @@ class FileChainReader:
     def __init__(self, chain_dir: str) -> None:
         self.dir = Path(chain_dir)
         self._blocks: list[dict] | None = None
+        self._by_hash: dict[str, dict] | None = None
 
     @property
     def blocks(self) -> list[dict]:
@@ -77,6 +95,35 @@ class FileChainReader:
             for lg in b["logs"]
             if self._match(lg, addr, topics)
         ]
+
+    @property
+    def by_hash(self) -> dict[str, dict]:
+        """Every block ever dumped, keyed by hash (incl. orphans).  Falls
+        back to the canonical file for chains dumped before by_hash.jsonl
+        existed."""
+        if self._by_hash is None:
+            p = self.dir / "by_hash.jsonl"
+            if p.exists():
+                with p.open() as f:
+                    self._by_hash = {
+                        b["hash"]: b for b in (json.loads(ln) for ln in f if ln.strip())
+                    }
+            else:
+                self._by_hash = {b["hash"]: b for b in self.blocks}
+        return self._by_hash
+
+    def header_by_hash(self, h: str) -> Header | None:
+        b = self.by_hash.get(h)
+        return Header(b["number"], b["hash"], b["parent_hash"]) if b else None
+
+    def get_logs_by_hash(self, block_hash: str, addresses=(), topics=()) -> list[dict]:
+        """Fork-exact per-block scan (S-2) — serves orphaned blocks too,
+        which is what makes reorg retractions replayable."""
+        b = self.by_hash.get(block_hash)
+        if b is None:
+            return []
+        addr = {a.lower() for a in addresses}
+        return [lg for lg in b["logs"] if self._match(lg, addr, topics)]
 
     def count_logs_per_block(
         self, from_block: int, to_block: int, addresses=(), topics=()

@@ -1,0 +1,144 @@
+"""sf1.0 smoke tier for the heaviest queries (round-7 verdict item 4).
+
+The sf0.1 gate has caught two real bugs sf0.01 missed; the iterative
+graph/ML queries and the dedup joins had never seen another 10×.  This
+tool synthesizes an sf≈1.0 dataset (≈6M-row lineitem) by replicating the
+sf0.1 fixtures ``factor`` times with disjoint key ranges — referential
+integrity preserved (every fk column shifts by the same per-replica
+stride), dims (region, nation) unchanged — then runs the N heaviest
+registry queries (by the committed bench_full.json best times) under a
+per-query runtime budget, recording rows + seconds to ``sf1_smoke.json``
+at the repo root (committed evidence).
+
+Row counts at sf1 are NOT oracle-graded (DuckDB over 6M-row synthetic
+replicas would double the runtime for no new correctness signal — the
+same plans are hash-checked at sf0.1); the tier exists to surface
+DENSITY bugs: quadratic candidate blowups, driver collects that stop
+being k-bounded, RANGE frames over 10× rows per key, skew that AQE
+must split.  A query exceeding its budget or erroring fails the run.
+
+    python tools/sf1_smoke.py                  # build (if absent) + run
+    python tools/sf1_smoke.py --rebuild        # force re-synthesize
+    python tools/sf1_smoke.py --top 15 --budget 120
+
+The synthetic dataset lives under /tmp/eets_sf1_synth (regenerable,
+never committed).  Duplicated document text across replicas is
+deliberate: a 10-way exact-duplicate corpus is exactly the shape a
+crawl-scale dedup pass must absorb without a pair blowup (clusters of
+10 → 45 pairs per group, linear in corpus size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SRC = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/eets_sf1_synth")
+STRIDE = 1_000_000_000  # > any sf0.1 key; replica i shifts keys by i*STRIDE
+
+# fk-consistent key columns per table; dims replicate unchanged
+KEY_COLS: dict[str, list[str]] = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_sf1(spark, factor: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    for name, keys in KEY_COLS.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if not keys:
+            out = src
+        else:
+            # one scan, exploded replica index — not a 10-way union of
+            # 10 scans (the same single-pass shape a real scale-up job
+            # would run over 100 TB of source)
+            rep = src.select(
+                F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep"), "*"
+            )
+            out = rep.select(
+                *[
+                    (F.col(c) + F.col("_rep") * F.lit(STRIDE)).alias(c)
+                    if c in keys
+                    else F.col(c)
+                    for c in src.columns
+                ]
+            )
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"# built {name} x{1 if not keys else factor}", file=sys.stderr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--top", type=int, default=15, help="N heaviest queries to run")
+    ap.add_argument("--budget", type=float, default=150.0, help="per-query budget (s)")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from eth_event_tracker_spark.queries import REGISTRY, _load
+    from eth_event_tracker_spark.session import get_spark
+
+    _load()
+    spark = get_spark("sf1-smoke")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.rebuild or not os.path.isdir(f"{DST}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build_sf1(spark, args.factor)
+        print(f"# synth build: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    with open(os.path.join(ROOT, "bench_full.json")) as fh:
+        best = json.load(fh)["best"]
+    heaviest = [n for n in sorted(best, key=best.get, reverse=True) if n in REGISTRY][
+        : args.top
+    ]
+
+    results: dict[str, dict] = {}
+    ok = True
+    for name in heaviest:
+        t0 = time.perf_counter()
+        try:
+            n_rows = REGISTRY[name].fn(spark, DST).count()
+            sec = round(time.perf_counter() - t0, 2)
+            status = "ok" if sec <= args.budget else "over_budget"
+            results[name] = {"status": status, "rows": n_rows, "sec": sec}
+        except Exception as e:  # noqa: BLE001 — smoke harness records, then fails
+            sec = round(time.perf_counter() - t0, 2)
+            results[name] = {"status": "error", "error": str(e)[:300], "sec": sec}
+            status = "error"
+        ok = ok and status == "ok"
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    artifact = {
+        "sf": 1.0,
+        "factor": args.factor,
+        "source": SRC,
+        "budget_sec": args.budget,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "queries": results,
+    }
+    with open(os.path.join(ROOT, "sf1_smoke.json"), "w") as fh:
+        json.dump(artifact, fh, sort_keys=True, indent=1)
+    print(json.dumps({"sf1_smoke": "ok" if ok else "FAIL", "n": len(results)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
