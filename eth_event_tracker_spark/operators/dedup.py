@@ -93,6 +93,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ORDERED pairs (doc_a, doc_b, containment) with shingle containment
+    |S(a) ∩ S(b)| / |S(a)| ≥ threshold — Broder's asymmetric companion to
+    Jaccard resemblance.  The measure a dedup pass needs when one doc is
+    EMBEDDED in another (quote farms, wrapper pages, doc+boilerplate):
+    a 50-shingle doc fully contained in a 5000-shingle page has Jaccard
+    ≈ 0.01 (invisible to ``jaccard_pairs``) but containment 1.0.
+
+    Same no-cross-join scale shape as :func:`jaccard_pairs`: unordered
+    pairs meet ONCE via the shingle equi-join (doc_a < doc_b), the
+    intersection count aggregates once, and both orientations then emit
+    from that single table with their own denominators — the ordered
+    output never doubles the join."""
+    sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sized = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = sized.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter").cast("double") / F.col("n_a").cast("double")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("doc_a"),
+        F.col("doc_a").alias("doc_b"),
+        (F.col("n_inter").cast("double") / F.col("n_b").cast("double")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     threshold: float = 0.8,

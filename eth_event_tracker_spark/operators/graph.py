@@ -310,3 +310,52 @@ def kcore(
     out = _degrees(e).select(F.col("v").alias("node"), F.col("d").alias("degree"))
     # isolated survivors cannot exist: degree ≥ k ≥ 1 inside the core
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "v",
+) -> DataFrame:
+    """Unweighted shortest hop distance from a source set by synchronous
+    frontier BFS over the undirected graph: (node, hops), hops ≤
+    ``max_hops``, sources at 0.  The reachability primitive under
+    "within-N-hops-of-a-seed" expansions (contaminated-doc blast radius,
+    supplier criticality rings, account-graph risk halos).
+
+    100 TB shape: one equality join (frontier × edges, both directions
+    via the canonical edge table's two endpoint columns) + one anti-join
+    against the visited set + one distinct per round — ≤ max_hops rounds,
+    lineage cut per round, one count action per round.  Frontiers are
+    the only iterated state; the visited set grows monotonically and
+    would be a checkpointed table at corpus scale.  Deterministic: hop
+    numbers are unique per node (first discovery wins, and synchronous
+    rounds make discovery order well-defined), so no tie-breaking is
+    needed.  DuckDB twin: a bounded recursive CTE taking MIN(d) per node
+    (queries/relational.py bfs_hops_cosupply) — the oracle for the loop."""
+    e = _canon_edges(edges, src, dst)
+    visited = sources.select(F.col(source_col).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        neigh = (
+            frontier.join(e, frontier["node"] == e["a"]).select(F.col("b").alias("node"))
+            .unionAll(
+                frontier.join(e, frontier["node"] == e["b"]).select(
+                    F.col("a").alias("node")
+                )
+            )
+            .distinct()
+        )
+        new = neigh.join(visited.select("node"), "node", "left_anti").select(
+            "node", F.lit(hop).alias("hops")
+        ).localCheckpoint(eager=False)
+        if new.count() == 0:
+            break
+        visited = visited.unionAll(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return visited.select("node", F.col("hops").cast("long").alias("hops"))

@@ -890,6 +890,46 @@ def ngram_boilerplate(
     )
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 §A1.1): per doc with ≥3 words,
+      dup2_share     — fraction of bigram POSITIONS that repeat an
+                       earlier bigram: (n₂ − distinct₂)/n₂,
+      dup3_share     — same for trigrams,
+      top2gram_share — occurrences of the single most frequent bigram
+                       over all bigram positions.
+    High values mark machine-generated loops, keyword stuffing and
+    templated spam that corpus-LEVEL dedup never sees (the duplication
+    is inside one row).
+
+    Scale shape: every signal is a row-local array expression over the
+    doc's own words — zero shuffles, zero joins, whole-stage codegen;
+    the per-row cost of top2gram_share is O(distinct·n) on the doc's
+    bigrams, bounded by doc length, embarrassingly parallel at 100 TB."""
+    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+
+    def grams(k: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
+        )
+
+    bg, tg = grams(2), grams(3)
+    n2, n3 = F.size(bg), F.size(tg)
+    d2, d3 = F.size(F.array_distinct(bg)), F.size(F.array_distinct(tg))
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
+        )
+    )
+    return df.where(F.size(ws) >= 3).select(
+        id_col,
+        ((n2 - d2).cast("double") / n2.cast("double")).alias("dup2_share"),
+        ((n3 - d3).cast("double") / n3.cast("double")).alias("dup3_share"),
+        (top2.cast("double") / n2.cast("double")).alias("top2gram_share"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     min_count: int = 5,

@@ -161,6 +161,10 @@ _POST_WINDOW = (
     "quality_ensemble_docs",
     "token_budget_plan_sources",
     "journey_paths_top",
+    # round 8: within-doc repetition (Gopher filters) + asymmetric containment
+    "doc_repetition_scores",
+    "dedup_containment_pairs",
+    "bfs_hops_cosupply",
 )
 
 

@@ -2219,3 +2219,97 @@ def token_budget_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_plan(docs, budget_tokens=1_000_000, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (operators/text.py repetition_scores): the
+# Gopher repetition filters (Rae et al. 2021 §A1.1) — duplicate bigram /
+# trigram position shares and the top-bigram share, all row-local array
+# expressions (zero shuffles).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition_scores",
+    f"""
+WITH {_WORDS_CTE},
+f AS (SELECT doc_id, list_filter(words, x -> x <> '') AS ws FROM w),
+g AS (SELECT doc_id, ws,
+        list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]) AS bg,
+        list_transform(generate_series(1, len(ws) - 2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tg
+      FROM f WHERE len(ws) >= 3)
+SELECT doc_id,
+  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE) AS dup2_share,
+  CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE) AS dup3_share,
+  CAST(list_max(list_transform(list_distinct(bg),
+                               x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+    / CAST(len(bg) AS DOUBLE) AS top2gram_share
+FROM g
+""",
+    doc="Gopher within-doc repetition: duplicate bigram/trigram position "
+    "shares + top-bigram share, row-local array exprs — no shuffle",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.repetition_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dups (operators/dedup.py containment_pairs):
+# |S(a) ∩ S(b)| / |S(a)| — catches a small doc embedded in a large one,
+# which Jaccard resemblance cannot see.  Unordered pairs meet once via
+# the shingle join; both orientations emit from the single intersection
+# table.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_containment_pairs",
+    f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sized AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b),
+orient AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM sized
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b,
+         CAST(n_inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment FROM sized)
+SELECT doc_a, doc_b, containment FROM orient WHERE containment >= 0.8
+""",
+    doc="ordered shingle-containment near-dup pairs (threshold 0.8, "
+    "Broder's asymmetric measure): one shingle equi-join for unordered "
+    "pairs, both orientations projected from the single intersection table",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPD.containment_pairs(docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir))
+
+
+@register(
+    "ann_nprobe_tuning_curve",
+    None,
+    doc="ivf_tune_nprobe's recall-vs-probe curve on the embeddings "
+    "fixture (rows-only: ANN property; tuner minimality pinned in "
+    "tests/test_similarity_recall.py) — the closed-loop form of "
+    "ann_recall_ivf: smallest n_probe meeting the 0.9 target, plus "
+    "every level evaluated on the way",
+)
+def ann_nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_tune_nprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    chosen, curve = ivf_tune_nprobe(
+        queries, corpus, k=5, n_centroids=8, target_recall=0.9
+    )
+    return spark.createDataFrame(
+        [(c["n_probe"], c["mean_recall"], c["n_probe"] == chosen) for c in curve],
+        "n_probe int, mean_recall double, chosen boolean",
+    )

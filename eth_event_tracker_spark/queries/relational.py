@@ -1390,3 +1390,47 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
     return kcore(_cosupply_edges(spark, sf_dir), k=2)
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances (operators/graph.py bfs_hops): unweighted shortest
+# hops from the graph's max-degree hub over the top-500 co-supply graph.
+# The first ORACLE-GRADED iterative-loop graph entry: DuckDB's bounded
+# recursive CTE (UNION-dedup on (node, hops), MIN per node) replays the
+# frontier expansion exactly, so the loop's every hop number hash-matches.
+# ---------------------------------------------------------------------------
+@register(
+    "bfs_hops_cosupply",
+    """
+WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          ORDER BY cnt DESC, a, b LIMIT 500),
+deg AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
+        GROUP BY v),
+srcn AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 1),
+walk(node, hops) AS (
+  SELECT v AS node, 0 AS hops FROM srcn
+  UNION
+  SELECT CASE WHEN w.node = p.a THEN p.b ELSE p.a END AS node, w.hops + 1 AS hops
+  FROM walk w JOIN pairs p ON w.node = p.a OR w.node = p.b
+  WHERE w.hops < 6
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+""",
+    doc="BFS hop distances from the max-degree hub (tie: lowest id) over "
+    "the top-500 co-supply graph, ≤6 hops: one frontier×edges join + "
+    "anti-join vs visited per round, lineage cut, one action per round; "
+    "oracle = bounded recursive CTE with MIN(hops)",
+)
+def bfs_hops_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import _canon_edges, _degrees, bfs_hops
+
+    e = _cosupply_edges(spark, sf_dir)
+    canon = _canon_edges(e, "src", "dst")
+    seed = _degrees(canon).orderBy(F.desc("d"), "v").limit(1).select("v")
+    return bfs_hops(e, seed, max_hops=6)

@@ -111,3 +111,34 @@ def test_lpa_isolated_pair_and_empty(spark):
     assert lab[1] == lab[2]
     empty = spark.createDataFrame([], "src long, dst long")
     assert label_propagation(empty).count() == 0
+
+
+def test_bfs_hops_path_graph(spark):
+    """A path 0-1-2-3-4: hops from node 0 are the positions; a
+    disconnected island never appears; max_hops truncates."""
+    from eth_event_tracker_spark.operators.graph import bfs_hops
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seed = spark.createDataFrame([(0,)], "v long")
+    got = {r.node: r.hops for r in bfs_hops(df, seed).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    capped = {r.node: r.hops for r in bfs_hops(df, seed, max_hops=2).collect()}
+    assert capped == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_shortest_wins_and_multi_source(spark):
+    """A cycle gives two routes — the shorter one wins; multiple seeds
+    all start at 0 and the min over seeds is reported."""
+    from eth_event_tracker_spark.operators.graph import bfs_hops
+
+    # 6-cycle: from 0, node 3 is 3 hops either way; node 5 is 1 hop back
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r.node: r.hops for r in bfs_hops(df, spark.createDataFrame([(0,)], "v long")).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2, 5: 1}
+    two = {
+        r.node: r.hops
+        for r in bfs_hops(df, spark.createDataFrame([(0,), (3,)], "v long")).collect()
+    }
+    assert two == {0: 0, 3: 0, 1: 1, 2: 1, 4: 1, 5: 1}

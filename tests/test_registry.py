@@ -31,6 +31,7 @@ ROWS_ONLY_EXTRAS = {
     "embedding_sq8_topk",
     "kcore_cosupply",
     "rolling_distinct_users",
+    "ann_nprobe_tuning_curve",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -125,6 +126,10 @@ POST_WINDOW_ORACLES = (
     "quality_ensemble_docs",
     "token_budget_plan_sources",
     "journey_paths_top",
+    # round 8: within-doc repetition (Gopher filters) + asymmetric containment
+    "doc_repetition_scores",
+    "dedup_containment_pairs",
+    "bfs_hops_cosupply",
 )
 
 

@@ -80,3 +80,18 @@ def test_sf01_gate_graded_window_passes():
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-1000:]
     assert "sf0.1 gate OK" in proc.stdout
+
+
+def test_sf1_smoke_artifact_committed():
+    """The sf1.0 (10× density) smoke evidence must be committed and all
+    green (round-7 verdict item 4): every recorded query ok and within
+    its budget.  Regenerate with `python tools/sf1_smoke.py`."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "sf1_smoke.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["sf"] == 1.0 and len(d["queries"]) >= 15
+    bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
+    assert not bad, f"sf1 smoke failures: {bad}"

@@ -167,3 +167,40 @@ def test_bpe_sample_bound_training_matches_full(spark, sf_dir):
     # the sample predicate is a pure hash of the text — rerunning yields
     # the identical list (no RNG state, no partition-order dependence)
     assert OPT.bpe_train(docs, n_merges=8, sample_frac=0.7) == sampled
+
+
+def test_repetition_scores_planted_loop(spark):
+    """A looping doc scores high; a fully distinct doc scores zero; the
+    shares are the hand-computed exact fractions."""
+    docs = [
+        (1, "spam ham spam ham spam ham spam ham"),  # 8 words: bg=7 (2 distinct), tg=6 (2 distinct)
+        (2, "one two three four five six seven eight"),  # all distinct
+        (3, "aa bb"),  # <3 words: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from eth_event_tracker_spark.operators.text import repetition_scores
+
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.dup2_share == (7 - 2) / 7
+    assert r1.dup3_share == (6 - 2) / 6
+    assert r1.top2gram_share == 4 / 7  # 'spam ham' at positions 1,3,5,7
+    r2 = got[2]
+    assert (r2.dup2_share, r2.dup3_share) == (0.0, 0.0)
+    assert r2.top2gram_share == 1 / 7
+
+
+def test_containment_asymmetric_vs_jaccard(spark):
+    """A small doc embedded verbatim in a much larger one: containment
+    small→big is 1.0 (caught) while Jaccard is far below any usable
+    threshold (invisible to resemblance dedup)."""
+    small = "alpha beta gamma delta epsilon"  # 3 shingles (3-gram)
+    big = small + " " + " ".join(f"filler{i:02d} tokena{i:02d} tokenb{i:02d}" for i in range(20))
+    docs = [(1, small), (2, big)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from eth_event_tracker_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    cont = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(df, threshold=0.5).collect()}
+    assert cont == {(1, 2): 1.0}  # small fully contained; big→small below threshold
+    assert jaccard_pairs(df, threshold=0.5).count() == 0

@@ -74,7 +74,10 @@ def build_sf1(spark, factor: int = 10) -> None:
             )
             out = rep.select(
                 *[
-                    (F.col(c) + F.col("_rep") * F.lit(STRIDE)).alias(c)
+                    (
+                        F.col(c).cast("long")
+                        + F.col("_rep").cast("long") * F.lit(STRIDE).cast("long")
+                    ).alias(c)
                     if c in keys
                     else F.col(c)
                     for c in src.columns
