@@ -1064,10 +1064,15 @@ def ivf_tune_nprobe(
     assigned once, and the candidate table — every (query, candidate)
     pair within the query's ``max_probe`` nearest buckets, annotated
     with the PROBE POSITION of the bucket it came from — is
-    materialized ONCE; each probe level is then a filter + window over
-    that cached sample-priced table (|sample| × bucket_size × max_probe
-    rows), never a re-probe of the corpus.  The exact ground-truth pass
-    is priced by the query sample, exactly like :func:`ann_recall`."""
+    materialized ONCE; the ENTIRE curve then evaluates in ONE job: each
+    candidate explodes to the probe levels it participates in
+    (level > probe_pos, ≤ max_probe rows per candidate), one window
+    partitioned by (q_id, level) ranks every level simultaneously, and
+    the truth semi-join + per-level mean reduce to |max_probe| rows on
+    the driver.  No per-level driver round-trips — the iterative-loop
+    discipline the graph operators follow, applied to parameter search.
+    The exact ground-truth pass is priced by the query sample, exactly
+    like :func:`ann_recall`."""
     from pyspark.sql.functions import pandas_udf
 
     max_probe = min(max_probe or n_centroids, n_centroids)
@@ -1097,35 +1102,64 @@ def ivf_tune_nprobe(
         "c_id",
         "probe_pos",
         (_dbl_dot(F.col("qv"), F.col("cv")) / (nq * nc)).alias("cosine"),
-    ).cache()
+    )
 
     truth = cosine_topk_exact(queries, corpus, k, id_col, vec_col)
     if exclude_self:
         truth = truth.where(F.col("q_id") != F.col("c_id"))
-    truth = truth.select("q_id", "c_id").cache()
+    truth = truth.select("q_id", "c_id")
+    n_truth = truth.groupBy("q_id").agg(F.count("*").alias("n_truth"))
 
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    curve: list[dict] = []
-    chosen = max_probe
-    for p in range(1, max_probe + 1):
-        approx = (
-            scored.where(F.col("probe_pos") < p)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("q_id", "c_id")
+    # explode each candidate to every probe level it is visible at, rank
+    # all levels in one window pass, measure recall per (q_id, level),
+    # then mean per level — one job for the whole curve
+    lev = scored.select(
+        "q_id",
+        "c_id",
+        "cosine",
+        F.explode(
+            F.sequence(F.col("probe_pos") + 1, F.lit(max_probe))
+        ).alias("level"),
+    )
+    w = Window.partitionBy("q_id", "level").orderBy(F.desc("cosine"), F.asc("c_id"))
+    topk = (
+        lev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "level")
+    )
+    hits = topk.join(truth, ["q_id", "c_id"], "left_semi")
+    levels = n_truth.sparkSession.range(1, max_probe + 1).select(
+        F.col("id").cast("int").alias("level")
+    )
+    per_q = (
+        n_truth.crossJoin(F.broadcast(levels))
+        .join(
+            hits.groupBy("q_id", "level").agg(F.count("*").alias("n_hit")),
+            ["q_id", "level"],
+            "left",
         )
-        row = (
-            ann_recall(truth, approx)
-            .agg(F.avg("recall").alias("mean_recall"))
-            .collect()[0]
+        .select(
+            "level",
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
         )
-        mean_recall = float(row.mean_recall or 0.0)
-        curve.append({"n_probe": p, "mean_recall": mean_recall})
-        if mean_recall >= target_recall:
-            chosen = p
-            break
-    scored.unpersist()
-    truth.unpersist()
+    )
+    rows = (
+        per_q.groupBy("level")
+        .agg(F.avg("recall").alias("mean_recall"))
+        .orderBy("level")
+        .collect()
+    )
+    curve = [
+        {"n_probe": int(r.level), "mean_recall": float(r.mean_recall or 0.0)}
+        for r in rows
+    ]
+    chosen = next(
+        (pt["n_probe"] for pt in curve if pt["mean_recall"] >= target_recall),
+        max_probe,
+    )
     return chosen, curve
 
 

@@ -126,6 +126,72 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lang_mix(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mixed-language detection: per doc the top-2 stopword-hit language
+    scores and their ratio — (id, lang1, lang2, score1, score2,
+    mix_ratio, is_mixed).  A doc whose runner-up language scores ≥ half
+    the winner with ≥2 hits is flagged mixed — the docs a single-label
+    language filter silently mislabels (code-switched text, quoted
+    translations, boilerplate in a second language).
+
+    Scale shape: like :func:`lang_id`, one row-local array sort over the
+    |languages| score structs — no shuffle, no explode; the ratio is one
+    exact int/int double division."""
+    ws = words(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(ws, lambda w: w.isin(list(sw)))).alias("score"),
+            F.lit(code).alias("lang"),
+        )
+        for code, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    arr = F.array_sort(F.array(*scores))  # asc; ties by lang asc
+    top1, top2 = F.element_at(arr, -1), F.element_at(arr, -2)
+    ratio = F.when(
+        top1["score"] > 0, top2["score"].cast("double") / top1["score"].cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        top1["lang"].alias("lang1"),
+        top2["lang"].alias("lang2"),
+        top1["score"].cast("long").alias("score1"),
+        top2["score"].cast("long").alias("score2"),
+        ratio.alias("mix_ratio"),
+        ((ratio >= 0.5) & (top2["score"] >= 2)).alias("is_mixed"),
+    )
+
+
+def quality_calibrated(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group rank calibration of a raw quality signal: (id, group,
+    q_raw, q_calibrated) where q_calibrated = percent_rank of the
+    stopword ratio WITHIN the doc's source.  Raw quality signals are not
+    comparable across sources (code scores near 0 stopwords, prose near
+    0.4) — a single global threshold either guts one source or passes
+    another's spam; rank-within-group makes one threshold mean the same
+    percentile everywhere (the per-domain calibration step of a corpus
+    mixing pipeline).
+
+    Scale shape: one window partitioned by the GROUP key (parallel per
+    source, no global sort); percent_rank is (rank−1)/(n−1) on exact
+    integers, bit-identical across engines."""
+    qs = quality_scores(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("stopword_ratio").alias("q_raw")
+    )
+    j = df.select(id_col, group_col).join(qs, id_col)
+    w = Window.partitionBy(group_col).orderBy("q_raw")
+    return j.select(
+        id_col,
+        group_col,
+        "q_raw",
+        F.percent_rank().over(w).alias("q_calibrated"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 4, shingles: DataFrame | None = None
 ) -> DataFrame:
@@ -890,9 +956,10 @@ def ngram_boilerplate(
     )
 
 
-def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Within-document repetition signals (the Gopher repetition filters,
-    Rae et al. 2021 §A1.1): per doc with ≥3 words,
+def ngram_repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document n-gram-POSITION repetition signals (the Gopher
+    repetition filters, Rae et al. 2021 §A1.1), complementing the
+    word-level :func:`repetition_scores` above: per doc with ≥3 words,
       dup2_share     — fraction of bigram POSITIONS that repeat an
                        earlier bigram: (n₂ − distinct₂)/n₂,
       dup3_share     — same for trigrams,

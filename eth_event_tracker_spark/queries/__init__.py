@@ -165,6 +165,9 @@ _POST_WINDOW = (
     "doc_repetition_scores",
     "dedup_containment_pairs",
     "bfs_hops_cosupply",
+    "lang_mix_docs",
+    "quality_calibrated_by_source",
+    "dedup_cluster_audit",
 )
 
 

@@ -2222,7 +2222,7 @@ def token_budget_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Within-document repetition (operators/text.py repetition_scores): the
+# Within-document repetition (operators/text.py ngram_repetition_scores):
 # Gopher repetition filters (Rae et al. 2021 §A1.1) — duplicate bigram /
 # trigram position shares and the top-bigram share, all row-local array
 # expressions (zero shuffles).
@@ -2250,7 +2250,7 @@ FROM g
 )
 def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return OPT.repetition_scores(docs)
+    return OPT.ngram_repetition_scores(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -2313,3 +2313,115 @@ def ann_nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c["n_probe"], c["mean_recall"], c["n_probe"] == chosen) for c in curve],
         "n_probe int, mean_recall double, chosen boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-language detection (operators/text.py lang_mix): top-2 stopword
+# language scores + ratio — flags code-switched / quoted-translation docs
+# a single-label language filter mislabels.  Row-local array sort, like
+# lang_id.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_mix_docs",
+    f"""
+WITH {_WORDS_CTE},
+scored AS (
+  SELECT doc_id, unnest([
+{_LANG_SCORES_SQL}
+  ]) AS s
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, s.lang AS lang, s.score AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.score DESC, s.lang DESC) AS rn
+  FROM scored
+)
+SELECT t1.doc_id, t1.lang AS lang1, t2.lang AS lang2,
+       CAST(t1.score AS BIGINT) AS score1, CAST(t2.score AS BIGINT) AS score2,
+       CASE WHEN t1.score > 0 THEN CAST(t2.score AS DOUBLE) / CAST(t1.score AS DOUBLE)
+            ELSE 0.0 END AS mix_ratio,
+       (CASE WHEN t1.score > 0 THEN CAST(t2.score AS DOUBLE) / CAST(t1.score AS DOUBLE)
+             ELSE 0.0 END) >= 0.5 AND t2.score >= 2 AS is_mixed
+FROM (SELECT * FROM ranked WHERE rn = 1) t1
+JOIN (SELECT * FROM ranked WHERE rn = 2) t2 USING (doc_id)
+""",
+    doc="top-2 language scores per doc + mix ratio; is_mixed flags "
+    "runner-up >= half the winner with >= 2 hits — row-local, no shuffle",
+)
+def lang_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.lang_mix(docs)
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration (operators/text.py quality_calibrated):
+# percent_rank of the stopword ratio WITHIN each source — one threshold
+# means the same percentile in every source.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_calibrated_by_source",
+    f"""
+WITH {_WORDS_CTE},
+q AS (SELECT d.doc_id, d.source,
+        len(list_filter(w.words, x -> x IN ({_STOP_EN_SQL})))
+          / len(w.words) AS q_raw
+      FROM documents d JOIN w ON w.doc_id = d.doc_id)
+SELECT doc_id, source, q_raw,
+       percent_rank() OVER (PARTITION BY source ORDER BY q_raw) AS q_calibrated
+FROM q
+""",
+    doc="per-source percent_rank calibration of the stopword-ratio "
+    "quality signal: window partitioned by the group key (parallel per "
+    "source, no global sort); (rank-1)/(n-1) on exact integers",
+)
+def quality_calibrated_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.quality_calibrated(docs)
+
+
+# ---------------------------------------------------------------------------
+# Dedup accounting (the audit a corpus owner reads): cluster-size
+# histogram of the MinHash-LSH dup clusters — how much of the corpus is
+# duplicated, in what clump sizes, and how many rows dedup would remove.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_audit",
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_MINHASH_CAND_CTE},
+{_PAIRS_CTE.format(cand_join="JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id")},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM csizes GROUP BY cluster_size
+""",
+    doc="cluster-size histogram over the MinHash-LSH dup clusters: "
+    "(cluster_size, n_clusters, n_docs, n_removable) — the dedup "
+    "impact audit; same candidate/verify/cluster chain as "
+    "dedup_minhash_lsh plus two bounded rollups",
+)
+def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = OPD.minhash_lsh_dedup(
+        docs, threshold=0.8, k=16, band_rows=4, shingles=_doc_shingles(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    clusters = OPD.dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.count("*")).cast("long").alias("n_removable"),
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs", "n_removable")

@@ -106,3 +106,29 @@ def test_normalized_ts_matches_duckdb_oracle(spark, sf_dir, duck):
         "SELECT count(*), sum(epoch_us(ts)), min(epoch_us(ts)), max(epoch_us(ts)) FROM events"
     ).fetchone()
     assert (s.n, s.sum_us, s.min_us, s.max_us) == d
+
+
+def test_no_shadowed_top_level_defs():
+    """A later `def` with the same name silently replaces an earlier one
+    at import time (round 8 shipped exactly this for repetition_scores
+    until pytest caught the changed schema) — forbid the bug class
+    package-wide."""
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "eth_event_tracker_spark")
+    dupes = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            seen: dict[str, int] = {}
+            for node in tree.body:
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                    if node.name in seen:
+                        dupes.append(f"{path}:{node.lineno} re-defines {node.name} (first at {seen[node.name]})")
+                    seen[node.name] = node.lineno
+    assert not dupes, "\n".join(dupes)

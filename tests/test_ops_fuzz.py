@@ -215,3 +215,72 @@ class TestKFoldSplit:
 
         with _p.raises(ValueError, match="k must be"):
             kfold_split(df, k=1)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators: BFS hop distances and containment pairs, each vs an
+# independent pure-python model.
+# ---------------------------------------------------------------------------
+EDGE = st.tuples(st.integers(0, 11), st.integers(0, 11))
+
+
+def _py_bfs(edges: list[tuple[int, int]], seeds: set[int], max_hops: int):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ()) if v not in dist}
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(EDGE, min_size=1, max_size=24), st.sets(st.integers(0, 11), min_size=1, max_size=3), st.integers(1, 5))
+def test_bfs_matches_python_reference(spark, edges, seeds, max_hops):
+    from eth_event_tracker_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "v long")
+    got = {r.node: r.hops for r in bfs_hops(df, sdf, max_hops=max_hops).collect()}
+    assert got == _py_bfs(edges, seeds, max_hops)
+
+
+def _py_containment(texts: list[list[str]], n: int, thr: float):
+    # word_shingles semantics: docs shorter than n contribute their whole
+    # text as ONE shingle (greatest(size-n, 0)); empty strings filtered
+    sh = [
+        {" ".join(t[i : i + n]) for i in range(max(len(t) - n, 0) + 1)} - {""}
+        for t in texts
+    ]
+    out = {}
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j or not sh[i]:
+                continue
+            c = len(sh[i] & sh[j]) / len(sh[i])
+            if c >= thr:
+                out[(i, j)] = c
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(CORPUS, st.sampled_from([0.3, 0.5, 0.8]))
+def test_containment_matches_python_reference(spark, corpus, thr):
+    from eth_event_tracker_spark.operators.dedup import containment_pairs
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=thr, n=N).collect()
+    }
+    assert got == pytest.approx(_py_containment(corpus, N, thr))

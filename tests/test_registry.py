@@ -130,6 +130,9 @@ POST_WINDOW_ORACLES = (
     "doc_repetition_scores",
     "dedup_containment_pairs",
     "bfs_hops_cosupply",
+    "lang_mix_docs",
+    "quality_calibrated_by_source",
+    "dedup_cluster_audit",
 )
 
 

@@ -178,9 +178,9 @@ def test_repetition_scores_planted_loop(spark):
         (3, "aa bb"),  # <3 words: excluded
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    from eth_event_tracker_spark.operators.text import repetition_scores
+    from eth_event_tracker_spark.operators.text import ngram_repetition_scores
 
-    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    got = {r.doc_id: r for r in ngram_repetition_scores(df).collect()}
     assert set(got) == {1, 2}
     r1 = got[1]
     assert r1.dup2_share == (7 - 2) / 7
@@ -204,3 +204,68 @@ def test_containment_asymmetric_vs_jaccard(spark):
     cont = {(r.doc_a, r.doc_b): r.containment for r in containment_pairs(df, threshold=0.5).collect()}
     assert cont == {(1, 2): 1.0}  # small fully contained; big→small below threshold
     assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_lang_mix_flags_code_switched_doc(spark):
+    """A half-English half-Spanish doc is flagged mixed; a monolingual
+    English doc is not."""
+    mixed = "the cat is in that house and it was que por con el gato una casa muy"
+    mono = "the cat is in the house and it was not there for a while"
+    df = spark.createDataFrame([(1, mixed), (2, mono)], "doc_id long, text string")
+    got = {r.doc_id: r for r in OPT.lang_mix(df).collect()}
+    assert got[1].is_mixed
+    assert {got[1].lang1, got[1].lang2} == {"en", "es"}
+    assert got[1].score2 >= 2
+    assert not got[2].is_mixed
+    assert got[2].lang1 == "en"
+    assert got[2].mix_ratio < 0.5
+
+
+def test_quality_calibrated_percentiles_per_group(spark):
+    """percent_rank is computed WITHIN each source: the same raw value
+    maps to different percentiles in different sources, and each group
+    spans [0, 1] independently."""
+    docs = [
+        # source A: ratios 0/4, 2/4, 4/4
+        (1, "zork blee quux mumble", "A"),
+        (2, "the of zork blee", "A"),
+        (3, "the of and is", "A"),
+        # source B: ratios 0/4, 4/4
+        (4, "zork blee quux mumble", "B"),
+        (5, "the of and is", "B"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {r.doc_id: r for r in OPT.quality_calibrated(df).collect()}
+    assert [got[i].q_calibrated for i in (1, 2, 3)] == [0.0, 0.5, 1.0]
+    assert [got[i].q_calibrated for i in (4, 5)] == [0.0, 1.0]
+    # identical raw value, different percentile across groups
+    assert got[1].q_raw == got[4].q_raw == 0.0
+
+
+def test_dedup_cluster_audit_histogram(spark):
+    """Planted clusters: one triple + one pair of exact dups among unique
+    docs → histogram rows (3,1,3,2) and (2,1,2,1)."""
+    trip = "alpha beta gamma delta epsilon zeta"
+    pair = "one more duplicated sentence about graphs"
+    docs = [
+        (1, trip), (2, trip), (3, trip),
+        (4, pair), (5, pair),
+        (6, "completely unique text about volcanoes and rivers flowing"),
+        (7, "another singleton document mentioning ships and harbors"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from eth_event_tracker_spark.operators.dedup import dup_clusters, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(df, threshold=0.8)
+    sizes = dup_clusters(pairs).groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = {
+        r.cluster_size: (r.n_clusters, r.n_docs, r.n_removable)
+        for r in sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+            ((F.col("cluster_size") - F.lit(1)) * F.count("*")).cast("long").alias("n_removable"),
+        )
+        .collect()
+    }
+    assert hist == {3: (1, 3, 2), 2: (1, 2, 1)}
