@@ -284,3 +284,82 @@ def test_containment_matches_python_reference(spark, corpus, thr):
         for r in containment_pairs(df, threshold=thr, n=N).collect()
     }
     assert got == pytest.approx(_py_containment(corpus, N, thr))
+
+
+def _py_journeys(events, k, top):
+    """Reference: per-user (ts, event_id)-ordered first-k render, path
+    counts, (count desc, journey asc) order, top cut."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, ts, et in events:
+        by_user[uid].append((ts, eid, et))
+    paths = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        paths[">".join(e[2] for e in evs[:k])] += 1
+    ranked = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:top]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40), st.integers(0, 3), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[1],  # event_id unique — the total-order contract
+    ),
+    st.integers(1, 4),
+)
+def test_journey_paths_matches_python_reference(spark, rows, k):
+    import datetime as dt
+
+    from eth_event_tracker_spark.queries.streams import journey_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(u, e, t0 + dt.timedelta(minutes=m), t) for u, e, m, t in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = [(r.journey, r.n_users) for r in journey_paths(ev, k=k, top=50).collect()]
+    expected = _py_journeys(
+        [(u, e, t0 + dt.timedelta(minutes=m), t) for u, e, m, t in rows], k, 50
+    )
+    assert got == expected
+
+
+def _py_boilerplate(texts, n, min_docs, top):
+    from collections import defaultdict
+
+    occ = defaultdict(int)
+    docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        if len(t) < n:
+            continue
+        for j in range(len(t) - n + 1):
+            g = " ".join(t[j : j + n])
+            occ[g] += 1
+            docs[g].add(i)
+    rows = [
+        (g, len(docs[g]), occ[g], len(docs[g]) / len(texts))
+        for g in occ
+        if len(docs[g]) >= min_docs
+    ]
+    rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    return rows[:top]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=10), min_size=2, max_size=6))
+def test_boilerplate_matches_python_reference(spark, corpus):
+    from eth_event_tracker_spark.operators.text import ngram_boilerplate
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r.gram, r.n_docs, r.n_occ, r.doc_share)
+        for r in ngram_boilerplate(df, n=3, min_docs=2, top=20).collect()
+    ]
+    assert got == _py_boilerplate(corpus, 3, 2, 20)
