@@ -517,3 +517,74 @@ def zipf_profile(
         (F.round(F.log(F.col("n").cast("double")) * 1e4).cast("long") / F.lit(1e4)).alias("y"),
     )
     return ols_trend(pts, group_col, "x", "y")
+
+
+def concentration_profile(df: DataFrame, group_col: str, weight_col: str | None = None) -> DataFrame:
+    """Corpus concentration over a categorical dimension: per-group mass
+    plus the three standard inequality scalars — Shannon entropy (nats),
+    Herfindahl–Hirschman index, and the Gini coefficient.  The
+    source-mix report a training-data pipeline reads before setting
+    mixture weights: a near-1 HHI / near-0 entropy corpus is one domain
+    wearing many names.
+
+    Output: one row per group — (group, mass, share, cum_share) with the
+    corpus scalars (entropy, hhi, gini) repeated on every row (they are
+    1-row broadcast constants; repeating keeps the result a single flat
+    table).  ``cum_share`` runs over groups ordered by (mass desc, group)
+    — the "top-k sources hold X%" curve.
+
+    Scale shape (100 TB): the corpus collapses to |groups| rows at the
+    first map-side-combined aggregate; every window/self-aggregate after
+    runs on that tiny table.  Determinism: masses are exact BIGINTs;
+    HHI = Σ m_i² / M² and Gini = Σ (2·rank_asc − G − 1)·m_i / (G·M) are
+    integer-exact numerators with one final double division; entropy
+    terms −(m/M)·ln(m/M) quantize to 1e-9 BIGINT units before the sum
+    (the bm25/pmi convention), so Σ is order-independent; shares round
+    to 1e-9.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(F.sum(w).cast("long").alias("mass"))
+    tot = g.agg(
+        F.sum("mass").alias("m_tot"),
+        F.count("*").alias("n_grps"),
+        F.sum(F.col("mass") * F.col("mass")).alias("sq_sum"),
+    )
+    wcum = Window.orderBy(F.desc("mass"), "grp").rowsBetween(Window.unboundedPreceding, 0)
+    wasc = Window.orderBy("mass", "grp")
+    per = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("mass").cast("double") / F.col("m_tot"))
+        .withColumn("cum_mass", F.sum("mass").over(wcum))
+        .withColumn("rank_asc", F.row_number().over(wasc))
+    )
+    # Gini needs Σ(2·rank − G − 1)·mass with G the group count — rank and G
+    # are both per-row columns after the crossJoin, so compute the exact
+    # integer numerator per row first, then one SUM.
+    per2 = per.withColumn(
+        "gini_term", (2 * F.col("rank_asc").cast("long") - F.col("n_grps") - 1) * F.col("mass")
+    )
+    scal = per2.agg(
+        (
+            F.sum(F.round(-F.col("share") * F.log("share") * 1e9).cast("long")).cast("double")
+            / 1e9
+        ).alias("entropy"),
+        (
+            F.max("sq_sum").cast("double")
+            / (F.max("m_tot").cast("double") * F.max("m_tot").cast("double"))
+        ).alias("hhi"),
+        (
+            F.sum("gini_term").cast("double")
+            / (F.max("n_grps").cast("double") * F.max("m_tot").cast("double"))
+        ).alias("gini"),
+    )
+    return (
+        per2.select(
+            F.col("grp").alias(group_col),
+            "mass",
+            F.round("share", 9).alias("share"),
+            F.round(F.col("cum_mass").cast("double") / F.col("m_tot"), 9).alias("cum_share"),
+        )
+        .crossJoin(F.broadcast(scal.select(F.round("entropy", 9).alias("entropy"),
+                                           F.round("hhi", 9).alias("hhi"),
+                                           F.round("gini", 9).alias("gini"))))
+    )

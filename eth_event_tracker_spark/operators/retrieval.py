@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_py
@@ -248,4 +248,45 @@ def bm25_batch(
             "rank",
             (F.col("s_e6").cast("double") / 1e6).alias("score"),
         )
+    )
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named
+    ranked lists — hybrid retrieval's standard combiner: ``rrf(d) =
+    Σ_arms 1/(k + rank_arm(d))``, absent-from-arm contributing 0.
+    Output: (id, {name}_rank ... per arm, rrf_score) — the fused top-n.
+
+    Why RRF and not score mixing: BM25 scores and cosine similarities
+    live on incomparable scales; ranks don't.  The arms stay independent
+    (lexical scan/index, ANN index) and fusion happens on their bounded
+    top-N lists — at 100 TB the fuse join touches |arms|·N rows per
+    query, never a corpus.
+
+    Determinism: ranks are exact integers; each 1/(k+rank) is the same
+    IEEE double on both engines; the fixed-order sum of |arms| such
+    terms is engine-identical; the fused score rounds to 1e-9 and the
+    top-n orders by (rounded score desc, id) — a total order."""
+    fused: DataFrame | None = None
+    rank_cols: list[str] = []
+    for name, df in arms.items():
+        rc = f"{name}_rank"
+        rank_cols.append(rc)
+        r = df.select(F.col(id_col), F.col(rank_col).cast("long").alias(rc))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score: Column | None = None
+    for rc in rank_cols:
+        term = F.coalesce(F.lit(1.0) / (F.lit(float(k)) + F.col(rc)), F.lit(0.0))
+        score = term if score is None else score + term
+    assert fused is not None and score is not None, "rrf_fuse needs >= 1 arm"
+    return (
+        fused.select(id_col, *rank_cols, F.round(score, 9).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), id_col)
+        .limit(top_n)
     )

@@ -1345,3 +1345,195 @@ def sq_adc_topk(
         .where(F.col("rank") <= k)
         .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
     )
+
+
+def label_centroid_cosines(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space class geometry: per-label centroids and every
+    pairwise centroid cosine — (label_a, label_b, n_a, n_b, norm_a,
+    norm_b, cosine).  The collapse/drift monitor for an embedding
+    pipeline: two labels whose centroids run cosine→1 are a merged
+    class; a centroid whose norm decays toward 0 is a label whose
+    members cancel (no common direction).
+
+    Scale shape (100 TB): posexplode fans the corpus ×dims but the very
+    next aggregate map-side-combines it down to |labels|·dims rows;
+    the centroid pair join is on `dim` over that tiny table.  Nothing
+    Python-side, no corpus pair join — O(corpus) scan, O(labels²·dims)
+    tail.
+
+    Determinism (the bm25/pmi e9-quantization convention): vector
+    components quantize to 1e-9 BIGINT units before the per-(label,dim)
+    sum, so centroid sums are exact integers in any order; centroid
+    values are one double division of identical integers; the dot /
+    norm reductions re-quantize each product to 1e-9 units and sum
+    exact BIGINTs; the final cosine is the same IEEE double expression
+    from identical integers on both engines, rounded to 1e-9."""
+    lab = F.col(label_col)
+    ex = df.select(lab.alias("lbl"), F.posexplode(vec_col).alias("dim", "v"))
+    sums = ex.groupBy("lbl", "dim").agg(
+        F.sum(F.round(F.col("v").cast("double") * 1e9).cast("long")).alias("s_e9"),
+        F.count("*").alias("c"),
+    )
+    cent = sums.select(
+        "lbl",
+        "dim",
+        "c",
+        ((F.col("s_e9").cast("double") / F.col("c")) / F.lit(1e9)).alias("cv"),
+    ).localCheckpoint(eager=False)
+    norms = cent.groupBy("lbl").agg(
+        F.max("c").alias("n_vecs"),
+        F.sum(F.round(F.col("cv") * F.col("cv") * 1e9).cast("long")).alias("nn_e9"),
+    )
+    a = cent.select(F.col("lbl").alias("label_a"), "dim", F.col("cv").alias("cva"))
+    b = cent.select(F.col("lbl").alias("label_b"), "dim", F.col("cv").alias("cvb"))
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.round(F.col("cva") * F.col("cvb") * 1e9).cast("long")).alias("dot_e9"))
+    )
+    na = norms.select(
+        F.col("lbl").alias("label_a"), F.col("n_vecs").alias("n_a"), F.col("nn_e9").alias("na_e9")
+    )
+    nb = norms.select(
+        F.col("lbl").alias("label_b"), F.col("n_vecs").alias("n_b"), F.col("nn_e9").alias("nb_e9")
+    )
+    # portable NULL on a zero-norm centroid (the corr_matrix zero-variance
+    # convention) — also keeps ANSI mode from raising DIVIDE_BY_ZERO
+    cos = F.when(
+        (F.col("na_e9") > 0) & (F.col("nb_e9") > 0),
+        (F.col("dot_e9").cast("double") / 1e9)
+        / (
+            F.sqrt(F.col("na_e9").cast("double") / 1e9)
+            * F.sqrt(F.col("nb_e9").cast("double") / 1e9)
+        ),
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(F.sqrt(F.col("na_e9").cast("double") / 1e9), 9).alias("norm_a"),
+            F.round(F.sqrt(F.col("nb_e9").cast("double") / 1e9), 9).alias("norm_b"),
+            F.round(cos, 9).alias("cosine"),
+        )
+    )
+
+
+def dim_variance_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension moment profile of an embedding column — (dim, n,
+    mean, var): the dimension-collapse audit.  A dim whose variance is
+    ~0 carries no information (dead unit); a mean far from 0 on a
+    supposedly-centered embedding is a preprocessing bug.  This is the
+    array-column sibling of profile.corr_matrix's moment recipe.
+
+    Scale shape (100 TB): posexplode fans ×dims but map-side combine
+    collapses to exactly `dims` rows at the first aggregate — no second
+    shuffle, no Python.  Determinism: components quantize to 1e-9
+    BIGINT units (exact sum in any order); squares sum in DECIMAL(38,0)
+    (a BIGINT ss overflows at ~150 corpus-rows × unit-scale values);
+    mean/var are the same IEEE double expression from identical exact
+    integers on both engines, rounded to 1e-9."""
+    ex = df.select(F.posexplode(vec_col).alias("dim", "v")).select(
+        "dim", F.round(F.col("v").cast("double") * 1e9).cast("long").alias("v_e9")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v_e9").alias("s"),
+        F.sum((F.col("v_e9") * F.col("v_e9")).cast("decimal(38,0)")).alias("ss"),
+    )
+    mean = (F.col("s").cast("double") / F.col("n")) / 1e9
+    var = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    ) / 1e18
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("var"),
+    )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    over the exact-cosine top-``fetch_k`` candidates — the diversity
+    tail every retrieval stack bolts onto its ANN tier so the top-k
+    isn't five copies of the same document.
+
+    Scale shape (100 TB): the candidate set is the bounded top-fetch_k
+    PER QUERY from the distributed exact/ANN tier; the greedy loop is
+    inherently sequential in k, so it runs driver-side on that
+    k-bounded set (fetch_k × dims floats per query — the same
+    contract-bounded collect() the IVF centroid path uses).  Ties
+    break by (score desc, candidate id asc); floats are numpy float64
+    everywhere, so the selection is machine-deterministic but NOT
+    SQL-expressible — registered rows-only, semantics pinned in
+    tests/test_round8_analytics.py."""
+    import numpy as np
+
+    top = cosine_topk_exact(queries, corpus, k=fetch_k, id_col=id_col, vec_col=vec_col)
+    cand = top.join(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")), "c_id"
+    ).select("q_id", "c_id", "cosine", "cv")
+    rows = cand.collect()  # k-bounded by contract: |queries| × fetch_k rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    out = []
+    for q_id, rs in sorted(by_q.items()):
+        rs.sort(key=lambda r: (-r.cosine, r.c_id))
+        ids = [r.c_id for r in rs]
+        rel = np.array([r.cosine for r in rs])
+        vecs = np.array([r.cv for r in rs], dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sim = unit @ unit.T  # candidate-candidate cosine, fetch_k × fetch_k
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < k:
+            if chosen:
+                red = sim[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(remaining))
+            scores = lam * rel[remaining] - (1.0 - lam) * red
+            best = max(
+                range(len(remaining)),
+                key=lambda i: (scores[i], -ids[remaining[i]]),
+            )
+            pick = remaining[best]
+            out.append(
+                (
+                    int(q_id),
+                    int(ids[pick]),
+                    len(chosen) + 1,
+                    float(round(rel[pick], 9)),
+                    float(round(scores[best], 9)),
+                )
+            )
+            chosen.append(pick)
+            remaining.pop(best)
+    spark = queries.sparkSession
+    return spark.createDataFrame(
+        out, "q_id long, c_id long, rank long, relevance double, mmr_score double"
+    )

@@ -58,10 +58,64 @@ _LOADED = False
 # oracle; they are registered with oracle=None and sorted AFTER the 50, so
 # a driver whose window allows still exercises them as rows-only checks
 # (round-4 advice) while pytest pins their bounds (rsd, recall ≥ 0.8,
-# subset-of-exact) and bench.py times them.  _LATE keeps the most
-# expensive oracle-bearing queries at the back of the hash-checked prefix
-# so a tighter-than-50 cap costs the best-pytest-covered ones first.
-_LATE = (
+# subset-of-exact) and bench.py times them.  The most expensive
+# oracle-bearing queries sit at the back of the hash-checked prefix
+# (_WINDOW's tail) so a tighter-than-50 cap costs the best-pytest-covered
+# ones first.
+
+# The graded 50-entry window in the exact order the driver recorded it
+# (CORRECTNESS_r05+).  The order is EXPLICIT rather than derived from
+# registration sequence: a stable sort keyed only on tier would inherit
+# Python import order, so any test or tool that imports a query submodule
+# directly (e.g. `from ..queries.streams import journey_paths`) BEFORE the
+# first all_queries() call would silently reshuffle the graded window —
+# pinned by test_registry.py::test_window_order_is_import_order_independent.
+_WINDOW = (
+    "logs_address_filter",
+    "logs_topic_filter",
+    "logs_indx_assignment",
+    "logs_point_lookup",
+    "logs_tail_truncate",
+    "kv_prefix_scan",
+    "reorg_diff_except",
+    "ancestor_walk",
+    "changelog_assembly",
+    "hex_scalar_funcs",
+    "abi_decode_event",
+    "logs_topics_exploded",
+    "logs_block_enrich",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_broadcast_dims",
+    "join_semi_anti",
+    "agg_rollup",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "set_ops_customers",
+    "pivot_orderstatus",
+    "stats_unpivot",
+    "q5_local_supplier_volume",
+    "orders_above_customer_avg",
+    "stats_order_values",
+    "histogram_order_price",
+    "events_time_windows",
+    "events_session_window",
+    "events_dedup_first",
+    "events_json_props",
+    "events_hourly_pivot",
+    "logs_finality_split",
+    "events_asof_join",
+    "text_tokens_quality",
+    "text_lang_fingerprint",
+    "decontamination_ngram",
+    "pii_redaction",
+    "dedup_exact",
+    "dedup_spans",
+    "embedding_cosine_topk",
+    "multimodal_features",
+    "doc_pipeline",
+    "sample_stratified",
+    "vocab_top_terms",
     "window_running_sum",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -168,6 +222,41 @@ _POST_WINDOW = (
     "lang_mix_docs",
     "quality_calibrated_by_source",
     "dedup_cluster_audit",
+    # round 8 continuation: sequence/rate analytics + corpus concentration
+    # + hybrid retrieval + embedding-space geometry
+    "event_transition_matrix",
+    "event_rate_anomalies",
+    "interarrival_stats",
+    "source_concentration_docs",
+    "label_centroid_geometry",
+    "hybrid_retrieval_rrf",
+    "rate_changepoint_cusum",
+    "embedding_dim_variance",
+    "rfm_segments_users",
+    "lexical_diversity_sources",
+)
+
+# Rows-only (approximate) extras in their canonical order — explicit for
+# the same import-order-independence reason as _WINDOW (the committed
+# CATALOG/PLANS/evidence artifacts render in registry order).
+_ROWS_ONLY = (
+    "approx_distinct_parts",
+    "community_labels_cosupply",
+    "pagerank_cosupply",
+    "kcore_cosupply",
+    "rolling_distinct_users",
+    "embedding_cosine_topk_fast",
+    "embedding_ann",
+    "embedding_pq_topk",
+    "embedding_sq8_topk",
+    "embedding_near_dup_lsh",
+    "semantic_dedup_emb",
+    "topic_balanced_docs",
+    "distinct_profile_hll",
+    "ann_recall_ivf",
+    "quality_classifier_scores",
+    "ann_nprobe_tuning_curve",
+    "mmr_rerank_topk",
 )
 
 
@@ -181,8 +270,9 @@ def _load() -> None:
         REGISTRY.items(),
         key=lambda kv: (
             2 if kv[1].oracle is None else (1 if kv[0] in _POST_WINDOW else 0),
-            _LATE.index(kv[0]) + 1 if kv[0] in _LATE else 0,
+            _WINDOW.index(kv[0]) if kv[0] in _WINDOW else 0,
             _POST_WINDOW.index(kv[0]) if kv[0] in _POST_WINDOW else 0,
+            _ROWS_ONLY.index(kv[0]) if kv[0] in _ROWS_ONLY else 0,
         ),
     )
     REGISTRY.clear()

@@ -2425,3 +2425,272 @@ def dedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
         ((F.col("cluster_size") - F.lit(1)) * F.count("*")).cast("long").alias("n_removable"),
     ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_docs", "n_removable")
+
+
+# ---------------------------------------------------------------------------
+# Corpus concentration over sources: shares + cumulative curve + the three
+# standard inequality scalars (entropy / HHI / Gini).  The mixture report
+# read before setting sampling weights (operators/profile.py
+# concentration_profile).
+# ---------------------------------------------------------------------------
+@register(
+    "source_concentration_docs",
+    """
+WITH g AS (SELECT source AS grp, COUNT(*) AS mass FROM documents GROUP BY source),
+tot AS (SELECT SUM(mass) AS m_tot, COUNT(*) AS n_grps, SUM(mass * mass) AS sq_sum FROM g),
+per AS (
+  SELECT grp, mass,
+         CAST(mass AS DOUBLE) / m_tot AS share,
+         SUM(mass) OVER (ORDER BY mass DESC, grp ROWS UNBOUNDED PRECEDING) AS cum_mass,
+         ROW_NUMBER() OVER (ORDER BY mass, grp) AS rank_asc,
+         m_tot, n_grps, sq_sum
+  FROM g CROSS JOIN tot
+),
+scal AS (
+  SELECT round(CAST(SUM(CAST(round(-share * ln(share) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9, 9) AS entropy,
+         round(CAST(MAX(sq_sum) AS DOUBLE) / (CAST(MAX(m_tot) AS DOUBLE) * CAST(MAX(m_tot) AS DOUBLE)), 9) AS hhi,
+         round(CAST(SUM((2 * rank_asc - n_grps - 1) * mass) AS DOUBLE)
+               / (CAST(MAX(n_grps) AS DOUBLE) * CAST(MAX(m_tot) AS DOUBLE)), 9) AS gini
+  FROM per
+)
+SELECT grp AS source, mass, round(share, 9) AS share,
+       round(CAST(cum_mass AS DOUBLE) / m_tot, 9) AS cum_share,
+       entropy, hhi, gini
+FROM per CROSS JOIN scal
+""",
+    doc="source concentration: per-source mass/share/cumulative curve plus "
+    "entropy, HHI, and Gini scalars — |sources| rows after one map-side-"
+    "combined aggregate; integer-exact numerators, e9-quantized entropy "
+    "terms (order-independent sums)",
+)
+def source_concentration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import concentration_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return concentration_profile(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space class geometry (operators/similarity.py
+# label_centroid_cosines): per-label centroid norms + pairwise centroid
+# cosines, e9-quantized so the floating-point reductions grade against
+# the SQL oracle exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroid_geometry",
+    """
+WITH ei AS (
+  SELECT label AS lbl, embedding, unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+ex AS (
+  SELECT lbl, dim, CAST(round(CAST(embedding[dim] AS DOUBLE) * 1e9) AS BIGINT) AS v_e9
+  FROM ei
+),
+sums AS (SELECT lbl, dim, SUM(v_e9) AS s_e9, COUNT(*) AS c FROM ex GROUP BY lbl, dim),
+cent AS (SELECT lbl, dim, c, (CAST(s_e9 AS DOUBLE) / c) / 1e9 AS cv FROM sums),
+norms AS (
+  SELECT lbl, MAX(c) AS n_vecs,
+         SUM(CAST(round(cv * cv * 1e9) AS BIGINT)) AS nn_e9
+  FROM cent GROUP BY lbl
+),
+dots AS (
+  SELECT a.lbl AS label_a, b.lbl AS label_b,
+         SUM(CAST(round(a.cv * b.cv * 1e9) AS BIGINT)) AS dot_e9
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl < b.lbl
+  GROUP BY a.lbl, b.lbl
+)
+SELECT label_a, label_b, na.n_vecs AS n_a, nb.n_vecs AS n_b,
+       round(sqrt(CAST(na.nn_e9 AS DOUBLE) / 1e9), 9) AS norm_a,
+       round(sqrt(CAST(nb.nn_e9 AS DOUBLE) / 1e9), 9) AS norm_b,
+       CASE WHEN na.nn_e9 > 0 AND nb.nn_e9 > 0 THEN
+         round((CAST(dot_e9 AS DOUBLE) / 1e9)
+               / (sqrt(CAST(na.nn_e9 AS DOUBLE) / 1e9) * sqrt(CAST(nb.nn_e9 AS DOUBLE) / 1e9)), 9)
+       END AS cosine
+FROM dots
+JOIN norms na ON na.lbl = dots.label_a
+JOIN norms nb ON nb.lbl = dots.label_b
+""",
+    doc="per-label centroid norms + pairwise centroid cosines: posexplode "
+    "collapses at the first map-side-combined aggregate to |labels|*dims "
+    "rows; e9-quantized reductions make the float geometry oracle-exact — "
+    "the class-collapse / embedding-drift monitor",
+)
+def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OPS.label_centroid_cosines(emb)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical arm + exact-cosine vector arm fused by
+# reciprocal-rank fusion (operators/retrieval.py rrf_fuse).  The standard
+# two-tower search shape — scores live on incomparable scales, so fusion
+# happens on the bounded top-50 rank lists, never on raw scores.  The
+# vector query is embedding 0 against the vec_id >= 5 corpus (the
+# repo-wide query/corpus split); the lexical corpus is restricted the
+# same way so both arms rank the same universe.
+# ---------------------------------------------------------------------------
+_HYBRID_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    f"""
+WITH d5 AS (SELECT * FROM documents WHERE doc_id >= 5),
+w AS (SELECT doc_id, string_split({_HYBRID_NORM}, ' ') AS words FROM d5),
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tokf GROUP BY doc_id),
+tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+        WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df_t FROM tfq GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM d5),
+tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS t FROM dlen),
+scored AS (
+  SELECT tfq.doc_id,
+    CAST(round(ln(1.0 + (n.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+      * ((tfq.tf * (1.2 + 1.0)) / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dlen.dl / (tot.t / n.n_docs)))))
+      * 1e6) AS BIGINT) AS c_e6
+  FROM tfq JOIN dlen USING (doc_id) JOIN dfq USING (term) CROSS JOIN n CROSS JOIN tot
+),
+lexs AS (
+  SELECT doc_id, SUM(c_e6) AS s_e6 FROM scored GROUP BY doc_id
+  ORDER BY SUM(c_e6) DESC, doc_id LIMIT 50
+),
+lexr AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY s_e6 DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM lexs
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
+vdots AS (
+  SELECT c_id, {_duck_dot("q.embedding", "c.embedding")} AS dot
+  FROM c CROSS JOIN q
+),
+qn AS (SELECT sqrt({_duck_dot("embedding", "embedding")}) AS qn FROM q),
+cn AS (SELECT c_id, sqrt({_duck_dot("embedding", "embedding")}) AS cn FROM c),
+vranked AS (
+  SELECT d.c_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY d.dot / (qn.qn * cn.cn) DESC, d.c_id) AS BIGINT) AS vec_rank
+  FROM vdots d CROSS JOIN qn JOIN cn ON cn.c_id = d.c_id
+),
+vecr AS (SELECT c_id AS doc_id, vec_rank FROM vranked WHERE vec_rank <= 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+         round(COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+               + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0), 9) AS rrf_score
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+    doc="hybrid search: BM25 top-50 + exact-cosine top-50 fused by "
+    "reciprocal-rank fusion (k=60) — arms stay independent and bounded, "
+    "the fuse join touches |arms|*50 rows; integer ranks make the fused "
+    "float score engine-identical",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") >= 5)
+    lex = OPT.bm25_topk(docs, _BM25_TERMS, top_n=50)
+    wlex = Window.orderBy(F.desc("score"), "doc_id")
+    lexr = lex.select("doc_id", "score").withColumn("rank", F.row_number().over(wlex))
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = OPS.cosine_topk_exact(
+        emb.where(F.col("vec_id") == 0), emb.where(F.col("vec_id") >= 5), k=50
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return rrf_fuse({"lex": lexr, "vec": vec}, id_col="doc_id", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding moment profile (operators/similarity.py
+# dim_variance_profile): the dead-unit / centering audit.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_variance",
+    """
+WITH ei AS (
+  SELECT embedding, unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+),
+ex AS (
+  SELECT dim - 1 AS dim0,
+         CAST(round(CAST(embedding[dim] AS DOUBLE) * 1e9) AS BIGINT) AS v_e9
+  FROM ei
+),
+agg AS (
+  SELECT dim0, COUNT(*) AS n, SUM(v_e9) AS s,
+         SUM(CAST(v_e9 * v_e9 AS DECIMAL(38,0))) AS ss
+  FROM ex GROUP BY dim0
+)
+SELECT dim0 AS dim, n,
+       round((CAST(s AS DOUBLE) / n) / 1e9, 9) AS mean,
+       round(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 1e18, 9) AS var
+FROM agg
+""",
+    doc="per-dimension mean/variance of the embedding column: posexplode "
+    "collapses to `dims` rows at one map-side-combined aggregate; "
+    "e9-quantized components, DECIMAL(38,0) square sums — the dead-unit "
+    "and centering audit, oracle-exact",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return OPS.dim_variance_profile(emb)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking over the exact-cosine top-50 (rows-only:
+# the greedy argmax chain is not SQL-expressible; semantics pinned in
+# tests/test_round8_analytics.py — first pick = top relevance, a planted
+# duplicate is deferred, λ=1 degenerates to relevance order).
+# ---------------------------------------------------------------------------
+@register(
+    "mmr_rerank_topk",
+    None,
+    "MMR diversity re-rank of the exact cosine top-50 (λ=0.7, k=10) for "
+    "queries vec_id<5 — the diversity tail on the retrieval tier "
+    "(rows-only: greedy argmax chain; driver loop is fetch_k-bounded by "
+    "contract)",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return OPS.mmr_rerank(queries, corpus, k=10, fetch_k=50, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Per-source lexical diversity: type-token ratio + hapax share — the
+# natural-language-health forensics beside the Zipf slope (a template
+# farm has tiny TTR; boilerplate-free prose has a fat hapax tail).
+# Scale shape: one (source, word) aggregate with map-side combine; the
+# per-source rollup runs on |sources| x |vocab| rows.  All-integer
+# counts; ratios are double divisions of identical integers, rounded.
+# ---------------------------------------------------------------------------
+@register(
+    "lexical_diversity_sources",
+    f"""
+WITH {_WORDS_CTE},
+tok AS (
+  SELECT d.source, t.term
+  FROM (SELECT doc_id, unnest(words) AS term FROM w) t
+  JOIN documents d USING (doc_id)
+  WHERE t.term <> ''
+),
+wc AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 9) AS ttr,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+       round(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS hapax_share
+FROM wc GROUP BY source
+""",
+    doc="per-source type-token ratio + hapax share from one map-side-"
+    "combined (source, word) count table — the lexical-diversity "
+    "corpus forensics beside zipf_slope_sources",
+)
+def lexical_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return OPT.lexical_diversity(docs, group_col="source")

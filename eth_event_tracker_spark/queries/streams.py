@@ -942,3 +942,419 @@ def journey_paths(ev: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_users"), "journey")
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences:
+# P(next event_type | event_type).  The sequence model a product-analytics
+# pipeline fits to detect broken flows (a transition whose probability
+# collapses release-over-release) and the generator behind journey
+# simulation.  Scale shape: ONE user_id exchange for the lead() window,
+# then the (from, to) count table is |types|^2 rows — the per-row
+# normalization window runs on a table that fits in one task regardless
+# of corpus size.  Determinism: counts are exact BIGINTs; p is one double
+# division of identical integers on both engines, rounded to 1e-9.
+# ---------------------------------------------------------------------------
+@register(
+    "event_transition_matrix",
+    """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 9) AS p
+FROM c
+""",
+    doc="first-order Markov transition matrix over per-user (ts, event_id)-"
+    "ordered event sequences: one lead() window on the user_id exchange, "
+    "|types|^2 count table, per-from-row normalization — exact counts, "
+    "1e-9-rounded probabilities",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+def transition_matrix(ev: DataFrame) -> DataFrame:
+    """(from_type, to_type, n, p): first-order Markov transitions over
+    per-user (ts, event_id)-ordered sequences; p normalizes within
+    from_type, rounded 1e-9."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 9).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection on the per-type hourly event rate:
+# each hour scored against the trailing 24 OBSERVED hourly buckets
+# (rows-frame, current excluded, >= 12 history buckets required).  The
+# rate monitor an ingest pipeline alarms on — a traffic spike or outage
+# is a |z| >= 3 hour.  Scale shape: the events scan collapses to a
+# (type, hour) count table at the first aggregate (map-side combined);
+# everything after runs on |types| * |hours| rows.  Determinism: the
+# window sums s / ss / cnt are exact BIGINTs, mean/var/z are the same
+# IEEE double formula from identical integers on both engines (sample
+# variance, computed as (ss - s*s/cnt) / (cnt-1)), z rounded to 1e-9.
+# ---------------------------------------------------------------------------
+@register(
+    "event_rate_anomalies",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type, hr, n,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS ss,
+         COUNT(n) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, hr, n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1) AS v,
+         CAST(s AS DOUBLE) / cnt AS mean_n,
+         cnt
+  FROM stats WHERE cnt >= 12
+)
+SELECT event_type, hr, n,
+       round(mean_n, 9) AS trailing_mean,
+       round((n - mean_n) / sqrt(v), 9) AS z_score,
+       CAST(abs((n - mean_n) / sqrt(v)) >= 3.0 AS BOOLEAN) AS is_anomaly
+FROM scored WHERE v > 0
+""",
+    doc="trailing-24-bucket z-score on the per-type hourly event rate: "
+    "map-side-combined (type, hour) counts, one rows-frame window pass, "
+    "exact integer moment sums -> identical IEEE doubles on both engines",
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rate_anomalies(ev)
+
+
+def rate_anomalies(ev: DataFrame, trailing: int = 24, min_hist: int = 12) -> DataFrame:
+    """(event_type, hr, n, trailing_mean, z_score, is_anomaly): each hourly
+    bucket scored against the trailing `trailing` observed buckets
+    (current excluded, >= `min_hist` history required, zero-variance
+    windows dropped)."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("n").over(w).alias("cnt"),
+    ).where(F.col("cnt") >= min_hist)
+    mean_n = F.col("s").cast("double") / F.col("cnt")
+    v = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    z = (F.col("n") - mean_n) / F.sqrt(v)
+    return (
+        stats.withColumn("v", v)
+        .where(F.col("v") > 0)
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.round(mean_n, 9).alias("trailing_mean"),
+            F.round(z, 9).alias("z_score"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact inter-arrival-time statistics per event type: gaps in exact epoch
+# microseconds (BIGINT), median as the mean of the two middle order
+# statistics, p90 as the value at rank ceil(0.9 * n) — both defined by
+# integer rank arithmetic so the selection is engine-identical (no
+# interpolation semantics to disagree on).  The arrival-process profile
+# behind rate-limit tuning and synthetic-load generation.  Scale shape:
+# one event_type exchange; the per-type total order is inherent to EXACT
+# quantiles — at 100 TB use the CDF sketch tier (cdf_quantiles_chars)
+# and keep this for per-key drill-downs.  Determinism: every output is
+# exact integer arithmetic (the mean is an integer floor-division —
+# round(double, 9) cannot even represent 9 decimals at 1e10 magnitude,
+# so the engines' last-ulp rounding would diverge); median's .5 halves
+# are the only doubles and they come from identical integer sums.
+# ---------------------------------------------------------------------------
+@register(
+    "interarrival_stats",
+    """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gaps AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+)
+SELECT event_type,
+       MAX(n) AS n_gaps,
+       CAST(SUM(gap) // MAX(n) AS BIGINT) AS mean_us,
+       CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN gap END) AS DOUBLE)
+         / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN gap END) AS median_us,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_us,
+       MIN(gap) AS min_us,
+       MAX(gap) AS max_us
+FROM r GROUP BY event_type
+""",
+    doc="exact per-type inter-arrival stats in epoch microseconds: lag "
+    "gaps on one event_type exchange, median/p90 by integer order-"
+    "statistic ranks (engine-identical, no interpolation), exact BIGINT "
+    "min/max/sum",
+)
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival(ev)
+
+
+def interarrival(ev: DataFrame) -> DataFrame:
+    """(event_type, n_gaps, mean_us, median_us, p90_us, min_us, max_us):
+    exact integer inter-arrival statistics; median = mean of the two
+    middle order statistics, p90 = value at rank ceil(0.9·n)."""
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(wseq))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    wrank = Window.partitionBy("event_type").orderBy("gap")
+    wall = Window.partitionBy("event_type")
+    r = gaps.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    med_sel = F.when(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)),
+        F.col("gap"),
+    )
+    p90_sel = F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("gap"))
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.expr("sum(gap) div max(n)").alias("mean_us"),
+        (F.sum(med_sel).cast("double") / F.count(med_sel)).alias("median_us"),
+        F.max(p90_sel).alias("p90_us"),
+        F.min("gap").alias("min_us"),
+        F.max("gap").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the per-type hourly rate: the classic
+# cumulative-sum statistic C_t = Σ_{i<=t}(x_i − μ) peaks in magnitude at
+# the hour where the level shifts — the complement of the rolling z-score
+# (event_rate_anomalies finds SPIKES; CUSUM finds sustained SHIFTS).
+# Output: per type, the argmax-|C| hour with the before/after means.
+# Scale shape: the corpus collapses to (type, hour) counts at the first
+# map-side-combined aggregate; the prefix-sum window and argmax run on
+# |types| * |hours| rows.  Determinism: prefix sums / totals are exact
+# BIGINTs; C_t = P_t − t·(S/T) is the same IEEE expression from
+# identical integers; argmax orders by (|C| desc, hr) — a total order.
+# The last bucket is excluded from candidates (an after-segment of zero
+# buckets has no mean).
+# ---------------------------------------------------------------------------
+@register(
+    "rate_changepoint_cusum",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+seq AS (
+  SELECT event_type, hr, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY hr ROWS UNBOUNDED PRECEDING) AS p,
+         SUM(n) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS tt
+  FROM hourly
+),
+c AS (
+  SELECT event_type, hr, t, p, s, tt,
+         CAST(p AS DOUBLE) - t * (CAST(s AS DOUBLE) / tt) AS cusum
+  FROM seq WHERE t < tt
+),
+ranked AS (
+  SELECT event_type, hr, t, p, s, tt, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(cusum) DESC, hr) AS rk
+  FROM c
+)
+SELECT event_type, tt AS n_buckets, hr AS change_hour,
+       round(cusum, 9) AS cusum,
+       round(CAST(p AS DOUBLE) / t, 9) AS mean_before,
+       round(CAST(s - p AS DOUBLE) / (tt - t), 9) AS mean_after
+FROM ranked WHERE rk = 1
+""",
+    doc="CUSUM changepoint per event type: argmax-|Σ(x−μ)| hour over the "
+    "(type, hour) count table with before/after means — finds sustained "
+    "level shifts the rolling z-score's spike window cannot; exact "
+    "integer prefix sums, engine-identical float statistic",
+)
+def rate_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return changepoint_cusum(ev)
+
+
+def changepoint_cusum(ev: DataFrame) -> DataFrame:
+    """(event_type, n_buckets, change_hour, cusum, mean_before,
+    mean_after): the max-|CUSUM| hour per type; last bucket excluded
+    (no after-segment)."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    wseq = Window.partitionBy("event_type").orderBy("hr")
+    wpre = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    seq = hourly.select(
+        "event_type",
+        "hr",
+        F.row_number().over(wseq).alias("t"),
+        F.sum("n").over(wpre).alias("p"),
+        F.sum("n").over(wall).alias("s"),
+        F.count("*").over(wall).alias("tt"),
+    ).where(F.col("t") < F.col("tt"))
+    cusum = F.col("p").cast("double") - F.col("t") * (
+        F.col("s").cast("double") / F.col("tt")
+    )
+    c = seq.withColumn("cusum", cusum)
+    wrk = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("cusum"))), "hr")
+    return (
+        c.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("tt").alias("n_buckets"),
+            F.col("hr").alias("change_hour"),
+            F.round("cusum", 9).alias("cusum"),
+            F.round(F.col("p").cast("double") / F.col("t"), 9).alias("mean_before"),
+            F.round(
+                (F.col("s") - F.col("p")).cast("double") / (F.col("tt") - F.col("t")), 9
+            ).alias("mean_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM user segmentation: recency / frequency / monetary quintiles (the
+# classic behavioral segmentation grid), reported per segment cell.
+# NTILE ties break by (metric, user_id) — the equidepth_histogram
+# determinism recipe — so bucket assignment is engine-identical.  Scale
+# shape: one user_id aggregate (map-side combined) collapses the corpus
+# to |users| rows; the three NTILE windows are a single global sort over
+# that table — the exact tier (at 100 TB score against CDF-sketch
+# quantile brackets instead); the segment rollup is ≤125 rows.
+# Determinism: recency is exact integer day arithmetic from epoch-µs;
+# monetary sums ride DECIMAL(18,4); averages are double divisions of
+# identical exact sums, rounded 1e-9.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segments_users",
+    """
+WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST((epoch_us(ref.ref_ts) - epoch_us(MAX(ts))) // 86400000000 AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,4))) AS monetary
+  FROM events CROSS JOIN ref
+  GROUP BY user_id, ref.ref_ts
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       round(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 9) AS avg_recency_days,
+       round(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 9) AS avg_frequency,
+       CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+""",
+    doc="RFM quintile segmentation: one user_id aggregate, three "
+    "NTILE windows with (metric, user_id) tie order, <=125-cell rollup — "
+    "exact integer recency, decimal monetary",
+)
+def rfm_segments_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_segments(ev)
+
+
+def rfm_segments(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """(r_score, f_score, m_score, n_users, avg_recency_days,
+    avg_frequency, total_monetary): quintile grid; score n_tiles = best
+    (most recent / most frequent / highest spend)."""
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id", "ref_ts")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr("(unix_micros(ref_ts) - unix_micros(last_ts)) div 86400000000").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(Window.orderBy(F.desc("recency_days"), "user_id")).alias("r_score"),
+        F.ntile(n_tiles).over(Window.orderBy("frequency", "user_id")).alias("f_score"),
+        F.ntile(n_tiles).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("recency_days").cast("double") / F.count("*"), 9).alias(
+            "avg_recency_days"
+        ),
+        F.round(F.sum("frequency").cast("double") / F.count("*"), 9).alias("avg_frequency"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )

@@ -32,6 +32,7 @@ ROWS_ONLY_EXTRAS = {
     "kcore_cosupply",
     "rolling_distinct_users",
     "ann_nprobe_tuning_curve",
+    "mmr_rerank_topk",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -133,6 +134,18 @@ POST_WINDOW_ORACLES = (
     "lang_mix_docs",
     "quality_calibrated_by_source",
     "dedup_cluster_audit",
+    # round 8 continuation: sequence/rate analytics + corpus concentration
+    # + hybrid retrieval + embedding-space geometry
+    "event_transition_matrix",
+    "event_rate_anomalies",
+    "interarrival_stats",
+    "source_concentration_docs",
+    "label_centroid_geometry",
+    "hybrid_retrieval_rrf",
+    "rate_changepoint_cusum",
+    "embedding_dim_variance",
+    "rfm_segments_users",
+    "lexical_diversity_sources",
 )
 
 
@@ -237,3 +250,34 @@ def test_graded_window_matches_last_recorded_round():
     recorded = list(json.load(open(path)))[:DRIVER_WINDOW]
     current = list(queries.all_queries())[:DRIVER_WINDOW]
     assert current == recorded
+
+
+def test_window_order_is_import_order_independent():
+    """Importing a query submodule directly BEFORE the first
+    all_queries() call must not reshuffle the graded window: the stable
+    tier sort used to inherit Python import order (a test doing
+    `from ..queries.streams import journey_paths` at collection time
+    re-seeded REGISTRY insertion order and silently moved streams'
+    graded entries ahead of chain's).  The window order is now pinned by
+    the explicit _WINDOW tuple; this runs the hostile import order in a
+    clean interpreter and checks the composition survives."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import eth_event_tracker_spark.queries.streams  # hostile: submodule first\n"
+        "import eth_event_tracker_spark.queries.llmdata\n"
+        "from eth_event_tracker_spark.queries import all_queries\n"
+        "import json; print(json.dumps(list(all_queries())))\n" % os.path.abspath(root)
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    canonical = list(queries.all_queries())
+    assert got[:50] == list(queries._WINDOW)
+    assert got == canonical  # the FULL registry order, not just the window
