@@ -234,6 +234,11 @@ _POST_WINDOW = (
     "embedding_dim_variance",
     "rfm_segments_users",
     "lexical_diversity_sources",
+    "dedup_savings_by_source",
+    "conversion_latency_stats",
+    "dedup_precision_minhash",
+    "seasonal_rate_anomalies",
+    "journey_surprise_users",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for

@@ -2694,3 +2694,118 @@ FROM wc GROUP BY source
 def lexical_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return OPT.lexical_diversity(docs, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: what exact dedup actually buys, per source —
+# the ROI table a pipeline owner reads before paying for the heavier
+# near-dup tiers (a source with 0% savings doesn't need MinHash).  Uses
+# the registry's planted-duplicate corpus (doc_id % 10 == 0 re-injected
+# under +100000, the dedup_exact convention) so the report has known
+# ground truth.  Keeper = min doc_id per normalized-content hash.  Scale
+# shape: one content-hash window on the hash-partitioned corpus, then a
+# |sources|-row rollup; token counts are row-local array lengths.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_savings_by_source",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT doc_id, source,
+         len(string_split({_NORM}, ' ')) AS n_tok,
+         sha256({_NORM}) AS content_hash
+  FROM corpus
+),
+marked AS (
+  SELECT source, n_tok,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) THEN 1 ELSE 0 END AS kept
+  FROM hashed
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_removed,
+       CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+       CAST(SUM(kept * n_tok) AS BIGINT) AS kept_tokens,
+       round(1.0 - CAST(SUM(kept * n_tok) AS DOUBLE) / SUM(n_tok), 9) AS token_savings
+FROM marked GROUP BY source
+""",
+    doc="per-source exact-dedup ROI: keeper-marking window on the content "
+    "hash, |sources|-row rollup of docs/tokens kept vs removed — the "
+    "report deciding which sources earn the heavier near-dup tiers",
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    corpus = docs.unionByName(dups)
+    hashed = corpus.select(
+        "doc_id",
+        "source",
+        F.size(OPT.words(F.col("text"))).alias("n_tok"),
+        F.sha2(OPT.normalize(F.col("text")), 256).alias("content_hash"),
+    )
+    wmin = Window.partitionBy("content_hash")
+    marked = hashed.select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") == F.min("doc_id").over(wmin)).cast("int").alias("kept"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).alias("n_removed"),
+        F.sum("n_tok").alias("raw_tokens"),
+        F.sum(F.col("kept") * F.col("n_tok")).alias("kept_tokens"),
+        F.round(
+            1.0 - F.sum(F.col("kept") * F.col("n_tok")).cast("double") / F.sum("n_tok"), 9
+        ).alias("token_savings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate PRECISION — the other half of the recall monitor
+# (dedup_recall_minhash): of the pairs banding surfaces, how many does
+# the exact-Jaccard verification keep?  1 − precision is the wasted
+# verification fraction — the number that prices the banding geometry
+# (more bands/narrower rows ⇒ recall↑ precision↓ cost↑).  Both tiers are
+# hash-deterministic, so the monitor itself is oracle-graded.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_precision_minhash",
+    f"""
+WITH {_SHINGLES_CTE},
+{_MINHASH_CAND_CTE},
+{_PAIRS_CTE.format(cand_join="")}
+SELECT COUNT(*) AS n_cand,
+       COUNT(p.doc_a) AS n_true,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT(p.doc_a) AS DOUBLE) / COUNT(*) END AS band_precision
+FROM cand c LEFT JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+""",
+    doc="precision of the MinHash(16)+LSH(4x4) candidate set vs exact "
+    "Jaccard >= 0.8 — the verification-cost monitor beside the recall "
+    "monitor; fully oracle-graded (both tiers hash-deterministic); one "
+    "row (n_cand, n_true, band_precision)",
+)
+def dedup_precision_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = OPD.minhash_signatures(docs, shingles=sh)
+    cand = OPD.lsh_candidates(sigs)
+    true_pairs = OPD.jaccard_pairs(docs, threshold=0.8, shingles=sh).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    joined = cand.join(true_pairs, ["doc_a", "doc_b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_cand"),
+        F.count("is_true").alias("n_true"),
+        F.when(
+            F.count("*") > 0, F.count("is_true").cast("double") / F.count("*")
+        ).alias("band_precision"),
+    )

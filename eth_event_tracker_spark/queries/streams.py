@@ -1059,6 +1059,18 @@ def rate_anomalies(ev: DataFrame, trailing: int = 24, min_hist: int = 12) -> Dat
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count("*").alias("n"))
+    return score_rate_anomalies(hourly, trailing=trailing, min_hist=min_hist)
+
+
+def score_rate_anomalies(
+    hourly: DataFrame, trailing: int = 24, min_hist: int = 12
+) -> DataFrame:
+    """The z-scoring tail over an (event_type, hr, n) count table —
+    shared by the batch query (one aggregate away from raw events) and
+    the streaming path (streaming/analytics.py hourly_counts maintains
+    the SAME count table incrementally; scoring runs over the sink).
+    The count table is the scale cut: everything here touches
+    |types| × |hours| rows."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hr")
@@ -1357,4 +1369,260 @@ def rfm_segments(ev: DataFrame, n_tiles: int = 5) -> DataFrame:
         ),
         F.round(F.sum("frequency").cast("double") / F.count("*"), 9).alias("avg_frequency"),
         F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: first 'view' → first subsequent 'purchase' per
+# user, profiled with the exact order-statistic recipe (median = mean of
+# the two middle latencies, p90 = value at rank ceil(0.9·n) — integer
+# rank arithmetic, engine-identical).  The time-to-convert distribution
+# product analytics reads next to the funnel's conversion RATE.  Scale
+# shape: one user_id aggregate for first-view, a purchase-side semi
+# filter + aggregate for first-qualifying-purchase, then order stats
+# over |converting users| latencies (the exact tier — at 100 TB feed
+# the latencies to the CDF sketch instead).  All integers; the only
+# doubles are the median's half-sum and the mean division.
+# ---------------------------------------------------------------------------
+@register(
+    "conversion_latency_stats",
+    """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT fv.user_id, epoch_us(fp.first_purchase) - epoch_us(fv.first_view) AS l
+  FROM fv JOIN fp ON fp.user_id = fv.user_id
+),
+r AS (
+  SELECT l, ROW_NUMBER() OVER (ORDER BY l) AS rn, COUNT(*) OVER () AS n FROM lat
+)
+SELECT MAX(n) AS n_converted,
+       CAST(SUM(l) // MAX(n) AS BIGINT) AS mean_us,
+       CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN l END) AS DOUBLE)
+         / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN l END) AS median_us,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN l END) AS p90_us,
+       MIN(l) AS min_us,
+       MAX(l) AS max_us
+FROM r
+""",
+    doc="first-view -> first-subsequent-purchase latency distribution: "
+    "two keyed aggregates + exact integer order statistics over the "
+    "converting-user set — the time-to-convert twin of the funnel rate",
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return conversion_latency(ev, from_type="view", to_type="purchase")
+
+
+def conversion_latency(ev: DataFrame, from_type: str, to_type: str) -> DataFrame:
+    """(n_converted, mean_us, median_us, p90_us, min_us, max_us) for the
+    first `from_type` → first subsequent `to_type` latency per user."""
+    fv = (
+        ev.where(F.col("event_type") == from_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_from"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == to_type)
+        .join(fv, "user_id")
+        .where(F.col("ts") >= F.col("first_from"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_to"), F.min("first_from").alias("first_from"))
+    )
+    lat = fp.select(
+        (F.unix_micros("first_to") - F.unix_micros("first_from")).alias("l")
+    )
+    r = lat.select(
+        "l",
+        F.row_number().over(Window.orderBy("l")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med_sel = F.when(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)),
+        F.col("l"),
+    )
+    p90_sel = F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("l"))
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.expr("sum(l) div max(n)").alias("mean_us"),
+        (F.sum(med_sel).cast("double") / F.count(med_sel)).alias("median_us"),
+        F.max(p90_sel).alias("p90_us"),
+        F.min("l").alias("min_us"),
+        F.max("l").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted rate anomalies: each (type, hour) bucket scored
+# against the OTHER buckets sharing its hour-of-day (leave-one-out) —
+# the detector that doesn't page you for the 9am spike that happens
+# every 9am.  Complements event_rate_anomalies (trailing window = level
+# changes) and rate_changepoint_cusum (sustained shifts).  Scale shape:
+# the same (type, hour) count-table cut; the group moments are one
+# window over |types| × 24 partitions.  Determinism: leave-one-out
+# mean/var are the same IEEE expression from exact integer group sums
+# on both engines; z rounds to 1e-9.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonal_rate_anomalies",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+g AS (
+  SELECT event_type, hr, n, CAST(hour(hr) AS INT) AS hod,
+         COUNT(*) OVER w AS c_g,
+         SUM(n) OVER w AS s_g,
+         SUM(n * n) OVER w AS ss_g
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour(hr))
+),
+loo AS (
+  SELECT event_type, hr, hod, n,
+         c_g - 1 AS cnt, s_g - n AS s, ss_g - n * n AS ss
+  FROM g WHERE c_g >= 9
+),
+scored AS (
+  SELECT event_type, hr, hod, n,
+         CAST(s AS DOUBLE) / cnt AS mean_n,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1) AS v
+  FROM loo
+)
+SELECT event_type, hr, hod, n,
+       round(mean_n, 9) AS seasonal_mean,
+       round((n - mean_n) / sqrt(v), 9) AS z_score,
+       CAST(abs((n - mean_n) / sqrt(v)) >= 3.0 AS BOOLEAN) AS is_anomaly
+FROM scored WHERE v > 0
+""",
+    doc="leave-one-out z-score vs same-hour-of-day history: the "
+    "seasonality-adjusted rate detector on the (type, hour) count-table "
+    "cut — exact integer group moments, engine-identical floats",
+)
+def seasonal_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(ev)
+
+
+def seasonal_anomalies(ev: DataFrame, min_group: int = 9) -> DataFrame:
+    """(event_type, hr, hod, n, seasonal_mean, z_score, is_anomaly):
+    leave-one-out scoring within each (type, hour-of-day) group;
+    groups smaller than `min_group` buckets emit nothing."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    wg = Window.partitionBy("event_type", F.hour("hr"))
+    g = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.hour("hr").cast("int").alias("hod"),
+        F.count("*").over(wg).alias("c_g"),
+        F.sum("n").over(wg).alias("s_g"),
+        F.sum(F.col("n") * F.col("n")).over(wg).alias("ss_g"),
+    ).where(F.col("c_g") >= min_group)
+    cnt = F.col("c_g") - 1
+    s = F.col("s_g") - F.col("n")
+    ss = F.col("ss_g") - F.col("n") * F.col("n")
+    mean_n = s.cast("double") / cnt
+    v = (ss.cast("double") - s.cast("double") * s.cast("double") / cnt) / (cnt - 1)
+    z = (F.col("n") - mean_n) / F.sqrt(v)
+    return (
+        g.withColumn("v", v)
+        .where(F.col("v") > 0)
+        .select(
+            "event_type",
+            "hr",
+            "hod",
+            "n",
+            F.round(mean_n, 9).alias("seasonal_mean"),
+            F.round(z, 9).alias("z_score"),
+            (F.abs(z) >= 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user journey likelihood under the corpus's own first-order Markov
+# model: users whose event sequences the model finds improbable — bot /
+# broken-client / fraud triage ordered by sequence surprise, the event-
+# stream sibling of the bigram-LM text quality score.  Scale shape: one
+# user_id exchange for lead(), a broadcast join against the |types|²
+# transition counts, one per-user aggregate.  Determinism: each ln(count)
+# quantizes to integer 1e-9 units BEFORE the per-user sum (the bigram-LM
+# recipe), so the sum is order-free; the mean is one double division.
+# ---------------------------------------------------------------------------
+@register(
+    "journey_surprise_users",
+    """
+WITH nxt AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+t AS (SELECT user_id, from_type, to_type FROM nxt WHERE to_type IS NOT NULL),
+c AS (SELECT from_type, to_type, COUNT(*) AS n_ft FROM t GROUP BY from_type, to_type),
+m AS (SELECT from_type, SUM(n_ft) AS n_f FROM c GROUP BY from_type),
+lp AS (
+  SELECT t.user_id,
+         CAST(round(ln(c.n_ft) * 1e9) AS BIGINT) - CAST(round(ln(m.n_f) * 1e9) AS BIGINT) AS lp_e9
+  FROM t JOIN c ON c.from_type = t.from_type AND c.to_type = t.to_type
+  JOIN m ON m.from_type = t.from_type
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_transitions,
+         round(CAST(SUM(lp_e9) AS DOUBLE) / COUNT(*) / 1e9, 9) AS mean_lp
+  FROM lp GROUP BY user_id HAVING COUNT(*) >= 3
+)
+SELECT user_id, n_transitions, mean_lp
+FROM per_user ORDER BY mean_lp, user_id LIMIT 20
+""",
+    doc="top-20 most surprising user journeys under the corpus's own "
+    "Markov transition model: e9-quantized ln-counts (order-free sums), "
+    "broadcast |types|^2 model join, TakeOrdered — the event-stream "
+    "sibling of the bigram-LM quality score",
+)
+def journey_surprise_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return journey_surprise(ev, min_transitions=3, top=20)
+
+
+def journey_surprise(ev: DataFrame, min_transitions: int = 3, top: int = 20) -> DataFrame:
+    """(user_id, n_transitions, mean_lp): lowest-mean-log-probability
+    journeys under the corpus transition model; ties order by user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select("user_id", "from_type", "to_type")
+    )
+    c = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n_ft"))
+    m = c.groupBy("from_type").agg(F.sum("n_ft").alias("n_f"))
+    lp_e9 = (
+        F.round(F.log("n_ft") * 1e9).cast("long")
+        - F.round(F.log("n_f") * 1e9).cast("long")
+    )
+    lp = (
+        t.join(F.broadcast(c), ["from_type", "to_type"])
+        .join(F.broadcast(m), "from_type")
+        .select("user_id", lp_e9.alias("lp_e9"))
+    )
+    return (
+        lp.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.round(F.sum("lp_e9").cast("double") / F.count("*") / 1e9, 9).alias("mean_lp"),
+        )
+        .where(F.col("n_transitions") >= min_transitions)
+        .orderBy("mean_lp", "user_id")
+        .limit(top)
     )

@@ -179,3 +179,23 @@ def stream_stream_attribution(
     return v.join(p, cond, join_type).select(
         "user_id", "view_id", "view_ts", "purchase_id", "purchase_ts"
     )
+
+
+def hourly_counts(df: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-hour tumbling counts per event type — the streaming twin of the
+    rate monitors' first aggregate (queries/streams.py rate_anomalies /
+    changepoint_cusum collapse raw events to exactly this (event_type,
+    hr, n) table).  The stream maintains the collapsed count table
+    incrementally — state is |types| × open-hours with a watermark —
+    and the z-score / CUSUM tails (score_rate_anomalies) run over the
+    sink, where they touch |types| × |hours| rows, never raw events.
+    For a 1-hour tumbling window, window.start ≡ date_trunc('hour', ts),
+    so the streamed table is row-identical to the batch aggregate
+    (pinned in tests/test_streaming_analytics.py)."""
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").alias("hr"), "n")
+    )

