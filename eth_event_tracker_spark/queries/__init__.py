@@ -239,6 +239,9 @@ _POST_WINDOW = (
     "dedup_precision_minhash",
     "seasonal_rate_anomalies",
     "journey_surprise_users",
+    "benford_price_digits",
+    "seasonality_acf24",
+    "hourly_envelope_profile",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for

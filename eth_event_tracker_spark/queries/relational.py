@@ -1434,3 +1434,90 @@ def bfs_hops_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = _canon_edges(e, "src", "dst")
     seed = _degrees(canon).orderBy(F.desc("d"), "v").limit(1).select("v")
     return bfs_hops(e, seed, max_hops=6)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance test on l_extendedprice — the
+# forensic-accounting screen for fabricated numeric columns (a synthetic
+# or tampered amount column diverges from Benford's log-curve).  The
+# nine expected probabilities are EMBEDDED AS LITERALS (computed once,
+# full double precision) so neither engine evaluates log10 at runtime —
+# no libm divergence.  First digits come from exact integer cents via
+# string heads (no float log10 boundary risk); chi-square terms quantize
+# to 1e-9 units before the 9-term sum.  Scale: one scan collapsing to 9
+# rows at a map-side-combined aggregate.
+# ---------------------------------------------------------------------------
+_BENFORD_DUCK_VALUES = "(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)"
+
+
+@register(
+    "benford_price_digits",
+    f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+  WHERE l_extendedprice > 0
+),
+digits AS (
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+),
+obs AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+n AS (SELECT COUNT(*) AS n_tot FROM digits),
+exp_p(digit, p) AS (VALUES {_BENFORD_DUCK_VALUES}),
+grid AS (
+  SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, CAST(e.p AS DOUBLE) AS p, n.n_tot
+  FROM exp_p e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+),
+terms AS (
+  SELECT digit, n_obs, p, n_tot,
+         CAST(round((n_obs - n_tot * p) * (n_obs - n_tot * p) / (n_tot * p) * 1e9) AS BIGINT) AS t_e9
+  FROM grid
+),
+chi AS (SELECT CAST(SUM(t_e9) AS DOUBLE) / 1e9 AS chi2 FROM terms)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n_tot, 9) AS obs_p,
+       round(p, 9) AS expected_p,
+       round(chi2, 9) AS chi2
+FROM terms CROSS JOIN chi
+""",
+    doc="Benford first-digit test on price cents: literal expected "
+    "probabilities (no runtime log10), integer-string first digits, "
+    "e9-quantized chi-square — 9-row forensic screen from one scan",
+)
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_digits(li, "l_extendedprice")
+
+
+def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
+    """(digit, n_obs, obs_p, expected_p, chi2): Benford first-digit
+    conformance for a positive amount column; digits from exact integer
+    cents, expected probabilities as embedded literals, chi-square from
+    e9-quantized terms (all 9 digits present via grid fill)."""
+    spark = df.sparkSession
+    cents = df.where(F.col(amount_col) > 0).select(
+        F.round(F.col(amount_col) * 100).cast("long").alias("c")
+    )
+    digits = cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    n = digits.agg(F.count("*").alias("n_tot"))
+    exp_p = spark.createDataFrame([(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)], "digit int, p double")
+    grid = (
+        exp_p.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"), "p", "n_tot")
+    )
+    t_e9 = F.round(
+        (F.col("n_obs") - F.col("n_tot") * F.col("p"))
+        * (F.col("n_obs") - F.col("n_tot") * F.col("p"))
+        / (F.col("n_tot") * F.col("p"))
+        * 1e9
+    ).cast("long")
+    terms = grid.withColumn("t_e9", t_e9)
+    chi = terms.agg((F.sum("t_e9").cast("double") / 1e9).alias("chi2"))
+    return terms.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_tot"), 9).alias("obs_p"),
+        F.round("p", 9).alias("expected_p"),
+        F.round("chi2", 9).alias("chi2"),
+    )

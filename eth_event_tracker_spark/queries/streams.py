@@ -1626,3 +1626,153 @@ def journey_surprise(ev: DataFrame, min_transitions: int = 3, top: int = 20) -> 
         .orderBy("mean_lp", "user_id")
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-24h autocorrelation of the hourly rate — HOW seasonal is each
+# event type, as one number: Pearson r between n(t) and n(t − 24h),
+# joined on exact timestamps (a rows-frame lag would mis-align across
+# gap hours).  acf24 ≈ 1 says the seasonal detector's same-hour-of-day
+# grouping is the right model; ≈ 0 says use the trailing-window
+# detector.  Scale: the count-table cut again — the self-join and the
+# moment sums touch |types| × |hours| rows.  Determinism: the five
+# moment sums are exact BIGINTs; r is the textbook formula in IEEE
+# doubles from identical integers, rounded 1e-9, NULL on zero variance
+# or < 8 aligned pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "seasonality_acf24",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+pairs AS (
+  SELECT a.event_type, a.n AS x, b.n AS y
+  FROM hourly a JOIN hourly b
+    ON b.event_type = a.event_type AND b.hr = a.hr - INTERVAL 24 HOUR
+),
+m AS (
+  SELECT event_type, COUNT(*) AS np,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, np AS n_pairs,
+       CASE WHEN np >= 8
+             AND np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0 THEN
+         round((np * sxy - sx * sy)
+               / sqrt(CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)), 9)
+       END AS acf24
+FROM m
+""",
+    doc="lag-24h Pearson autocorrelation of hourly rates per type, "
+    "timestamp-aligned (gap-safe): the seasonality-strength scalar that "
+    "says which anomaly lens fits; exact integer moments, NULL on zero "
+    "variance or < 8 pairs",
+)
+def seasonality_acf24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return seasonality_acf(ev, lag_hours=24)
+
+
+def seasonality_acf(ev: DataFrame, lag_hours: int = 24, min_pairs: int = 8) -> DataFrame:
+    """(event_type, n_pairs, acf24): timestamp-aligned lag autocorrelation
+    of the hourly count series."""
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    a = hourly.select("event_type", "hr", F.col("n").alias("x"))
+    b = hourly.select(
+        "event_type",
+        (F.col("hr") + F.expr(f"INTERVAL {lag_hours} HOURS")).alias("hr"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(b, ["event_type", "hr"])
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        vx.cast("double") * vy.cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        F.when((F.col("np") >= min_pairs) & (vx > 0) & (vy > 0), F.round(r, 9)).alias(
+            "acf24"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day operating envelope: per (type, hour-of-day), the
+# min/p10/median/p90/max band of hourly counts — the capacity-planning
+# and alert-threshold table (the anomaly detectors flag points; the
+# envelope IS the baseline they flag against, made visible).  Exact
+# integer order statistics by rank arithmetic, the interarrival recipe
+# applied per (type, hod) group.
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_envelope_profile",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+r AS (
+  SELECT event_type, CAST(hour(hr) AS INT) AS hod, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour(hr) ORDER BY n) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, hour(hr)) AS g
+  FROM hourly
+)
+SELECT event_type, hod,
+       MAX(g) AS n_buckets,
+       MIN(n) AS min_n,
+       MAX(CASE WHEN rn = (g + 9) // 10 THEN n END) AS p10_n,
+       CAST(SUM(CASE WHEN rn IN ((g + 1) // 2, (g + 2) // 2) THEN n END) AS DOUBLE)
+         / COUNT(CASE WHEN rn IN ((g + 1) // 2, (g + 2) // 2) THEN n END) AS median_n,
+       MAX(CASE WHEN rn = (9 * g + 9) // 10 THEN n END) AS p90_n,
+       MAX(n) AS max_n
+FROM r GROUP BY event_type, hod
+""",
+    doc="per-(type, hour-of-day) min/p10/median/p90/max envelope of "
+    "hourly counts — the operating-baseline table behind the anomaly "
+    "lenses; exact integer order statistics on the count-table cut",
+)
+def hourly_envelope_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    wrank = Window.partitionBy("event_type", F.hour("hr")).orderBy("n")
+    wall = Window.partitionBy("event_type", F.hour("hr"))
+    r = hourly.select(
+        "event_type",
+        F.hour("hr").cast("int").alias("hod"),
+        "n",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wall).alias("g"),
+    )
+    med_sel = F.when(
+        (F.col("rn") == F.floor((F.col("g") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("g") + 2) / 2)),
+        F.col("n"),
+    )
+    p10_sel = F.when(F.col("rn") == F.floor((F.col("g") + 9) / 10), F.col("n"))
+    p90_sel = F.when(F.col("rn") == F.floor((9 * F.col("g") + 9) / 10), F.col("n"))
+    return r.groupBy("event_type", "hod").agg(
+        F.max("g").alias("n_buckets"),
+        F.min("n").alias("min_n"),
+        F.max(p10_sel).alias("p10_n"),
+        (F.sum(med_sel).cast("double") / F.count(med_sel)).alias("median_n"),
+        F.max(p90_sel).alias("p90_n"),
+        F.max("n").alias("max_n"),
+    )

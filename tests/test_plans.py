@@ -338,6 +338,15 @@ _SCALAR_BROADCAST_OK = {
     "pmi_collocations_top",
     "quality_ensemble_docs",
     "token_budget_plan_sources",
+    # round-8 continuation — 1-row scalar broadcasts only:
+    # concentration's totals/inequality-scalars cross onto the
+    # |sources|-row table; RRF's BM25 arm carries the bm25_topk N/len
+    # scalars; RFM crosses the 1-row MAX(ts) reference instant;
+    # Benford crosses the 1-row corpus count and the 1-row chi2
+    "source_concentration_docs",
+    "hybrid_retrieval_rrf",
+    "rfm_segments_users",
+    "benford_price_digits",
 }
 
 # The only sanctioned Python seams: the two Arrow-vectorized approximate

@@ -151,6 +151,9 @@ POST_WINDOW_ORACLES = (
     "dedup_precision_minhash",
     "seasonal_rate_anomalies",
     "journey_surprise_users",
+    "benford_price_digits",
+    "seasonality_acf24",
+    "hourly_envelope_profile",
 )
 
 

@@ -656,3 +656,90 @@ def test_precision_monitor_coheres_with_verified_pairs(spark, sf_dir):
     assert 0 <= r.n_true <= r.n_cand
     if r.n_cand:
         assert r.band_precision == pytest.approx(r.n_true / r.n_cand, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# benford_digits
+# ---------------------------------------------------------------------------
+def test_benford_digit_extraction_and_grid_fill(spark):
+    """Amounts 1.23 / 0.05 / 900.00 yield first digits 1, 5, 9 from
+    cents (123, 5, 90000); the other six digits appear with n_obs=0 via
+    the grid fill; non-positive amounts are excluded."""
+    from eth_event_tracker_spark.queries.relational import benford_digits
+
+    df = spark.createDataFrame(
+        [(1.23,), (0.05,), (900.0,), (0.0,), (-7.0,)], "amt double"
+    )
+    rows = {r.digit: r for r in benford_digits(df, "amt").collect()}
+    assert set(rows) == set(range(1, 10))
+    assert rows[1].n_obs == 1 and rows[5].n_obs == 1 and rows[9].n_obs == 1
+    assert all(rows[d].n_obs == 0 for d in (2, 3, 4, 6, 7, 8))
+    assert rows[1].obs_p == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_benford_conforming_sample_scores_low_uniform_high(spark):
+    """A geometric (Benford-conforming) amount sample scores a far lower
+    chi2 than a same-size uniform-first-digit sample — the separation
+    the forensic screen exists for."""
+    from eth_event_tracker_spark.queries.relational import benford_digits
+
+    # 9000 geometric amounts: 10^(u) for u dense in [0, 3) -> Benford
+    geo = [(10.0 ** (3 * i / 9000.0),) for i in range(9000)]
+    uni = [((d + 0.5) * 10.0,) for d in range(1, 10) for _ in range(1000)]
+    chi_geo = benford_digits(spark.createDataFrame(geo, "amt double"), "amt").first().chi2
+    chi_uni = benford_digits(spark.createDataFrame(uni, "amt double"), "amt").first().chi2
+    assert chi_geo < 50 < 1000 < chi_uni
+
+
+# ---------------------------------------------------------------------------
+# seasonality_acf
+# ---------------------------------------------------------------------------
+def test_acf_perfect_daily_cycle_is_one(spark):
+    """A count series that repeats exactly every 24h has acf24 = 1."""
+    from eth_event_tracker_spark.queries.streams import seasonality_acf
+
+    rows, eid = [], 0
+    pattern = [5, 9, 3, 7] * 6  # 24 hourly counts
+    for day in range(4):
+        for hod, n in enumerate(pattern):
+            for j in range(n):
+                rows.append((eid, day * 86400 + hod * 3600 + j, 1, "x"))
+                eid += 1
+    ev = _events(spark, rows)
+    r = seasonality_acf(ev).collect()[0]
+    assert r.acf24 == 1.0
+    assert r.n_pairs == 72  # 3 days of aligned pairs
+
+
+def test_acf_alignment_is_by_timestamp_not_row(spark):
+    """A missing hour must not shift the alignment: drop one bucket from
+    an exact daily cycle and acf24 stays 1 (a rows-frame lag would
+    smear the series and drop below 1)."""
+    from eth_event_tracker_spark.queries.streams import seasonality_acf
+
+    rows, eid = [], 0
+    pattern = [5, 9, 3, 7] * 6
+    for day in range(4):
+        for hod, n in enumerate(pattern):
+            if day == 1 and hod == 10:
+                continue  # gap hour
+            for j in range(n):
+                rows.append((eid, day * 86400 + hod * 3600 + j, 1, "x"))
+                eid += 1
+    ev = _events(spark, rows)
+    r = seasonality_acf(ev).collect()[0]
+    assert r.acf24 == 1.0  # pairs touching the gap vanish; alignment holds
+
+
+def test_acf_constant_series_is_null(spark):
+    """Zero variance -> NULL, not a crash or a fake 1.0."""
+    from eth_event_tracker_spark.queries.streams import seasonality_acf
+
+    rows = []
+    eid = 0
+    for hr in range(48):
+        for j in range(5):
+            rows.append((eid, hr * 3600 + j, 1, "x")); eid += 1
+    ev = _events(spark, rows)
+    r = seasonality_acf(ev).collect()[0]
+    assert r.acf24 is None and r.n_pairs == 24
