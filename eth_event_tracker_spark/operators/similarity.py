@@ -556,9 +556,69 @@ def cosine_near_dup_pairs_lsh(
     multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Scale path: LSH-bucketed candidate pairs, exact cosine verify —
-    same no-cross-join shape as MinHash dedup."""
+    same no-cross-join shape as MinHash dedup.
+
+    ``collapse_exact`` (default on) groups EXACT-identical vectors
+    before the pair join and expands afterwards: a crawl-scale corpus is
+    duplicate-heavy, and duplicated vectors multiply every LSH bucket —
+    candidate pairs grow with the SQUARE of the duplication factor (the
+    sf≈1.0 smoke caught exactly this: 10× replicated embeddings took the
+    bucketed join from ~2 s to over the 150 s budget).  With the
+    collapse, the join runs on unique vectors only and the duplicate
+    pairs are generated output-linearly from the group member lists —
+    bit-identical output (identical vectors share the identical fold
+    arithmetic, so intra-group and expanded cross-group cosines equal
+    the uncollapsed join's values)."""
+    if collapse_exact:
+        groups = (
+            df.select(id_col, vec_col)
+            .groupBy(vec_col)
+            .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+            .localCheckpoint(eager=False)
+        )
+        reps = groups.select(F.col("members").getItem(0).alias(id_col), vec_col)
+        rep_pairs = cosine_near_dup_pairs_lsh(
+            reps, threshold, n_planes, multiprobe, id_col, vec_col, collapse_exact=False
+        )
+        v = F.col(vec_col)
+        self_dot = F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        self_cos = self_dot / (F.sqrt(self_dot) * F.sqrt(self_dot))
+        intra = (
+            groups.where(F.size("members") > 1)
+            .select("members", self_cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .select(F.posexplode("members").alias("i", "id_a"), "members", "cosine")
+            .select(
+                "id_a",
+                F.explode(F.expr("slice(members, i + 2, size(members))")).alias("id_b"),
+                "cosine",
+            )
+        )
+        ga = groups.select(
+            F.col("members").getItem(0).alias("id_a"), F.col("members").alias("ms_a")
+        )
+        gb = groups.select(
+            F.col("members").getItem(0).alias("id_b"), F.col("members").alias("ms_b")
+        )
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(F.explode("ms_a").alias("ma"), "ms_b", "cosine")
+            .select("ma", F.explode("ms_b").alias("mb"), "cosine")
+            .select(
+                F.least("ma", "mb").alias("id_a"),
+                F.greatest("ma", "mb").alias("id_b"),
+                "cosine",
+            )
+        )
+        return cross.unionByName(intra.select("id_a", "id_b", "cosine"))
     # both join sides read the bucketed table — cut lineage so the
     # pandas-UDF bucketing runs once, not twice
     tagged = lsh_bucket(df, n_planes, id_col, vec_col).localCheckpoint(eager=False)

@@ -743,3 +743,37 @@ def test_acf_constant_series_is_null(spark):
     ev = _events(spark, rows)
     r = seasonality_acf(ev).collect()[0]
     assert r.acf24 is None and r.n_pairs == 24
+
+
+# ---------------------------------------------------------------------------
+# cosine_near_dup_pairs_lsh exact-duplicate collapse
+# ---------------------------------------------------------------------------
+def test_near_dup_lsh_collapse_is_bit_equal(spark, sf_dir):
+    """The exact-duplicate pre-collapse (on by default) must emit the
+    bit-identical pair set of the uncollapsed bucketed join, on a
+    duplicate-heavy corpus (3x replicated embeddings) — the sf≈1.0
+    density fix cannot change semantics."""
+    from eth_event_tracker_spark.operators.similarity import cosine_near_dup_pairs_lsh
+    from eth_event_tracker_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb
+    for shift in (100000, 200000):
+        dup = dup.unionByName(
+            emb.select((F.col("vec_id") + shift).alias("vec_id"), "embedding", "label")
+        )
+    a = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs_lsh(dup, threshold=0.3, n_planes=6).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs_lsh(
+            dup, threshold=0.3, n_planes=6, collapse_exact=False
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # every 3-way duplicate family contributes its 3 intra pairs
+    first = emb.select(F.min("vec_id")).first()[0]
+    fam = {p for p in a if {p[0], p[1]} <= {first, first + 100000, first + 200000}}
+    assert len(fam) == 3
