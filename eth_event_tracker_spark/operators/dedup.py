@@ -649,17 +649,20 @@ def duplicate_spans(
     at 2^-64 false-mark probability).  The suffix-array formulation of
     the paper is single-node; this is the distributed equivalent."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    ws = words(F.col(text_col))
+    # token array materialized before the gram transform — slicing the
+    # tokenizer EXPRESSION inside the lambda re-runs the regex per
+    # position (the round-9 HOF re-evaluation sweep)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
+        F.sequence(F.lit(0), F.size("_ws") - n),
         lambda i: F.struct(
             i.cast("long").alias("p"),
-            F.array_join(F.slice(ws, i + 1, n), " ").alias("g"),
+            F.array_join(F.slice(F.col("_ws"), i + 1, n), " ").alias("g"),
         ),
     )
     pos = (
         df.repartition(par, F.col(id_col))
-        .where(F.size(ws) >= n)
+        .select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+        .where(F.size("_ws") >= n)
         .select(F.col(id_col), F.explode(grams).alias("x"))
         .select(id_col, F.col("x.p").alias("p"), F.col("x.g").alias("g"))
     )

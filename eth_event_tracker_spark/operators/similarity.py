@@ -549,6 +549,82 @@ def cosine_filter_against(
     return incoming.join(doomed, id_col, "left_anti")
 
 
+def _expand_exact_groups(
+    df: DataFrame,
+    rep_pair_fn,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact-duplicate pre-collapse shared by every pair tier: group
+    BIT-identical vectors, run the (potentially quadratic) candidate
+    join on one representative per group via ``rep_pair_fn(reps)``, then
+    expand back to member pairs output-linearly.
+
+    Why: a crawl-scale corpus is duplicate-heavy, and duplicated vectors
+    multiply every candidate bucket/cluster — pairs grow with the SQUARE
+    of the duplication factor (the sf≈1.0 smoke caught this twice: first
+    in the LSH tier, 203 s → 2 s, then the same pattern in SemDeDup).
+    With the collapse the join sees unique vectors only.
+
+    Bit-equality with the uncollapsed join holds because identical
+    vectors share identical fold arithmetic: every intra-group pair's
+    cosine is ``sd / (sqrt(sd)·sqrt(sd))`` with ``sd`` the self dot, and
+    every cross-group member pair reuses its representatives' cosine
+    verbatim.  ``round_digits`` mirrors the tier's own rounding (the
+    SemDeDup tier rounds to 9, the LSH tier doesn't round)."""
+    groups = (
+        df.select(id_col, vec_col)
+        .groupBy(vec_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .localCheckpoint(eager=False)
+    )
+    reps = groups.select(F.col("members").getItem(0).alias(id_col), vec_col)
+    rep_pairs = rep_pair_fn(reps)
+    v = F.col(vec_col)
+    self_dot = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # materialize the fold ONCE (round-8 advice: the inline form folded
+    # each vector three times); the pair formula is dot/(sqrt·sqrt) so we
+    # keep that exact arithmetic on the materialized value
+    with_sd = groups.where(F.size("members") > 1).withColumn("sd", self_dot)
+    self_cos = F.col("sd") / (F.sqrt("sd") * F.sqrt("sd"))
+    if round_digits is not None:
+        self_cos = F.round(self_cos, round_digits)
+    intra = (
+        with_sd.select("members", self_cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .select(F.posexplode("members").alias("i", "id_a"), "members", "cosine")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("id_b"),
+            "cosine",
+        )
+    )
+    ga = groups.select(
+        F.col("members").getItem(0).alias("id_a"), F.col("members").alias("ms_a")
+    )
+    gb = groups.select(
+        F.col("members").getItem(0).alias("id_b"), F.col("members").alias("ms_b")
+    )
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(F.explode("ms_a").alias("ma"), "ms_b", "cosine")
+        .select("ma", F.explode("ms_b").alias("mb"), "cosine")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "cosine",
+        )
+    )
+    return cross.unionByName(intra.select("id_a", "id_b", "cosine"))
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,
@@ -573,52 +649,15 @@ def cosine_near_dup_pairs_lsh(
     arithmetic, so intra-group and expanded cross-group cosines equal
     the uncollapsed join's values)."""
     if collapse_exact:
-        groups = (
-            df.select(id_col, vec_col)
-            .groupBy(vec_col)
-            .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
-            .localCheckpoint(eager=False)
+        return _expand_exact_groups(
+            df,
+            lambda reps: cosine_near_dup_pairs_lsh(
+                reps, threshold, n_planes, multiprobe, id_col, vec_col, collapse_exact=False
+            ),
+            threshold,
+            id_col,
+            vec_col,
         )
-        reps = groups.select(F.col("members").getItem(0).alias(id_col), vec_col)
-        rep_pairs = cosine_near_dup_pairs_lsh(
-            reps, threshold, n_planes, multiprobe, id_col, vec_col, collapse_exact=False
-        )
-        v = F.col(vec_col)
-        self_dot = F.aggregate(
-            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        self_cos = self_dot / (F.sqrt(self_dot) * F.sqrt(self_dot))
-        intra = (
-            groups.where(F.size("members") > 1)
-            .select("members", self_cos.alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .select(F.posexplode("members").alias("i", "id_a"), "members", "cosine")
-            .select(
-                "id_a",
-                F.explode(F.expr("slice(members, i + 2, size(members))")).alias("id_b"),
-                "cosine",
-            )
-        )
-        ga = groups.select(
-            F.col("members").getItem(0).alias("id_a"), F.col("members").alias("ms_a")
-        )
-        gb = groups.select(
-            F.col("members").getItem(0).alias("id_b"), F.col("members").alias("ms_b")
-        )
-        cross = (
-            rep_pairs.join(ga, "id_a")
-            .join(gb, "id_b")
-            .select(F.explode("ms_a").alias("ma"), "ms_b", "cosine")
-            .select("ma", F.explode("ms_b").alias("mb"), "cosine")
-            .select(
-                F.least("ma", "mb").alias("id_a"),
-                F.greatest("ma", "mb").alias("id_b"),
-                "cosine",
-            )
-        )
-        return cross.unionByName(intra.select("id_a", "id_b", "cosine"))
     # both join sides read the bucketed table — cut lineage so the
     # pandas-UDF bucketing runs once, not twice
     tagged = lsh_bucket(df, n_planes, id_col, vec_col).localCheckpoint(eager=False)
@@ -655,10 +694,11 @@ def cosine_near_dup_pairs_lsh(
 def semantic_dup_pairs(
     df: DataFrame,
     threshold: float = 0.85,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cosine),
     id_a < id_b.  Candidates meet through an EQUALITY join on
@@ -666,8 +706,39 @@ def semantic_dup_pairs(
     ordered-fold doubles, rounded like cosine_near_dup_pairs.  Pairs
     whose members land in different clusters are invisible by design —
     that recall trade-off against a bounded candidate set is the SemDeDup
-    contract (measured in tests against the exact tier)."""
+    contract (measured in tests against the exact tier).
+
+    ``n_clusters=None`` auto-scales the cluster count with the corpus:
+    k = N / 256 (floor 16, cap 4096 — the centroid matrix lives on the
+    driver, so k is bounded; beyond the cap, shard the corpus first).
+    A FIXED k makes within-cluster candidates grow (N/k)² — quadratic in
+    the corpus; k ∝ N keeps expected cluster size constant, so total
+    pair work is linear.
+
+    ``collapse_exact`` (default on) groups bit-identical vectors before
+    the within-cluster join and expands afterwards — same fix and same
+    bit-equality argument as cosine_near_dup_pairs_lsh: identical
+    vectors always land in the same cluster (ivf_assign's argmax is
+    deterministic on identical input), so the expanded pair set equals
+    the uncollapsed join's exactly (pinned in
+    tests/test_round9_scale.py)."""
+    if n_clusters is None:
+        n_clusters = max(16, min(4096, int(df.count() / 256) + 1))
     cents = centroids if centroids is not None else ivf_build_centroids(df, n_clusters, 2, id_col, vec_col)
+    if collapse_exact:
+        # centroids come from the FULL corpus (above) so assignment —
+        # hence the candidate set — is identical to the uncollapsed run
+        return _expand_exact_groups(
+            df,
+            lambda reps: semantic_dup_pairs(
+                reps, threshold, n_clusters, id_col, vec_col,
+                centroids=cents, collapse_exact=False,
+            ),
+            threshold,
+            id_col,
+            vec_col,
+            round_digits=9,
+        )
     v = F.col(vec_col)
     tagged = (
         ivf_assign(df.select(id_col, vec_col), cents, id_col, vec_col)
@@ -698,10 +769,11 @@ def semantic_dup_pairs(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.85,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup end-to-end: within-cluster cosine pairs → connected
     components → keep the min-id representative of each semantic-dup
@@ -711,7 +783,9 @@ def semantic_dedup(
     (operators/dedup.dup_clusters)."""
     from .dedup import dup_clusters
 
-    pairs = semantic_dup_pairs(df, threshold, n_clusters, id_col, vec_col, centroids)
+    pairs = semantic_dup_pairs(
+        df, threshold, n_clusters, id_col, vec_col, centroids, collapse_exact
+    )
     comps = dup_clusters(pairs, "id_a", "id_b")
     drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
@@ -1545,11 +1619,17 @@ def mmr_rerank(
     inherently sequential in k, so it runs driver-side on that
     k-bounded set (fetch_k × dims floats per query — the same
     contract-bounded collect() the IVF centroid path uses).  Ties
-    break by (score desc, candidate id asc); floats are numpy float64
-    everywhere, so the selection is machine-deterministic but NOT
-    SQL-expressible — registered rows-only, semantics pinned in
-    tests/test_round8_analytics.py."""
-    import numpy as np
+    break by (score desc, candidate id asc).
+
+    Every float is bit-portable: relevance comes from
+    cosine_topk_exact's ordered-fold cosines, and the candidate-
+    candidate similarities use the SAME strict left-to-right double
+    fold (`_dbl_dot` order) followed by one exact IEEE division — so a
+    SQL engine replaying the k-bounded greedy chain (an unrolled
+    argmax-per-step query) reproduces the selection exactly; the
+    registry entry is ORACLE-GRADED against a DuckDB twin
+    (queries/llmdata.py mmr_rerank_topk)."""
+    import math
 
     top = cosine_topk_exact(queries, corpus, k=fetch_k, id_col=id_col, vec_col=vec_col)
     cand = top.join(
@@ -1560,32 +1640,46 @@ def mmr_rerank(
     for r in rows:
         by_q.setdefault(r.q_id, []).append(r)
     out = []
+    def _fold(a, b) -> float:
+        # the _dbl_dot / DuckDB list_reduce order: strict left-to-right
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + float(x) * float(y)
+        return s
+
     for q_id, rs in sorted(by_q.items()):
         rs.sort(key=lambda r: (-r.cosine, r.c_id))
         ids = [r.c_id for r in rs]
-        rel = np.array([r.cosine for r in rs])
-        vecs = np.array([r.cv for r in rs], dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T  # candidate-candidate cosine, fetch_k × fetch_k
+        rel = [float(r.cosine) for r in rs]
+        vecs = [list(r.cv) for r in rs]
+        norms = [math.sqrt(_fold(v, v)) for v in vecs]
+        norms = [n if n != 0.0 else 1.0 for n in norms]
+        n = len(ids)
+        sim = [
+            [_fold(vecs[i], vecs[j]) / (norms[i] * norms[j]) for j in range(n)]
+            for i in range(n)
+        ]
         chosen: list[int] = []
-        remaining = list(range(len(ids)))
+        remaining = list(range(n))
         while remaining and len(chosen) < k:
             if chosen:
-                red = sim[np.ix_(remaining, chosen)].max(axis=1)
+                red = [max(sim[i][c] for c in chosen) for i in remaining]
             else:
-                red = np.zeros(len(remaining))
-            scores = lam * rel[remaining] - (1.0 - lam) * red
-            best = max(
+                red = [0.0] * len(remaining)
+            scores = [
+                lam * rel[i] - (1.0 - lam) * r for i, r in zip(remaining, red)
+            ]
+            # ties break by (score desc, id asc); min over (−score, id)
+            # tuples works for ANY orderable id type (string ids included)
+            best = min(
                 range(len(remaining)),
-                key=lambda i: (scores[i], -ids[remaining[i]]),
+                key=lambda i: (-scores[i], ids[remaining[i]]),
             )
             pick = remaining[best]
             out.append(
                 (
-                    int(q_id),
-                    int(ids[pick]),
+                    q_id,
+                    ids[pick],
                     len(chosen) + 1,
                     float(round(rel[pick], 9)),
                     float(round(scores[best], 9)),
@@ -1594,6 +1688,8 @@ def mmr_rerank(
             chosen.append(pick)
             remaining.pop(best)
     spark = queries.sparkSession
+    q_t = queries.schema[id_col].dataType.simpleString()
+    c_t = corpus.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        out, "q_id long, c_id long, rank long, relevance double, mmr_score double"
+        out, f"q_id {q_t}, c_id {c_t}, rank long, relevance double, mmr_score double"
     )

@@ -48,16 +48,23 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3, id_col: str
     repartitioned on id_col first: fixture-sized corpora arrive as one
     parquet file (= one task), which would serialize all shingle/hash
     compute onto a single core; hash-partitioning by doc also lets every
-    downstream per-doc groupBy reuse the partitioning."""
+    downstream per-doc groupBy reuse the partitioning.
+
+    The word array is materialized as a column BEFORE the shingle
+    transform: a higher-order-function lambda body is re-evaluated per
+    element, so slicing the tokenizer EXPRESSION re-ran the regex once
+    per position — O(tokens²) per doc (profiled 10.3 s vs 1.1 s on
+    sf0.1; the round-9 sweep fixed this across every n-gram op)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(par, F.col(id_col))
-    ws = words(F.col(text_col))
+    tok = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), words(F.col(text_col)).alias("_ws")
+    )
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        F.sequence(F.lit(0), F.greatest(F.size("_ws") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        tok.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -209,11 +216,15 @@ def fingerprint(
     return exact.join(sketch, "doc_id", "left")
 
 
-def _repetition_cols(text_col: str = "text") -> dict:
-    """Row-local repetition expressions — even the top-word share is
-    computed inside the word array (O(distinct·n) per row), so no
-    word-level shuffle exists at any scale."""
-    ws = words(F.col(text_col))
+def _repetition_cols(ws_col: str = "_ws") -> dict:
+    """Row-local repetition expressions over a MATERIALIZED word-array
+    column (callers compute ``words(text)`` into ``ws_col`` first — a
+    higher-order-function lambda body re-evaluates per element, so a
+    tokenizer EXPRESSION here would re-run the regex O(tokens) times per
+    row).  Even the top-word share is computed inside the word array
+    (O(distinct·n) per row), so no word-level shuffle exists at any
+    scale."""
+    ws = F.col(ws_col)
     g2 = F.transform(
         F.sequence(F.lit(0), F.size(ws) - 2),
         lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
@@ -235,8 +246,10 @@ def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     duplicate words, most-frequent-word share, fraction of duplicate word
     2-grams.  High values flag boilerplate / degenerate text.  One
     projection, zero shuffles."""
-    cols = _repetition_cols(text_col)
-    return df.select(F.col(id_col), *[c.alias(k) for k, c in cols.items()])
+    cols = _repetition_cols("_ws")
+    return df.withColumn("_ws", words(F.col(text_col))).select(
+        F.col(id_col), *[c.alias(k) for k, c in cols.items()]
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -244,7 +257,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     ratios, and repetition signals in ONE projection — no self-joins, no
     shuffles; the scale path for a 100 TB profiling pass."""
     t = F.col(text_col)
-    ws = words(t)
+    ws = F.col("_ws")
     en = list(LANG_STOPWORDS["en"])
     cols = {
         "n_ws_tokens": F.size(ws).cast("long"),
@@ -254,9 +267,11 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         "avg_word_len": F.length(F.array_join(ws, "")) / F.size(ws),
         "stopword_ratio": F.size(F.filter(ws, lambda w: w.isin(en))) / F.size(ws),
         "punct_ratio": F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)) / F.length(t),
-        **_repetition_cols(text_col),
+        **_repetition_cols("_ws"),
     }
-    return df.select(F.col(id_col), *[c.alias(k) for k, c in cols.items()])
+    return df.withColumn("_ws", words(t)).select(
+        F.col(id_col), *[c.alias(k) for k, c in cols.items()]
+    )
 
 
 # PII patterns kept to the Java-regex ∩ RE2 common subset (no lookaround,
@@ -337,14 +352,18 @@ def chunk_documents(
     (e.g. an upsampled corpus's ``repeat_idx``) through the explode."""
     stride = chunk_words - overlap
     assert stride > 0
-    ws = words(F.col(text_col))
+    # materialize the word array before the window transform — slicing
+    # the tokenizer EXPRESSION inside the lambda re-runs the regex per
+    # window (the round-9 HOF re-evaluation sweep)
+    ws = F.col("_ws")
     starts = F.sequence(F.lit(0), F.greatest(F.ceil((F.size(ws) - F.lit(overlap)) / stride) - 1, F.lit(0)))
     chunks = F.transform(starts, lambda i: F.struct(
         i.cast("long").alias("chunk_id"),
         F.array_join(F.slice(ws, i * stride + 1, chunk_words), " ").alias("chunk"),
     ))
     return (
-        df.select(F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(chunks).alias("c"))
+        df.withColumn("_ws", words(F.col(text_col)))
+        .select(F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(chunks).alias("c"))
         .select(
             id_col,
             *keep_cols,
@@ -854,17 +873,18 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     is two correctly-rounded double divisions — the unigram_logprob
     convention exactly."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
-    bg = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.struct(
-            F.element_at(ws, i + 1).alias("w1"),
-            F.element_at(ws, i + 2).alias("w2"),
-        ),
+    # token array materialized before pair assembly (HOF re-evaluation)
+    bg = F.arrays_zip(
+        F.slice(F.col("_ws"), 1, F.size("_ws") - 1).alias("w1"),
+        F.slice(F.col("_ws"), 2, F.size("_ws") - 1).alias("w2"),
     )
     pairs = (
         df.repartition(par, F.col(id_col))
-        .where(F.size(ws) >= 2)
+        .select(
+            F.col(id_col),
+            F.filter(words(F.col(text_col)), lambda t: t != F.lit("")).alias("_ws"),
+        )
+        .where(F.size("_ws") >= 2)
         .select(F.col(id_col), F.explode(bg).alias("x"))
         .select(id_col, F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
     )
@@ -926,14 +946,18 @@ def ngram_boilerplate(
     one real shuffle, map-side combined; corpus size is a 1-row
     broadcast scalar; top-k is a TakeOrdered, never a global sort."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    # token array materialized before the gram transform (HOF re-evaluation)
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+        F.sequence(F.lit(0), F.size("_ws") - n),
+        lambda i: F.array_join(F.slice(F.col("_ws"), i + 1, n), " "),
     )
     per_doc = (
         df.repartition(par, F.col(id_col))
-        .where(F.size(ws) >= n)
+        .select(
+            F.col(id_col),
+            F.filter(words(F.col(text_col)), lambda t: t != F.lit("")).alias("_ws"),
+        )
+        .where(F.size("_ws") >= n)
         .select(F.col(id_col), F.explode(grams).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("occ"))
@@ -972,8 +996,12 @@ def ngram_repetition_scores(df: DataFrame, text_col: str = "text", id_col: str =
     Scale shape: every signal is a row-local array expression over the
     doc's own words — zero shuffles, zero joins, whole-stage codegen;
     the per-row cost of top2gram_share is O(distinct·n) on the doc's
-    bigrams, bounded by doc length, embarrassingly parallel at 100 TB."""
-    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
+    bigrams, bounded by doc length, embarrassingly parallel at 100 TB.
+    The word array AND the gram arrays are materialized as columns
+    first: building a gram EXPRESSION inside the nested count lambda
+    would re-run tokenizer + gram assembly per distinct bigram (the
+    round-9 HOF re-evaluation sweep)."""
+    ws = F.col("_ws")
 
     def grams(k: int):
         return F.transform(
@@ -981,7 +1009,7 @@ def ngram_repetition_scores(df: DataFrame, text_col: str = "text", id_col: str =
             lambda i: F.array_join(F.slice(ws, i + 1, k), " "),
         )
 
-    bg, tg = grams(2), grams(3)
+    bg, tg = F.col("_bg"), F.col("_tg")
     n2, n3 = F.size(bg), F.size(tg)
     d2, d3 = F.size(F.array_distinct(bg)), F.size(F.array_distinct(tg))
     top2 = F.array_max(
@@ -989,7 +1017,12 @@ def ngram_repetition_scores(df: DataFrame, text_col: str = "text", id_col: str =
             F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x))
         )
     )
-    return df.where(F.size(ws) >= 3).select(
+    return (
+        df.withColumn("_ws", F.filter(words(F.col(text_col)), lambda t: t != F.lit("")))
+        .where(F.size(ws) >= 3)
+        .withColumn("_bg", grams(2))
+        .withColumn("_tg", grams(3))
+    ).select(
         id_col,
         ((n2 - d2).cast("double") / n2.cast("double")).alias("dup2_share"),
         ((n3 - d3).cast("double") / n3.cast("double")).alias("dup3_share"),
@@ -1016,18 +1049,24 @@ def pmi_collocations(
     1-row broadcast scalar; top-k is a TakeOrdered.  Determinism: each
     ln() sees an exact BIGINT, rounds to INTEGER 1e-9 units, and PMI is
     an exact integer sum of the four terms — bit-portable (the
-    zipf/ols ln-of-integer convention)."""
-    ws = F.filter(words(F.col(text_col)), lambda t: t != F.lit(""))
-    bg = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.struct(
-            F.element_at(ws, i + 1).alias("w1"),
-            F.element_at(ws, i + 2).alias("w2"),
-        ),
+    zipf/ols ln-of-integer convention).
+
+    The token array is MATERIALIZED AS A COLUMN before bigram assembly,
+    and adjacent pairs come from arrays_zip over two slices — never
+    element_at over the tokenizer EXPRESSION: codegen does not
+    common-subexpression-eliminate a higher-order-function argument, so
+    each element_at re-ran the whole regex tokenizer (O(tokens²) per
+    doc — profiled at 9.8 s vs 0.5 s on sf0.1, the round-8 regression)."""
+    tok = (
+        df.select(F.filter(words(F.col(text_col)), lambda t: t != F.lit("")).alias("ws"))
+        .where(F.size("ws") >= 2)
+    )
+    bg = F.arrays_zip(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
     )
     c12 = (
-        df.where(F.size(ws) >= 2)
-        .select(F.explode(bg).alias("x"))
+        tok.select(F.explode(bg).alias("x"))
         .select(F.col("x.w1").alias("w1"), F.col("x.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))

@@ -167,3 +167,114 @@ def test_changelog_stream_pushdown(registered, tmp_path):
     files = glob.glob(f"{out}/*.parquet")
     if files:
         assert registered.read.parquet(out).count() == 0
+
+
+def test_two_streams_same_chain_distinct_filters(registered, tmp_path):
+    """Concurrency hardening (round-8 verdict item 5): TWO streaming
+    queries over the SAME chain_dir with distinct topic filters — the
+    reference tracks multiple filters per store via ListPrefix
+    (store/store.go:10-11, tracker.go:26-31); here each filter gets its
+    own sidecar (filter-id hash in the name) and its own checkpoint.
+    Both queries sync, survive the same reorg, and each must be
+    row-equal to a batch Tracker running the corresponding filter."""
+    import tempfile
+
+    from eth_event_tracker_spark.config import FilterConfig
+    from eth_event_tracker_spark.sources.mock_chain import EVENT_SIGS
+    from eth_event_tracker_spark.store import ParquetStore
+    from eth_event_tracker_spark.streaming import Tracker
+
+    prov = MockProvider()
+    prov.advance(30, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+
+    paths = {
+        sig: (str(tmp_path / f"out{i}"), str(tmp_path / f"ckpt{i}"))
+        for i, sig in enumerate(EVENT_SIGS)
+    }
+    for sig, (out, ckpt) in paths.items():
+        _run(registered, cdir, out, ckpt, max_blocks_per_batch=10,
+             topics=json.dumps([sig]))
+    # distinct sidecars must exist (one per filter id)
+    import glob
+
+    assert len(glob.glob(f"{cdir}/_source_offset_*.json")) == 2
+
+    # one reorg, then both queries resume from their own checkpoints
+    prov.fork(5, logs_per_block=2)
+    dump_chain(prov, cdir)
+    for sig, (out, ckpt) in paths.items():
+        _run(registered, cdir, out, ckpt, max_blocks_per_batch=10,
+             topics=json.dumps([sig]))
+
+    # batch-Tracker twin per filter on an identical chain history
+    for sig, (out, _ckpt) in paths.items():
+        twin = MockProvider()
+        twin.advance(30, logs_per_block=2)
+        with tempfile.TemporaryDirectory() as tmp:
+            tr = Tracker(
+                twin, ParquetStore(tmp),
+                FilterConfig(batch_size=10, topics=(sig,)),
+            )
+            events = tr.sync()
+            twin.fork(5, logs_per_block=2)
+            events += tr.poll()
+        got = registered.read.parquet(out)
+        stream_cl = sorted(
+            (r.action, r.tx_hash, r.block_num, r.block_hash)
+            for r in got.select("action", "tx_hash", "block_num", "block_hash").collect()
+        )
+        batch_cl = sorted(
+            [("added", lg["tx_hash"], lg["block_num"], lg["block_hash"])
+             for e in events for lg in e.added]
+            + [("removed", lg["tx_hash"], lg["block_num"], lg["block_hash"])
+               for e in events for lg in e.removed]
+        )
+        assert stream_cl == batch_cl and len(stream_cl) > 0, sig
+        # and the filter actually selected a strict subset
+        assert {r.topics[0] for r in got.collect()} == {sig}
+
+
+def test_restart_with_sidecar_ahead_of_wal(tmp_path):
+    """Restart-mid-batch where the sidecar raced AHEAD of Spark's WAL
+    (commit() ran for batch N+1 but the replay starts at batch N):
+    partitions(start, end) derives rows from the END offset alone and
+    resyncs _last to it, so the ahead sidecar is discarded, the replayed
+    batch is bit-identical, and the next latestOffset continues with no
+    gap and no duplicates."""
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=1)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+
+    opts = {"chain_dir": cdir, "max_blocks_per_batch": "15"}
+    r1 = Web3ChangelogStreamReader(opts)
+    off0 = r1.initialOffset()
+    offA = r1.latestOffset()
+    r1.commit(offA)
+    prov.advance(5, logs_per_block=1)
+    dump_chain(prov, cdir)
+    offB = r1.latestOffset()
+    r1.commit(offB)  # sidecar now holds offB; simulate WAL replay of (offA, offB)
+    plan_live = [(p.action, p.blocks) for p in r1.partitions(offA, offB)]
+    rows_live = [t for p in r1.partitions(offA, offB) for t in r1.read(p)]
+
+    # crash + restart: fresh reader seeds _last = offB from the sidecar
+    r2 = Web3ChangelogStreamReader(opts)
+    assert r2._last == offB  # ahead of the WAL's replay start (offA)
+    plan_replay = [(p.action, p.blocks) for p in r2.partitions(offA, offB)]
+    rows_replay = [t for p in r2.partitions(offA, offB) for t in r2.read(p)]
+    assert plan_replay == plan_live and rows_replay == rows_live
+
+    # continuation after the replay: next batch starts exactly at
+    # offB.next — no gap, no duplicate block
+    prov.advance(3, logs_per_block=1)
+    dump_chain(prov, cdir)
+    offC = r2.latestOffset()
+    assert [n for n, _ in offC["added"]][0] == offB["next"]
+    all_nums = [n for n, _ in offA["added"]] + [n for n, _ in offB["added"]] + [
+        n for n, _ in offC["added"]
+    ]
+    assert all_nums == sorted(set(all_nums))  # contiguous, no dup, no gap
+    assert all_nums == list(range(0, offC["next"]))

@@ -93,7 +93,16 @@ def main() -> int:
     ap.add_argument("--budget", type=float, default=150.0, help="per-query budget (s)")
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run exactly these queries instead of the N heaviest")
+    ap.add_argument("--out", default="sf1_smoke.json",
+                    help="artifact filename at the repo root")
+    ap.add_argument("--dst", default=None,
+                    help="override the synth dataset dir (default $SPARK_GRAFT_SF1_DIR)")
     args = ap.parse_args()
+    global DST
+    if args.dst:
+        DST = args.dst
 
     from eth_event_tracker_spark.queries import REGISTRY, _load
     from eth_event_tracker_spark.session import get_spark
@@ -107,11 +116,15 @@ def main() -> int:
         build_sf1(spark, args.factor)
         print(f"# synth build: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    with open(os.path.join(ROOT, "bench_full.json")) as fh:
-        best = json.load(fh)["best"]
-    heaviest = [n for n in sorted(best, key=best.get, reverse=True) if n in REGISTRY][
-        : args.top
-    ]
+    if args.only:
+        heaviest = [n for n in args.only if n in REGISTRY]
+        assert len(heaviest) == len(args.only), "unknown query in --only"
+    else:
+        with open(os.path.join(ROOT, "bench_full.json")) as fh:
+            best = json.load(fh)["best"]
+        heaviest = [
+            n for n in sorted(best, key=best.get, reverse=True) if n in REGISTRY
+        ][: args.top]
 
     results: dict[str, dict] = {}
     ok = True
@@ -130,16 +143,16 @@ def main() -> int:
         print(f"# {name}: {results[name]}", file=sys.stderr)
 
     artifact = {
-        "sf": 1.0,
+        "sf": round(0.1 * args.factor, 3),
         "factor": args.factor,
         "source": SRC,
         "budget_sec": args.budget,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "queries": results,
     }
-    with open(os.path.join(ROOT, "sf1_smoke.json"), "w") as fh:
+    with open(os.path.join(ROOT, args.out), "w") as fh:
         json.dump(artifact, fh, sort_keys=True, indent=1)
-    print(json.dumps({"sf1_smoke": "ok" if ok else "FAIL", "n": len(results)}))
+    print(json.dumps({args.out.removesuffix(".json"): "ok" if ok else "FAIL", "n": len(results)}))
     return 0 if ok else 1
 
 
