@@ -83,11 +83,11 @@ def quality_scores(
     """Heuristic quality features: length, word stats, punctuation density,
     stopword ratio (en list) — the standard pre-training quality filters."""
     t = F.col(text_col)
-    ws = words(t)
+    ws = F.col("_ws")  # tokenizer materialized once (5 textual uses below)
     en = list(LANG_STOPWORDS["en"])
     n_stop = F.size(F.filter(ws, lambda w: w.isin(en)))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0))
-    return df.select(
+    return df.withColumn("_ws", words(t)).select(
         id_col,
         F.length(t).alias("n_chars"),
         F.size(ws).alias("n_words"),
@@ -101,7 +101,7 @@ def quality_verdicts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc keep/drop decision of the rule-based quality gate:
     (doc_id, verdict) where verdict ∈ keep | too_short | too_long |
     degenerate_words. A single projection — no shuffle."""
-    ws = words(F.col(text_col))
+    ws = F.col("_ws")  # tokenizer materialized once
     n_words = F.size(ws)
     avg_word_len = F.length(F.array_join(ws, "")) / n_words
     verdict = (
@@ -110,13 +110,15 @@ def quality_verdicts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(avg_word_len < 2.0, "degenerate_words")
         .otherwise("keep")
     )
-    return df.select("doc_id", verdict.alias("verdict"))
+    return df.withColumn("_ws", words(F.col(text_col))).select(
+        "doc_id", verdict.alias("verdict")
+    )
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: score each language by stopword matches,
     predict the argmax (ties broken by language code order)."""
-    ws = words(F.col(text_col))
+    ws = F.col("_ws")  # tokenizer materialized once (|languages| uses)
     scores = [
         F.struct(
             F.size(F.filter(ws, lambda w: w.isin(list(sw)))).alias("score"),
@@ -126,7 +128,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     # argmax: sort (score asc, lang desc-by-construction) and take last max
     best = F.array_max(F.array(*scores))
-    return df.select(
+    return df.withColumn("_ws", words(F.col(text_col))).select(
         "doc_id",
         best["lang"].alias("pred_lang"),
         best["score"].cast("long").alias("pred_score"),
@@ -144,7 +146,7 @@ def lang_mix(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     Scale shape: like :func:`lang_id`, one row-local array sort over the
     |languages| score structs — no shuffle, no explode; the ratio is one
     exact int/int double division."""
-    ws = words(F.col(text_col))
+    ws = F.col("_ws")  # tokenizer materialized once (|languages| uses)
     scores = [
         F.struct(
             F.size(F.filter(ws, lambda w: w.isin(list(sw)))).alias("score"),
@@ -157,7 +159,7 @@ def lang_mix(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     ratio = F.when(
         top1["score"] > 0, top2["score"].cast("double") / top1["score"].cast("double")
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return df.withColumn("_ws", words(F.col(text_col))).select(
         id_col,
         top1["lang"].alias("lang1"),
         top2["lang"].alias("lang2"),

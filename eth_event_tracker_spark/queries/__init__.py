@@ -242,6 +242,11 @@ _POST_WINDOW = (
     "benford_price_digits",
     "seasonality_acf24",
     "hourly_envelope_profile",
+    # round 9: salted hot-key join exercised in anger + MMR promoted to
+    # oracle grade (k-unrolled DuckDB greedy-chain twin)
+    "skew_salted_hotkey_join",
+    "mmr_rerank_topk",
+    "rolling_distinct_exact_users",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -264,7 +269,6 @@ _ROWS_ONLY = (
     "ann_recall_ivf",
     "quality_classifier_scores",
     "ann_nprobe_tuning_curve",
-    "mmr_rerank_topk",
 )
 
 

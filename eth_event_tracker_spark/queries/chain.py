@@ -730,3 +730,54 @@ def changelog_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changelog, _s, _m = _synthetic_changelog(spark, sf_dir)
     return incremental_agg(changelog, keys=("address",), value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Explicit salted join under a planted hot key (operators/skew.salted_join)
+# — the mega-contract / zero-address shape: 100 TB of chain logs is NOT
+# uniform, one contract can own most of a day's events, and a plain
+# shuffle join puts that whole key in ONE task.  The salt spreads the hot
+# key across salt_n tasks; comparative timing evidence (salted vs naive
+# under skew, AQE on, broadcast off) lives in skew_evidence.json
+# (tools/skew_bench.py).  Inner-join equivalence to the plain join is the
+# oracle contract here.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_hotkey_join",
+    f"""
+WITH logs AS ({LOGS_CTE_DUCKDB}),
+big AS (
+  SELECT CASE WHEN (block_num * 5 + tx_index) % 10 < 9
+              THEN '{address_pool()[0]}' ELSE address END AS skew_addr,
+         value
+  FROM logs),
+dim AS (SELECT DISTINCT address AS skew_addr, substr(address, 3, 8) AS tag FROM logs)
+SELECT b.skew_addr, d.tag,
+       COUNT(*) AS n_logs,
+       {_DEC.replace("value", "b.value")} AS sum_value
+FROM big b JOIN dim d USING (skew_addr)
+GROUP BY b.skew_addr, d.tag
+""",
+    doc="salted hot-key join: 90% of rows remapped onto one mega-contract "
+    "address, dim joined via (key, salt) so the hot key fans across "
+    "salt_n tasks; result == plain inner join (oracle); naive-vs-salted "
+    "timing pinned in skew_evidence.json",
+)
+def skew_salted_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    logs = derived_logs(spark, sf_dir)
+    hot = F.when(
+        (F.col("block_num") * 5 + F.col("tx_index")) % 10 < 9, F.lit(_ADDRS[0])
+    ).otherwise(F.col("address"))
+    big = logs.select(hot.alias("skew_addr"), "value")
+    dim = (
+        logs.select(F.col("address").alias("skew_addr"))
+        .distinct()
+        .withColumn("tag", F.substring("skew_addr", 3, 8))
+    )
+    return (
+        salted_join(big, dim, on="skew_addr", salt_n=8)
+        .groupBy("skew_addr", "tag")
+        .agg(F.count("*").alias("n_logs"), _sum_dec("value").alias("sum_value"))
+    )

@@ -960,11 +960,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     doc="SemDeDup: k-means clusters -> within-cluster cosine pairs -> "
     "component keepers (rows-only: k-means is not SQL-expressible; "
-    "pytest pins drop/keep behavior against the exact tier)",
+    "pytest pins drop/keep behavior against the exact tier). "
+    "n_clusters=None auto-scales k with N (k=N/256) and collapse_exact "
+    "pre-groups identical vectors, so the within-cluster join stays "
+    "linear in the corpus",
 )
 def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return OPS.semantic_dedup(emb, threshold=0.9, n_clusters=16).select("vec_id", "label")
+    return OPS.semantic_dedup(emb, threshold=0.9, n_clusters=None).select("vec_id", "label")
 
 
 # ---------------------------------------------------------------------------
@@ -2640,18 +2643,82 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MMR diversified re-ranking over the exact-cosine top-50 (rows-only:
-# the greedy argmax chain is not SQL-expressible; semantics pinned in
-# tests/test_round8_analytics.py — first pick = top relevance, a planted
-# duplicate is deferred, λ=1 degenerates to relevance order).
+# MMR diversified re-ranking over the exact-cosine top-50 — ORACLE-GRADED
+# (round-8 verdict item 6): the greedy argmax chain is k-bounded and every
+# float in it is bit-portable (ordered-fold dots + exact IEEE divide/sqrt),
+# so the DuckDB twin UNROLLS the k selection steps as chained CTEs — each
+# step is "max(sim to chosen) per remaining candidate → argmax score per
+# query" — and replays the selection exactly.
 # ---------------------------------------------------------------------------
+def _mmr_oracle_sql(k: int = 10, fetch_k: int = 50, lam: float = 0.7) -> str:
+    score1 = f"{lam} * rel - (1.0 - {lam}) * 0.0"
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
+qn AS (SELECT q_id, sqrt({_duck_dot("embedding", "embedding")}) AS qn FROM q),
+cn AS MATERIALIZED (SELECT c_id, embedding, sqrt({_duck_dot("embedding", "embedding")}) AS nrm FROM c),
+scored AS (
+  SELECT q.q_id, cn.c_id, {_duck_dot("q.embedding", "cn.embedding")} / (qn.qn * cn.nrm) AS cosine
+  FROM cn CROSS JOIN q JOIN qn USING (q_id)
+),
+cand AS MATERIALIZED (
+  SELECT q_id, c_id, round(cosine, 9) AS rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+        FROM scored)
+  WHERE rnk <= {fetch_k}
+),
+sims AS MATERIALIZED (
+  SELECT ca.q_id, ca.c_id AS i, cb.c_id AS j,
+         {_duck_dot("na.embedding", "nb.embedding")} /
+         ((CASE WHEN na.nrm = 0 THEN 1.0 ELSE na.nrm END)
+          * (CASE WHEN nb.nrm = 0 THEN 1.0 ELSE nb.nrm END)) AS sim
+  FROM cand ca JOIN cand cb ON ca.q_id = cb.q_id AND ca.c_id <> cb.c_id
+  JOIN cn na ON na.c_id = ca.c_id JOIN cn nb ON nb.c_id = cb.c_id
+),
+all1 AS MATERIALIZED (
+  SELECT q_id, c_id, 1 AS rank, rel, {score1} AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY {score1} DESC, c_id) AS rn
+        FROM cand)
+  WHERE rn = 1
+)"""
+    ]
+    for n in range(2, k + 1):
+        score = f"{lam} * rel - (1.0 - {lam}) * red"
+        parts.append(
+            f""",
+red{n} AS (
+  SELECT r.q_id, r.c_id, r.rel, MAX(s.sim) AS red
+  FROM cand r
+  JOIN sims s ON s.q_id = r.q_id AND s.i = r.c_id
+  JOIN all{n - 1} p ON p.q_id = s.q_id AND p.c_id = s.j
+  WHERE NOT EXISTS (SELECT 1 FROM all{n - 1} x WHERE x.q_id = r.q_id AND x.c_id = r.c_id)
+  GROUP BY r.q_id, r.c_id, r.rel
+),
+all{n} AS MATERIALIZED (
+  SELECT * FROM all{n - 1}
+  UNION ALL
+  SELECT q_id, c_id, {n} AS rank, rel, {score} AS score
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY {score} DESC, c_id) AS rn
+        FROM red{n})
+  WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank,
+       round(rel, 9) AS relevance, round(score, 9) AS mmr_score
+FROM all{k}"""
+    )
+    return "".join(parts)
+
+
 @register(
     "mmr_rerank_topk",
-    None,
+    _mmr_oracle_sql(),
     "MMR diversity re-rank of the exact cosine top-50 (λ=0.7, k=10) for "
-    "queries vec_id<5 — the diversity tail on the retrieval tier "
-    "(rows-only: greedy argmax chain; driver loop is fetch_k-bounded by "
-    "contract)",
+    "queries vec_id<5 — the diversity tail on the retrieval tier; "
+    "oracle-graded via a k-unrolled DuckDB greedy-chain twin",
 )
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -984,10 +984,11 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Triangle counting (operators/graph.triangle_count) over the top-500
-# co-supply graph: suppliers ranked by shared-part count (deterministic
-# TakeOrdered — a scale-stable edge set at every SF, unlike an absolute
-# co-supply threshold), then the degree-oriented wedge-close count.
+# Triangle counting (operators/graph.triangle_count) over the per-src-top-5
+# co-supply graph: each supplier keeps its 5 strongest edges by
+# shared-part count (density-invariant — survives corpus replication,
+# unlike a global top-N or an absolute threshold), then the
+# degree-oriented wedge-close count.
 # Oracle mirrors the orientation exactly via row-value comparison.
 # ---------------------------------------------------------------------------
 @register(
@@ -995,11 +996,13 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 pairs AS (SELECT a, b FROM (
-            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
             FROM ps p1 JOIN ps p2
               ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
             GROUP BY 1, 2)
-          ORDER BY cnt DESC, a, b LIMIT 500),
+          WHERE rn <= 5),
 deg AS (SELECT v, COUNT(*) AS d
         FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
         GROUP BY v),
@@ -1014,7 +1017,7 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM pairs) AS n_edges,
        (SELECT COUNT(*) FROM closed) AS n_triangles
 """,
-    doc="exact triangle count, degree-oriented wedge join (skew-bounded out-degree) over the top-500 co-supply pairs",
+    doc="exact triangle count, degree-oriented wedge join (skew-bounded out-degree) over the per-src-top-5 co-supply pairs",
 )
 def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
@@ -1035,11 +1038,13 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 pairs AS (SELECT a, b FROM (
-            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
             FROM ps p1 JOIN ps p2
               ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
             GROUP BY 1, 2)
-          ORDER BY cnt DESC, a, b LIMIT 500),
+          WHERE rn <= 5),
 deg AS (SELECT v, COUNT(*) AS d
         FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
         GROUP BY v),
@@ -1061,7 +1066,7 @@ SELECT deg.v AS node, deg.d AS degree,
        END AS lcc
 FROM deg LEFT JOIN tri ON tri.v = deg.v
 """,
-    doc="per-node local clustering coefficient over the top-500 co-supply "
+    doc="per-node local clustering coefficient over the per-src-top-5 co-supply "
     "pairs: degree-oriented closed wedges exploded to member nodes; "
     "lcc = 2·tri/(d·(d−1)) exact-integer division, NULL below degree 2",
 )
@@ -1182,8 +1187,16 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-500 co-supply pairs (src < dst) — the shared graph fixture
-    for the triangle / LPA / PageRank / clustering entries.
+    """Per-supplier top-5 co-supply pairs (src < dst) — the shared graph
+    fixture for the triangle / LPA / PageRank / clustering entries.
+
+    The edge contract is DENSITY-INVARIANT: each src keeps its 5
+    strongest edges by (shared-part count desc, dst), so the extracted
+    graph keeps its local structure as the corpus grows — a global
+    top-N sparsifies per subgraph under growth (at sf≈1.0 the old
+    top-500 spread over 10 replica graphs and the 2-core went empty,
+    docs/ROUND8.md §4) and funnels through one global TakeOrdered; the
+    per-group rank is one hash-partitioned window, no global ordering.
 
     Pair generation WITHOUT a self-join: per-part supplier lists are
     bounded (~26 suppliers/part at every SF), so sort_array + a nested
@@ -1207,11 +1220,12 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.src", "p.dst")
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), "dst")
     return (
         pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "src", "dst")
-        .limit(500)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
         .select("src", "dst")
     )
 
@@ -1219,7 +1233,7 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "community_labels_cosupply",
     None,
-    doc="label-propagation communities over the top-500 co-supply pairs "
+    doc="label-propagation communities over the per-src-top-5 co-supply pairs "
     "(rows-only: iterative LPA is not SQL-expressible; planted-clique "
     "recovery, determinism, and oscillation-freedom pinned in pytest) — "
     "output is the per-community size table",
@@ -1234,7 +1248,7 @@ def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pagerank_cosupply",
     None,
-    doc="PageRank over the top-500 co-supply pairs (rows-only: power "
+    doc="PageRank over the per-src-top-5 co-supply pairs (rows-only: power "
     "iteration is not SQL-expressible; the python-model pin, dangling-mass "
     "conservation, and one-action-per-round discipline live in pytest) — "
     "output is the top-20 suppliers by rank",
@@ -1379,12 +1393,12 @@ def outliers_mad_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kcore_cosupply",
     None,
-    doc="2-core of the top-500 co-supply graph (rows-only: iterative "
+    doc="2-core of the per-src-top-5 co-supply graph (rows-only: iterative "
     "peeling is not SQL-expressible; python-model equivalence, "
     "chain-unravelling, and clique-survival pinned in pytest) — output "
-    "is the surviving (node, in-core degree) table; k=2 because the "
-    "top-500 graph turns tree-like at sf0.1 (559 nodes / 500 edges) and "
-    "higher cores are empty there",
+    "is the surviving (node, in-core degree) table; the per-src edge "
+    "rank keeps the 2-core non-empty at every SF (a global top-N "
+    "sparsified per replica and emptied it at sf1, docs/ROUND8.md §4)",
 )
 def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
@@ -1394,7 +1408,7 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BFS hop distances (operators/graph.py bfs_hops): unweighted shortest
-# hops from the graph's max-degree hub over the top-500 co-supply graph.
+# hops from the graph's max-degree hub over the per-src-top-5 co-supply graph.
 # The first ORACLE-GRADED iterative-loop graph entry: DuckDB's bounded
 # recursive CTE (UNION-dedup on (node, hops), MIN per node) replays the
 # frontier expansion exactly, so the loop's every hop number hash-matches.
@@ -1404,11 +1418,13 @@ def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
 pairs AS (SELECT a, b FROM (
-            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b, COUNT(*) AS cnt
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
             FROM ps p1 JOIN ps p2
               ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
             GROUP BY 1, 2)
-          ORDER BY cnt DESC, a, b LIMIT 500),
+          WHERE rn <= 5),
 deg AS (SELECT v, COUNT(*) AS d
         FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs) x
         GROUP BY v),
@@ -1423,7 +1439,7 @@ walk(node, hops) AS (
 SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
 """,
     doc="BFS hop distances from the max-degree hub (tie: lowest id) over "
-    "the top-500 co-supply graph, ≤6 hops: one frontier×edges join + "
+    "the per-src-top-5 co-supply graph, ≤6 hops: one frontier×edges join + "
     "anti-join vs visited per round, lineage cut, one action per round; "
     "oracle = bounded recursive CTE with MIN(hops)",
 )
@@ -1458,7 +1474,9 @@ WITH cents AS (
   WHERE l_extendedprice > 0
 ),
 digits AS (
-  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+  -- c >= 1: amounts in (0, 0.005) round to 0 cents, whose digit '0'
+  -- would inflate n_tot while the 1-9 grid drops its row
+  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents WHERE c >= 1
 ),
 obs AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
 n AS (SELECT COUNT(*) AS n_tot FROM digits),
@@ -1497,7 +1515,12 @@ def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
     cents = df.where(F.col(amount_col) > 0).select(
         F.round(F.col(amount_col) * 100).cast("long").alias("c")
     )
-    digits = cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    # c >= 1: amounts in (0, 0.005) round to 0 cents — their digit '0'
+    # has no grid row, so counting them in n_tot would skew obs_p/chi2
+    digits = (
+        cents.where(F.col("c") >= 1)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
     obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
     n = digits.agg(F.count("*").alias("n_tot"))
     exp_p = spark.createDataFrame([(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)], "digit int, p double")

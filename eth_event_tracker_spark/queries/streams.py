@@ -876,6 +876,67 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXACT trailing-3h distinct users — the oracle-graded calibration twin
+# of rolling_distinct_users (round-8 verdict item 6: promote the exact
+# arm).  Shape: dedup to (type, hour, user) triples FIRST, explode each
+# triple into the ≤3 windows it serves, one (type, win) shuffle with a
+# final per-window dedup — the explode multiplies the DISTINCT table by
+# window_hours, never the raw event stream (at 100 TB the triple table
+# is the small one).  A naive sliding COUNT(DISTINCT) re-shuffles the
+# whole trailing window every slide; this is the batch-exact form, and
+# the HLL tier above is what replaces it when even the triple table is
+# too hot — with THIS query as its accuracy reference.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_distinct_exact_users",
+    """
+WITH triples AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour, user_id FROM events
+),
+contrib AS (
+  SELECT event_type,
+         CAST(epoch(hour) AS BIGINT) + h.range * 3600 AS win_sec,
+         user_id
+  FROM triples CROSS JOIN range(0, 3) h
+),
+anchors AS (
+  SELECT DISTINCT event_type, CAST(epoch(hour) AS BIGINT) AS win_sec FROM triples
+)
+SELECT c.event_type, c.win_sec,
+       COUNT(DISTINCT c.user_id) AS n_rolling_exact
+FROM contrib c JOIN anchors a USING (event_type, win_sec)
+GROUP BY c.event_type, c.win_sec
+""",
+    doc="exact trailing-3h distinct users per event type: distinct "
+    "(type, hour, user) triples exploded into the windows they serve "
+    "(x3, on the deduped table, not the stream), semi-joined to the "
+    "anchor hours, one (type, window) dedup-count — the accuracy "
+    "reference the HLL rolling tier is pinned against",
+)
+def rolling_distinct_exact_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    triples = ev.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h_sec"),
+        "user_id",
+    ).distinct()
+    contrib = triples.select(
+        "event_type",
+        "h_sec",
+        "user_id",
+        F.explode(F.array(F.lit(0), F.lit(3600), F.lit(7200))).alias("_shift"),
+    ).select(
+        "event_type", (F.col("h_sec") + F.col("_shift")).alias("win_sec"), "user_id"
+    )
+    anchors = triples.select("event_type", F.col("h_sec").alias("win_sec")).distinct()
+    return (
+        contrib.join(anchors, ["event_type", "win_sec"], "left_semi")
+        .groupBy("event_type", "win_sec")
+        .agg(F.countDistinct("user_id").alias("n_rolling_exact"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Journey / clickstream path mining: each user's first-3-event-type path
 # rendered as a string, then the corpus-wide path frequency table — the
 # "what do users do first" report feeding funnel design, and the ordered

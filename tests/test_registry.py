@@ -32,7 +32,6 @@ ROWS_ONLY_EXTRAS = {
     "kcore_cosupply",
     "rolling_distinct_users",
     "ann_nprobe_tuning_curve",
-    "mmr_rerank_topk",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -154,6 +153,10 @@ POST_WINDOW_ORACLES = (
     "benford_price_digits",
     "seasonality_acf24",
     "hourly_envelope_profile",
+    # round 9
+    "skew_salted_hotkey_join",
+    "mmr_rerank_topk",
+    "rolling_distinct_exact_users",
 )
 
 
