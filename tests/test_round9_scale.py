@@ -125,3 +125,23 @@ def test_mmr_rerank_string_ids(spark):
     # candidates a and b are identical → the score tie breaks id-asc
     assert rows[0].c_id == "a"
     assert rows[0].q_id == "q0" and isinstance(rows[0].c_id, str)
+
+
+def test_tokenizer_materialized_once_in_ngram_plans(spark, sf_dir):
+    """HOF re-evaluation guard (round-9 find): a higher-order-function
+    lambda body is re-evaluated per element, so the regex tokenizer must
+    never appear inside the gram-transform lambda — it must be
+    materialized as a column first.  Invariant: exactly ONE
+    regexp_replace in the optimized plan (the broken expression form
+    shows a second one inside lambdafunction and costs O(tokens²)/doc —
+    profiled 9.8s vs 0.5s at sf0.1)."""
+    from eth_event_tracker_spark.operators.text import word_shingles
+    from eth_event_tracker_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = word_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+    # and never nested under the transform lambda
+    for line in plan.splitlines():
+        if "lambdafunction" in line:
+            assert "regexp_replace" not in line.split("lambdafunction", 1)[1]

@@ -95,3 +95,19 @@ def test_sf1_smoke_artifact_committed():
     assert d["sf"] == 1.0 and len(d["queries"]) >= 15
     bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
     assert not bad, f"sf1 smoke failures: {bad}"
+
+
+def test_sf3_smoke_artifact_committed():
+    """The sf≈3.0 (30× density) tier for the worst five (round-8 verdict
+    item 3) must be committed and all green.  Regenerate with
+    `python tools/sf1_smoke.py --factor 30 --dst /tmp/eets_sf3_synth
+    --out sf3_smoke.json --budget 300 --rebuild --only ...`."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "sf3_smoke.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["sf"] == 3.0 and len(d["queries"]) >= 5
+    bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
+    assert not bad, f"sf3 smoke failures: {bad}"
