@@ -44,6 +44,7 @@ def train_quality_classifier(
     id_col: str = "doc_id",
     max_iter: int = 40,
     reg_param: float = 1e-3,
+    feats: DataFrame | None = None,
 ):
     """Fit LR on hashed TF-IDF features against ``labels`` (id_col,
     label ∈ {0.0, 1.0}).  Returns the fitted
@@ -53,7 +54,8 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
-    feats = hashed_tfidf_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
+    if feats is None:
+        feats = hashed_tfidf_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
     train = feats.join(labels, id_col).select(
         array_to_vector(F.col("vector")).alias("features"),
         F.col("label").cast("double").alias("label"),
@@ -70,6 +72,7 @@ def score_quality(
     dim: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, p_good): the model's keep probability per doc — one
     feature pass + one broadcast dot product; rank by it, threshold it,
@@ -77,7 +80,8 @@ def score_quality(
     signal."""
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    feats = hashed_tfidf_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
+    if feats is None:
+        feats = hashed_tfidf_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
     scored = model.transform(
         feats.select(id_col, array_to_vector(F.col("vector")).alias("features"))
     )
@@ -103,10 +107,18 @@ def distill_quality_gate(
     labels = verdicts.select(
         id_col, (F.col("verdict") == "keep").cast("double").alias("label")
     )
+    # ONE feature pass shared by training and scoring (the TF-IDF
+    # pipeline is the expensive half; L-BFGS converges in ~10 rounds)
+    feats = hashed_tfidf_vectors(
+        df, dim=dim, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
     model = train_quality_classifier(
-        df, labels, dim=dim, text_col=text_col, id_col=id_col, max_iter=max_iter
+        df, labels, dim=dim, text_col=text_col, id_col=id_col,
+        max_iter=max_iter, feats=feats,
     )
-    scores = score_quality(df, model, dim=dim, text_col=text_col, id_col=id_col)
+    scores = score_quality(
+        df, model, dim=dim, text_col=text_col, id_col=id_col, feats=feats
+    )
     return scores.join(
         verdicts.withColumnRenamed("verdict", "teacher_verdict"), id_col
     ).select(id_col, "teacher_verdict", "p_good")
