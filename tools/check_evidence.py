@@ -62,10 +62,25 @@ def main() -> int:
             "  fix: python tools/sf01_gate.py --update"
         )
 
+    plans_path = os.path.join(ROOT, "docs", "PLANS.md")
+    with open(plans_path) as f:
+        plans = f.read()
+    in_plans = set(re.findall(r"^\| (\S+) \|", plans, re.M))
+    missing_plans = sorted(names - in_plans)
+    if missing_plans:
+        problems.append(
+            f"docs/PLANS.md is STALE — missing {len(missing_plans)} registry "
+            f"entries: {', '.join(missing_plans)}\n"
+            "  fix: python tools/plan_report.py"
+        )
+
     if problems:
         print("EVIDENCE GUARD FAILED:\n" + "\n".join(problems))
         return 1
-    print(f"evidence fresh: {len(names)} registry entries covered by CATALOG + sf0.1 baseline")
+    print(
+        f"evidence fresh: {len(names)} registry entries covered by "
+        "CATALOG + PLANS + sf0.1 baseline"
+    )
     return 0
 
 
