@@ -1446,10 +1446,12 @@ SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
 def bfs_hops_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import _canon_edges, _degrees, bfs_hops
 
-    e = _cosupply_edges(spark, sf_dir)
-    canon = _canon_edges(e, "src", "dst")
+    # canon is checkpointed: the seed ranking AND the BFS loop read the
+    # SAME materialization (passing the raw extract ran the 18M-row
+    # groupBy + window twice — 2x the extract cost at sf3)
+    canon = _canon_edges(_cosupply_edges(spark, sf_dir), "src", "dst")
     seed = _degrees(canon).orderBy(F.desc("d"), "v").limit(1).select("v")
-    return bfs_hops(e, seed, max_hops=6)
+    return bfs_hops(canon, seed, max_hops=6, src="a", dst="b")
 
 
 # ---------------------------------------------------------------------------
