@@ -247,6 +247,7 @@ _POST_WINDOW = (
     "skew_salted_hotkey_join",
     "mmr_rerank_topk",
     "rolling_distinct_exact_users",
+    "connected_components_cosupply",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for

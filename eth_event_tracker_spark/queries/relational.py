@@ -1546,3 +1546,47 @@ def benford_digits(df: DataFrame, amount_col: str) -> DataFrame:
         F.round("p", 9).alias("expected_p"),
         F.round("chi2", 9).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/dedup.dup_clusters) over the co-supply
+# graph — ORACLE-GRADED (round 9): the pointer-jumping min-label loop is
+# the decision step of EVERY near-dup tier (minhash / simhash / embedding
+# / semantic all call dup_clusters), so grading it against DuckDB's
+# recursive label-closure retires the largest remaining trust-the-pins
+# primitive.  Contract: component id = MIN node id in the component.
+# ---------------------------------------------------------------------------
+@register(
+    "connected_components_cosupply",
+    """
+WITH RECURSIVE ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          WHERE rn <= 5),
+und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(node, lbl) AS (
+  SELECT a AS node, a AS lbl FROM und
+  UNION
+  SELECT u.b AS node, w.lbl FROM walk w JOIN und u ON u.a = w.node
+)
+SELECT node, CAST(MIN(lbl) AS BIGINT) AS component FROM walk GROUP BY node
+""",
+    doc="connected components over the per-src-top-5 co-supply graph: "
+    "pointer-jumped min-label propagation (O(log diameter) rounds, one "
+    "action per round) == DuckDB's recursive label closure; component "
+    "id = min member id — the keeper-selection contract every dedup "
+    "tier inherits",
+)
+def connected_components_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dup_clusters
+
+    comps = dup_clusters(_cosupply_edges(spark, sf_dir), "src", "dst")
+    return comps.select(
+        F.col(comps.columns[0]).alias("node"),
+        F.col(comps.columns[1]).cast("long").alias("component"),
+    )

@@ -157,6 +157,7 @@ POST_WINDOW_ORACLES = (
     "skew_salted_hotkey_join",
     "mmr_rerank_topk",
     "rolling_distinct_exact_users",
+    "connected_components_cosupply",
 )
 
 
