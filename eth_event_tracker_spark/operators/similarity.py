@@ -141,10 +141,14 @@ def lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where
     h_p[d] = sha-derived pseudo-random in [-1, 1) — deterministic across
-    runs and machines.  Computed in an Arrow-batched pandas UDF (one
-    numpy matmul per batch): a column-expression version would be a
-    dim×planes-term codegen blowup, and the matmul is what a 100 TB
-    corpus needs anyway."""
+    runs and machines.  Computed in an Arrow-batched pandas UDF; the
+    per-plane dot folds LEFT-TO-RIGHT (np.add.accumulate — sequential by
+    definition), NOT via BLAS matmul: pairwise summation can flip the
+    sign of a near-zero dot by a ulp, and the fold order makes every
+    bucket bit-reproducible by any engine replaying the same fold (the
+    DuckDB oracle for embedding_near_dup_lsh embeds the plane constants
+    as literals and replays exactly this).  Still one vectorized pass
+    per plane across the Arrow batch — the 100 TB shape."""
     from pyspark.sql.functions import pandas_udf
 
     if dim is None:
@@ -155,13 +159,16 @@ def lsh_bucket(
     planes = np.array(
         [[_plane_component(p, d) for d in range(dim)] for p in range(n_planes)]
     )  # n_planes × dim
-    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
 
     @pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)  # B × dim
-        bits = (m @ planes.T) >= 0  # B × n_planes
-        return pd.Series((bits @ weights).astype(np.int64))
+        out = np.zeros(len(m), dtype=np.int64)
+        for p in range(n_planes):
+            # strict left-to-right fold over the element products
+            dots = np.add.accumulate(m * planes[p][None, :], axis=1)[:, -1]
+            out |= (dots >= 0).astype(np.int64) << p
+        return pd.Series(out)
 
     return df.withColumn("bucket", bucket_of(F.col(vec_col)))
 

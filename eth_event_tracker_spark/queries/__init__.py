@@ -248,6 +248,7 @@ _POST_WINDOW = (
     "mmr_rerank_topk",
     "rolling_distinct_exact_users",
     "connected_components_cosupply",
+    "embedding_near_dup_lsh",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -263,7 +264,6 @@ _ROWS_ONLY = (
     "embedding_ann",
     "embedding_pq_topk",
     "embedding_sq8_topk",
-    "embedding_near_dup_lsh",
     "semantic_dedup_emb",
     "topic_balanced_docs",
     "distinct_profile_hll",

@@ -795,9 +795,58 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registered ROWS-ONLY after the 50 oracle-bearing entries: approximate
-# candidate set — pytest verifies it as a subset of the exact tier, and
-# bench.py times it.
-@register("embedding_near_dup_lsh", None, "embedding near-dup LSH tier (rows-only extra)")
+# ORACLE-GRADED since round 9: the LSH planes are sha-derived constants
+# and the bucketing fold is strict left-to-right (similarity.lsh_bucket),
+# so the ENTIRE tier — bucket assembly, multiprobe XOR expansion,
+# bucket-equality candidate join, exact-cosine verify — replays in SQL
+# with the plane components embedded as literals.  The exact-duplicate
+# collapse (default on) is bit-equal to the uncollapsed join by pin, and
+# the oracle replays the uncollapsed form.
+def _lsh_near_dup_oracle_sql(threshold: float = 0.3, n_planes: int = 6, dim: int = 64) -> str:
+    from ..operators.similarity import _plane_component
+
+    bucket_terms = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(_plane_component(p, d)) for d in range(dim))
+        fold = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip(embedding, [{lits}]), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)"
+        )
+        bucket_terms.append(f"(CASE WHEN {fold} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    return f"""
+WITH tagged AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+),
+probed AS (
+  SELECT vec_id AS id_a, unnest([{probes}]) AS bucket FROM tagged
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.id_a, b.vec_id AS id_b
+  FROM probed p JOIN tagged b USING (bucket)
+  WHERE p.id_a < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         {_duck_dot("a.embedding", "b.embedding")} /
+         (sqrt({_duck_dot("a.embedding", "a.embedding")})
+          * sqrt({_duck_dot("b.embedding", "b.embedding")})) AS cosine
+  FROM cand c
+  JOIN tagged a ON a.vec_id = c.id_a
+  JOIN tagged b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+@register(
+    "embedding_near_dup_lsh",
+    _lsh_near_dup_oracle_sql(),
+    "embedding near-dup LSH tier — oracle-graded: literal-plane bucket "
+    "replay + multiprobe XOR + ordered-fold cosine verify in DuckDB",
+)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via LSH buckets + exact verify — the scale tier."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -21,7 +21,6 @@ ROWS_ONLY_EXTRAS = {
     "distinct_profile_hll",
     "embedding_cosine_topk_fast",
     "embedding_ann",
-    "embedding_near_dup_lsh",
     "embedding_pq_topk",
     "topic_balanced_docs",
     "community_labels_cosupply",
@@ -158,6 +157,7 @@ POST_WINDOW_ORACLES = (
     "mmr_rerank_topk",
     "rolling_distinct_exact_users",
     "connected_components_cosupply",
+    "embedding_near_dup_lsh",
 )
 
 
