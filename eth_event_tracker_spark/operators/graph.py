@@ -147,7 +147,20 @@ def pagerank(
     out of a single aggregate over one joined frame, so the
     convergence check runs at the top of the NEXT round — identical
     final ranks, half the job launches.  Returns (node, rank); ranks
-    sum to 1."""
+    sum to 1.
+
+    BIT-PORTABLE power iteration (round 9): ranks are carried as exact
+    BIGINT units of 1e-15.  Every cross-row reduction (inbound mass,
+    dangling mass, the L1 delta) is an INTEGER sum — order-independent,
+    so partitioning/parallelism cannot move a ulp — and each round's
+    float work (the unit/out-degree division, the teleport base, the
+    final requantization) is a fixed sequence of IEEE double ops on
+    exact integers, identical on any engine replaying the same
+    expressions.  This is what lets the pagerank registry entry be
+    ORACLE-GRADED by an unrolled DuckDB twin.  The quantization
+    perturbs each round by ≤ 5e-16 per node — far inside the 1e-9
+    tolerance the python-model pins use."""
+    UNITS = 10**15
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst")).localCheckpoint(
         eager=False
     )
@@ -158,39 +171,55 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty edge list → empty ranking, not ZeroDivisionError
         return nodes.withColumn("rank", F.lit(0.0))
+    import math
+
     out_deg = e.groupBy("node").agg(F.count("*").alias("_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # half-UP like F.round / DuckDB round (python round() is half-even)
+    init_units = int(math.floor(UNITS / n + 0.5))
+    ranks = nodes.withColumn("units", F.lit(init_units).cast("long"))
     prev = None
     for _ in range(n_iters):
         frame = ranks.join(out_deg, "node", "left")
-        aggs = [F.sum(F.when(F.col("_deg").isNull(), F.col("rank"))).alias("_dangling")]
+        aggs = [F.sum(F.when(F.col("_deg").isNull(), F.col("units"))).alias("_dangling")]
         check_delta = tol is not None and prev is not None
         if check_delta:
-            frame = frame.join(prev.select("node", F.col("rank").alias("_old")), "node")
-            aggs.append(F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"))
+            frame = frame.join(prev.select("node", F.col("units").alias("_old")), "node")
+            aggs.append(F.sum(F.abs(F.col("units") - F.col("_old"))).alias("_delta"))
         row = frame.agg(*aggs).first()  # the round's single driver action
-        if check_delta and row["_delta"] is not None and row["_delta"] < tol:
+        if check_delta and row["_delta"] is not None and row["_delta"] < tol * UNITS:
             break
-        base = (1.0 - damping) / n + damping * (row["_dangling"] or 0.0) / n
+        # the exact expression sequence the SQL twin replays:
+        dangling_units = row["_dangling"] or 0
+        base_units = (
+            (1.0 - damping) / n + damping * (dangling_units * 1e-15) / n
+        ) * 1e15
         contribs = (
             ranks.join(out_deg, "node")
             .join(e, "node")
-            .select(F.col("_dst").alias("node"), (F.col("rank") / F.col("_deg")).alias("mass"))
+            .select(
+                F.col("_dst").alias("node"),
+                F.round(F.col("units").cast("double") / F.col("_deg"))
+                .cast("long")
+                .alias("cu"),
+            )
         )
-        inbound = contribs.groupBy("node").agg(F.sum("mass").alias("in_mass"))
+        inbound = contribs.groupBy("node").agg(F.sum("cu").alias("in_units"))
         new_ranks = (
             nodes.join(inbound, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                F.round(
+                    F.lit(base_units)
+                    + F.lit(damping) * F.coalesce(F.col("in_units"), F.lit(0)).cast("double")
+                )
+                .cast("long")
+                .alias("units"),
             )
             .localCheckpoint(eager=False)
         )
         prev = ranks
         ranks = new_ranks
-    return ranks
+    return ranks.select("node", (F.col("units").cast("double") * F.lit(1e-15)).alias("rank"))
 
 
 def label_propagation(

@@ -249,6 +249,9 @@ _POST_WINDOW = (
     "rolling_distinct_exact_users",
     "connected_components_cosupply",
     "embedding_near_dup_lsh",
+    "kcore_cosupply",
+    "community_labels_cosupply",
+    "pagerank_cosupply",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -256,9 +259,6 @@ _POST_WINDOW = (
 # CATALOG/PLANS/evidence artifacts render in registry order).
 _ROWS_ONLY = (
     "approx_distinct_parts",
-    "community_labels_cosupply",
-    "pagerank_cosupply",
-    "kcore_cosupply",
     "rolling_distinct_users",
     "embedding_cosine_topk_fast",
     "embedding_ann",

@@ -1232,11 +1232,130 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "community_labels_cosupply",
-    None,
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          WHERE rn <= 5),
+und AS MATERIALIZED (
+  SELECT a, b FROM (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs)
+  WHERE a <> b),
+lbl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und),
+votes1 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl0 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl0),
+lbl1 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes1 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes2 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl1 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl1),
+lbl2 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes2 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes3 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl2 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl2),
+lbl3 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes3 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes4 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl3 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl3),
+lbl4 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes4 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes5 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl4 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl4),
+lbl5 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes5 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes6 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl5 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl5),
+lbl6 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes6 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes7 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl6 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl6),
+lbl7 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes7 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes8 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl7 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl7),
+lbl8 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes8 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes9 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl8 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl8),
+lbl9 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes9 GROUP BY node, lbl)
+  WHERE rn = 1),
+votes10 AS (
+  SELECT u.a AS node, l.label AS lbl FROM und u JOIN lbl9 l ON l.node = u.b
+  UNION ALL
+  SELECT node, label AS lbl FROM lbl9),
+lbl10 AS MATERIALIZED (
+  SELECT node, lbl AS label FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY COUNT(*) DESC, lbl) AS rn
+    FROM votes10 GROUP BY node, lbl)
+  WHERE rn = 1)
+SELECT label, COUNT(*) AS n_members FROM lbl10 GROUP BY label
+""",
     doc="label-propagation communities over the per-src-top-5 co-supply pairs "
-    "(rows-only: iterative LPA is not SQL-expressible; planted-clique "
-    "recovery, determinism, and oscillation-freedom pinned in pytest) — "
-    "output is the per-community size table",
+    "— ORACLE-GRADED (round 9): the 10 synchronous rounds are pure "
+    "integer-count argmax with (count desc, label asc) ties, so the "
+    "DuckDB twin unrolls them as chained CTEs (neighbor votes + "
+    "self-vote -> count -> argmax per round); an early Spark-side "
+    "convergence break is a fixpoint, so extra unrolled rounds are "
+    "no-ops — identical labels either way; output is the per-community "
+    "size table",
 )
 def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
@@ -1247,11 +1366,147 @@ def community_labels_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_cosupply",
-    None,
-    doc="PageRank over the per-src-top-5 co-supply pairs (rows-only: power "
-    "iteration is not SQL-expressible; the python-model pin, dangling-mass "
-    "conservation, and one-action-per-round discipline live in pytest) — "
-    "output is the top-20 suppliers by rank",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          WHERE rn <= 5),
+ed AS MATERIALIZED (SELECT a AS node, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM ed GROUP BY node),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(floor(1e15 / nn.n + 0.5) AS BIGINT) AS units FROM nodes, nn),
+dang1 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r0 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb1 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r0 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r1 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang1.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb1.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang1
+  LEFT JOIN inb1 ON inb1.node = nodes.node),
+dang2 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r1 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb2 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r1 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r2 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang2.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb2.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang2
+  LEFT JOIN inb2 ON inb2.node = nodes.node),
+dang3 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r2 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb3 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r2 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r3 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang3.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb3.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang3
+  LEFT JOIN inb3 ON inb3.node = nodes.node),
+dang4 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r3 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb4 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r3 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r4 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang4.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb4.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang4
+  LEFT JOIN inb4 ON inb4.node = nodes.node),
+dang5 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r4 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb5 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r4 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r5 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang5.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb5.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang5
+  LEFT JOIN inb5 ON inb5.node = nodes.node),
+dang6 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r5 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb6 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r5 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r6 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang6.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb6.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang6
+  LEFT JOIN inb6 ON inb6.node = nodes.node),
+dang7 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r6 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb7 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r6 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r7 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang7.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb7.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang7
+  LEFT JOIN inb7 ON inb7.node = nodes.node),
+dang8 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r7 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb8 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r7 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r8 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang8.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb8.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang8
+  LEFT JOIN inb8 ON inb8.node = nodes.node),
+dang9 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r8 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb9 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r8 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r9 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang9.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb9.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang9
+  LEFT JOIN inb9 ON inb9.node = nodes.node),
+dang10 AS (SELECT COALESCE(SUM(r.units), 0) AS du
+         FROM r9 r LEFT JOIN deg d ON d.node = r.node WHERE d.node IS NULL),
+inb10 AS (SELECT e.dst AS node, SUM(CAST(round(CAST(r.units AS DOUBLE) / d.d) AS BIGINT)) AS iu
+        FROM r9 r JOIN deg d ON d.node = r.node JOIN ed e ON e.node = r.node
+        GROUP BY e.dst),
+r10 AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST(round(((1.0 - 0.85) / nn.n + 0.85 * (dang10.du * 1e-15) / nn.n) * 1e15
+                    + 0.85 * CAST(COALESCE(inb10.iu, 0) AS DOUBLE)) AS BIGINT) AS units
+  FROM nodes CROSS JOIN nn CROSS JOIN dang10
+  LEFT JOIN inb10 ON inb10.node = nodes.node),
+d1 AS (SELECT 1 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r1 a JOIN r0 b ON a.node = b.node), d2 AS (SELECT 2 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r2 a JOIN r1 b ON a.node = b.node), d3 AS (SELECT 3 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r3 a JOIN r2 b ON a.node = b.node), d4 AS (SELECT 4 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r4 a JOIN r3 b ON a.node = b.node), d5 AS (SELECT 5 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r5 a JOIN r4 b ON a.node = b.node), d6 AS (SELECT 6 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r6 a JOIN r5 b ON a.node = b.node), d7 AS (SELECT 7 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r7 a JOIN r6 b ON a.node = b.node), d8 AS (SELECT 8 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r8 a JOIN r7 b ON a.node = b.node), d9 AS (SELECT 9 AS j, SUM(ABS(a.units - b.units)) AS dl FROM r9 a JOIN r8 b ON a.node = b.node),
+stopk AS (SELECT COALESCE(MIN(j), 10) AS k
+          FROM (SELECT j, dl FROM d1 UNION ALL SELECT j, dl FROM d2 UNION ALL SELECT j, dl FROM d3 UNION ALL SELECT j, dl FROM d4 UNION ALL SELECT j, dl FROM d5 UNION ALL SELECT j, dl FROM d6 UNION ALL SELECT j, dl FROM d7 UNION ALL SELECT j, dl FROM d8 UNION ALL SELECT j, dl FROM d9) WHERE dl < 100000000.0),
+allr AS (SELECT 1 AS k, node, units FROM r1 UNION ALL SELECT 2 AS k, node, units FROM r2 UNION ALL SELECT 3 AS k, node, units FROM r3 UNION ALL SELECT 4 AS k, node, units FROM r4 UNION ALL SELECT 5 AS k, node, units FROM r5 UNION ALL SELECT 6 AS k, node, units FROM r6 UNION ALL SELECT 7 AS k, node, units FROM r7 UNION ALL SELECT 8 AS k, node, units FROM r8 UNION ALL SELECT 9 AS k, node, units FROM r9 UNION ALL SELECT 10 AS k, node, units FROM r10),
+fin AS (SELECT node, CAST(units AS DOUBLE) * 1e-15 AS rank
+        FROM allr JOIN stopk ON allr.k = stopk.k)
+SELECT node, CAST(round(rank * 1e9) AS BIGINT) AS rank_e9
+FROM fin ORDER BY rank DESC, node LIMIT 20
+""",
+    doc="PageRank over the per-src-top-5 co-supply pairs — ORACLE-GRADED "
+    "(round 9): ranks carried as exact BIGINT 1e-15 units make every "
+    "cross-row sum order-independent, so the power iteration (incl. the "
+    "early-stop rule: return r_K at the first K with L1 delta < tol) "
+    "unrolls into a DuckDB twin replaying the identical IEEE expression "
+    "sequence per round; output is the top-20 suppliers by rank",
 )
 def pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
@@ -1392,13 +1647,77 @@ def outliers_mad_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kcore_cosupply",
-    None,
-    doc="2-core of the per-src-top-5 co-supply graph (rows-only: iterative "
-    "peeling is not SQL-expressible; python-model equivalence, "
-    "chain-unravelling, and clique-survival pinned in pytest) — output "
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+pairs AS (SELECT a, b FROM (
+            SELECT p1.l_suppkey AS a, p2.l_suppkey AS b,
+                   row_number() OVER (PARTITION BY p1.l_suppkey
+                                      ORDER BY COUNT(*) DESC, p2.l_suppkey) AS rn
+            FROM ps p1 JOIN ps p2
+              ON p1.l_partkey = p2.l_partkey AND p1.l_suppkey < p2.l_suppkey
+            GROUP BY 1, 2)
+          WHERE rn <= 5),
+surv0 AS MATERIALIZED (SELECT a, b FROM pairs),
+deg1 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv0 UNION ALL SELECT b AS v FROM surv0) x
+        GROUP BY v),
+keep1 AS (SELECT v FROM deg1 WHERE d >= 2),
+surv1 AS MATERIALIZED (SELECT s.a, s.b FROM surv0 s
+          JOIN keep1 ka ON ka.v = s.a JOIN keep1 kb ON kb.v = s.b),
+deg2 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv1 UNION ALL SELECT b AS v FROM surv1) x
+        GROUP BY v),
+keep2 AS (SELECT v FROM deg2 WHERE d >= 2),
+surv2 AS MATERIALIZED (SELECT s.a, s.b FROM surv1 s
+          JOIN keep2 ka ON ka.v = s.a JOIN keep2 kb ON kb.v = s.b),
+deg3 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv2 UNION ALL SELECT b AS v FROM surv2) x
+        GROUP BY v),
+keep3 AS (SELECT v FROM deg3 WHERE d >= 2),
+surv3 AS MATERIALIZED (SELECT s.a, s.b FROM surv2 s
+          JOIN keep3 ka ON ka.v = s.a JOIN keep3 kb ON kb.v = s.b),
+deg4 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv3 UNION ALL SELECT b AS v FROM surv3) x
+        GROUP BY v),
+keep4 AS (SELECT v FROM deg4 WHERE d >= 2),
+surv4 AS MATERIALIZED (SELECT s.a, s.b FROM surv3 s
+          JOIN keep4 ka ON ka.v = s.a JOIN keep4 kb ON kb.v = s.b),
+deg5 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv4 UNION ALL SELECT b AS v FROM surv4) x
+        GROUP BY v),
+keep5 AS (SELECT v FROM deg5 WHERE d >= 2),
+surv5 AS MATERIALIZED (SELECT s.a, s.b FROM surv4 s
+          JOIN keep5 ka ON ka.v = s.a JOIN keep5 kb ON kb.v = s.b),
+deg6 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv5 UNION ALL SELECT b AS v FROM surv5) x
+        GROUP BY v),
+keep6 AS (SELECT v FROM deg6 WHERE d >= 2),
+surv6 AS MATERIALIZED (SELECT s.a, s.b FROM surv5 s
+          JOIN keep6 ka ON ka.v = s.a JOIN keep6 kb ON kb.v = s.b),
+deg7 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv6 UNION ALL SELECT b AS v FROM surv6) x
+        GROUP BY v),
+keep7 AS (SELECT v FROM deg7 WHERE d >= 2),
+surv7 AS MATERIALIZED (SELECT s.a, s.b FROM surv6 s
+          JOIN keep7 ka ON ka.v = s.a JOIN keep7 kb ON kb.v = s.b),
+deg8 AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv7 UNION ALL SELECT b AS v FROM surv7) x
+        GROUP BY v),
+keep8 AS (SELECT v FROM deg8 WHERE d >= 2),
+surv8 AS MATERIALIZED (SELECT s.a, s.b FROM surv7 s
+          JOIN keep8 ka ON ka.v = s.a JOIN keep8 kb ON kb.v = s.b),
+fin AS (SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM surv8 UNION ALL SELECT b AS v FROM surv8) x
+        GROUP BY v)
+SELECT v AS node, CAST(d AS BIGINT) AS degree FROM fin WHERE d >= 2
+""",
+    doc="2-core of the per-src-top-5 co-supply graph — ORACLE-GRADED "
+    "(round 9): the peel loop is unrolled as 8 chained CTEs in DuckDB "
+    "(degree -> keep -> surviving edges per round; the fixture graph "
+    "converges in ONE round at every SF, so 8 is a wide margin — an "
+    "insufficient unroll would HASH-FAIL, never silently pass); output "
     "is the surviving (node, in-core degree) table; the per-src edge "
-    "rank keeps the 2-core non-empty at every SF (a global top-N "
-    "sparsified per replica and emptied it at sf1, docs/ROUND8.md §4)",
+    "rank keeps the 2-core non-empty at every SF",
 )
 def kcore_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore

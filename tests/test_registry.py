@@ -23,12 +23,9 @@ ROWS_ONLY_EXTRAS = {
     "embedding_ann",
     "embedding_pq_topk",
     "topic_balanced_docs",
-    "community_labels_cosupply",
-    "pagerank_cosupply",
     "ann_recall_ivf",
     "quality_classifier_scores",
     "embedding_sq8_topk",
-    "kcore_cosupply",
     "rolling_distinct_users",
     "ann_nprobe_tuning_curve",
 }
@@ -158,6 +155,9 @@ POST_WINDOW_ORACLES = (
     "rolling_distinct_exact_users",
     "connected_components_cosupply",
     "embedding_near_dup_lsh",
+    "kcore_cosupply",
+    "community_labels_cosupply",
+    "pagerank_cosupply",
 )
 
 
