@@ -577,14 +577,10 @@ def simhash64(
     return sig
 
 
-def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked by the
-    pigeonhole principle: split the signature into max_hamming+1 chunks;
-    any qualifying pair matches exactly on ≥1 chunk."""
-    id_col = kw.get("id_col", "doc_id")
-    # both sides of the chunk self-join read sigs — cut lineage so the
-    # shingle-hash + 63-vote pipeline runs once, not twice
-    sigs = simhash64(df, **kw).localCheckpoint(eager=False)
+def _simhash_pair_join(sigs: DataFrame, max_hamming: int, id_col: str) -> DataFrame:
+    """Pigeonhole-blocked pair join over a (id, simhash) table: split the
+    signature into max_hamming+1 chunks; any qualifying pair matches
+    exactly on ≥1 chunk.  Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     chunks = sigs.select(
@@ -615,6 +611,105 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         cand.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, collapse_identical: bool = True, **kw
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, blocked by the
+    pigeonhole principle (``_simhash_pair_join``).
+
+    ``collapse_identical`` (default on, round-9 verdict finding #1):
+    group IDENTICAL signatures before the chunk self-join and expand
+    member pairs afterwards — the same exact-duplicate pre-collapse the
+    LSH/SemDeDup embedding tiers use (similarity._expand_exact_groups).
+    A crawl-scale corpus is duplicate-heavy and identical texts produce
+    identical signatures, so every chunk bucket's candidate count grows
+    with the SQUARE of the duplication factor; with the collapse the
+    join sees one representative per signature.  Bit-equality with the
+    uncollapsed join is exact and integer-only: identical signatures
+    always share every chunk (candidates by construction, Hamming 0),
+    and a cross-group member pair's Hamming equals its representatives'
+    (XOR depends only on the signatures).  Pair ENUMERATION stays
+    inherently quadratic in per-cluster duplicate count — output-volume-
+    bound pipelines should consume :func:`simhash_clusters` (the
+    (doc, cluster) decision form, linear in docs) instead."""
+    id_col = kw.get("id_col", "doc_id")
+    # both sides of the chunk self-join read sigs — cut lineage so the
+    # shingle-hash + 63-vote pipeline runs once, not twice
+    sigs = simhash64(df, **kw).localCheckpoint(eager=False)
+    if not collapse_identical:
+        return _simhash_pair_join(sigs, max_hamming, id_col)
+    groups = (
+        sigs.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .localCheckpoint(eager=False)
+    )
+    reps = groups.select(F.col("members").getItem(0).alias(id_col), "simhash")
+    rep_pairs = _simhash_pair_join(reps, max_hamming, id_col)
+    intra = (
+        groups.where(F.size("members") > 1)
+        .select(F.posexplode("members").alias("i", "ma"), "members")
+        .select("ma", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("mb"))
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    ga = groups.select(F.col("members").getItem(0).alias("doc_a"), F.col("members").alias("ms_a"))
+    gb = groups.select(F.col("members").getItem(0).alias("doc_b"), F.col("members").alias("ms_b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("ms_a").alias("ma"), "ms_b", "hamming")
+        .select("ma", F.explode("ms_b").alias("mb"), "hamming")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return cross.unionByName(intra)
+
+
+def simhash_clusters(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """SimHash near-dup DECISION form: (doc_id, cluster_id) where
+    cluster_id = MIN doc id in the Hamming-≤-r connected component — the
+    keeper-selection contract every dedup tier shares (dup_clusters).
+
+    This is the output-volume fix for the pair tier (round-9 verdict
+    finding #1: 2.37M emitted pairs at sf≈3, growing quadratically with
+    duplicate density): components over the REPRESENTATIVE graph plus a
+    per-signature membership join emit one row per clustered DOC, linear
+    in the corpus no matter how dense the duplication.  Identical-
+    signature groups with ≥2 members form a cluster even when their
+    representative has no near-dup edge (its members are exact
+    signature-duplicates of each other); the component label of a
+    member equals its representative's label because the representative
+    IS the group's minimum id."""
+    id_col = kw.get("id_col", "doc_id")
+    sigs = simhash64(df, **kw).localCheckpoint(eager=False)
+    groups = (
+        sigs.groupBy("simhash")
+        .agg(F.min(id_col).alias("rep"), F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    reps = groups.select(F.col("rep").alias(id_col), "simhash")
+    rep_pairs = _simhash_pair_join(reps, max_hamming, id_col)
+    comps = dup_clusters(rep_pairs, "doc_a", "doc_b")
+    labeled = (
+        groups.join(comps.withColumnRenamed("doc_id", "rep"), "rep", "left")
+        .withColumn(
+            "cluster",
+            F.coalesce("cluster_id", F.when(F.col("cnt") > 1, F.col("rep"))),
+        )
+        .where(F.col("cluster").isNotNull())
+        .select("simhash", "cluster")
+    )
+    return sigs.join(labeled, "simhash").select(
+        F.col(id_col).alias("doc_id"), F.col("cluster").alias("cluster_id")
     )
 
 

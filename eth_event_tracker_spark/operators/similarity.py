@@ -165,8 +165,14 @@ def lsh_bucket(
         m = np.stack(vecs.to_numpy()).astype(np.float64)  # B × dim
         out = np.zeros(len(m), dtype=np.int64)
         for p in range(n_planes):
-            # strict left-to-right fold over the element products
-            dots = np.add.accumulate(m * planes[p][None, :], axis=1)[:, -1]
+            # strict left-to-right fold over the element products: a
+            # running (B,) accumulator added column-by-column performs
+            # the IDENTICAL IEEE add sequence as a cumulative sum's last
+            # column, without materializing a B×dim temporary per plane
+            # (round-9 advice)
+            dots = np.zeros(len(m))
+            for d in range(dim):
+                dots += m[:, d] * planes[p, d]
             out |= (dots >= 0).astype(np.int64) << p
         return pd.Series(out)
 
@@ -580,7 +586,16 @@ def _expand_exact_groups(
     cosine is ``sd / (sqrt(sd)·sqrt(sd))`` with ``sd`` the self dot, and
     every cross-group member pair reuses its representatives' cosine
     verbatim.  ``round_digits`` mirrors the tier's own rounding (the
-    SemDeDup tier rounds to 9, the LSH tier doesn't round)."""
+    SemDeDup tier rounds to 9, the LSH tier doesn't round).
+
+    Degenerate all-zero vectors: a group of bit-identical zero vectors
+    has self-cosine 0/0 = NaN, which Spark's and DuckDB's comparison
+    order both treat as greater than any threshold — the intra filter
+    therefore guards ``sd > 0`` so zero groups emit NO pairs (a zero
+    vector is not a duplicate of anything; round-9 advice).  The
+    uncollapsed joins never pair a row with itself, so the guard only
+    diverges from them on corpora containing ≥2 bit-identical all-zero
+    vectors — excluded upstream in every registered pipeline."""
     groups = (
         df.select(id_col, vec_col)
         .groupBy(vec_col)
@@ -598,7 +613,14 @@ def _expand_exact_groups(
     # materialize the fold ONCE (round-8 advice: the inline form folded
     # each vector three times); the pair formula is dot/(sqrt·sqrt) so we
     # keep that exact arithmetic on the materialized value
-    with_sd = groups.where(F.size("members") > 1).withColumn("sd", self_dot)
+    with_sd = (
+        groups.where(F.size("members") > 1)
+        .withColumn("sd", self_dot)
+        # sd > 0 keeps 0/0 = NaN out of the intra pairs (NaN compares
+        # greater than the threshold in BOTH engines — consistent but
+        # surprising output for degenerate all-zero duplicate groups)
+        .where(F.col("sd") > 0)
+    )
     self_cos = F.col("sd") / (F.sqrt("sd") * F.sqrt("sd"))
     if round_digits is not None:
         self_cos = F.round(self_cos, round_digits)
@@ -706,6 +728,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     centroids=None,
     collapse_exact: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Within-cluster pairs with cosine ≥ threshold: (id_a, id_b, cosine),
     id_a < id_b.  Candidates meet through an EQUALITY join on
@@ -716,8 +739,9 @@ def semantic_dup_pairs(
     contract (measured in tests against the exact tier).
 
     ``n_clusters=None`` auto-scales the cluster count with the corpus:
-    k = N / 256 (floor 16, cap 4096 — the centroid matrix lives on the
-    driver, so k is bounded; beyond the cap, shard the corpus first).
+    k = floor(N / 256) (floor 16, cap 4096 — the centroid matrix lives
+    on the driver, so k is bounded; beyond the cap, shard the corpus
+    first).
     A FIXED k makes within-cluster candidates grow (N/k)² — quadratic in
     the corpus; k ∝ N keeps expected cluster size constant, so total
     pair work is linear.
@@ -730,7 +754,12 @@ def semantic_dup_pairs(
     the uncollapsed join's exactly (pinned in
     tests/test_round9_scale.py)."""
     if n_clusters is None:
-        n_clusters = max(16, min(4096, int(df.count() / 256) + 1))
+        # k = floor(N/256), floor 16, cap 4096 — exactly the documented
+        # contract (round-9 advice dropped a stray +1); callers that
+        # already know the row count pass n_rows and skip the count()
+        if n_rows is None:
+            n_rows = df.count()
+        n_clusters = max(16, min(4096, n_rows // 256))
     cents = centroids if centroids is not None else ivf_build_centroids(df, n_clusters, 2, id_col, vec_col)
     if collapse_exact:
         # centroids come from the FULL corpus (above) so assignment —
