@@ -45,6 +45,7 @@ def train_quality_classifier(
     max_iter: int = 40,
     reg_param: float = 1e-3,
     feats: DataFrame | None = None,
+    tol: float = 1e-6,
 ):
     """Fit LR on hashed TF-IDF features against ``labels`` (id_col,
     label ∈ {0.0, 1.0}).  Returns the fitted
@@ -61,7 +62,7 @@ def train_quality_classifier(
         F.col("label").cast("double").alias("label"),
     )
     lr = LogisticRegression(
-        maxIter=max_iter, regParam=reg_param, standardization=False
+        maxIter=max_iter, regParam=reg_param, standardization=False, tol=tol
     )
     return lr.fit(train)
 
@@ -97,6 +98,7 @@ def distill_quality_gate(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 40,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Rules → model bootstrap: label with the rule gate (keep = 1),
     train, score EVERYTHING — including docs the rules could not judge
@@ -114,7 +116,7 @@ def distill_quality_gate(
     ).localCheckpoint(eager=False)
     model = train_quality_classifier(
         df, labels, dim=dim, text_col=text_col, id_col=id_col,
-        max_iter=max_iter, feats=feats,
+        max_iter=max_iter, feats=feats, tol=tol,
     )
     scores = score_quality(
         df, model, dim=dim, text_col=text_col, id_col=id_col, feats=feats

@@ -688,11 +688,19 @@ def hashed_tfidf_vectors(
     norm = F.sqrt(
         F.aggregate(F.transform("raw", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    return vec.select(
-        id_col,
-        F.when(norm == 0, F.col("raw"))
-        .otherwise(F.transform("raw", lambda x: x / norm))
-        .alias("vector"),
+    # materialize the norm as a COLUMN before it appears inside the
+    # normalizing lambda: Spark re-evaluates a captured non-lambda
+    # subtree per array element (no CSE inside transform — the round-9
+    # O(n²) HOF finding, docs/SCALE.md §88), so the inline form folded
+    # the 64-element self-dot 64 times per row
+    return (
+        vec.withColumn("nrm", norm)
+        .select(
+            id_col,
+            F.when(F.col("nrm") == 0, F.col("raw"))
+            .otherwise(F.transform("raw", lambda x: x / F.col("nrm")))
+            .alias("vector"),
+        )
     )
 
 

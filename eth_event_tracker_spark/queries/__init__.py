@@ -252,6 +252,12 @@ _POST_WINDOW = (
     "kcore_cosupply",
     "community_labels_cosupply",
     "pagerank_cosupply",
+    # round 10: SimHash decision-form output (linear in docs, recursive
+    # label-closure twin) — the pair tier's output-volume fix; SemDeDup
+    # promoted to oracle grade via the portable integer-unit k-means
+    "dedup_simhash_clusters",
+    "semantic_dedup_emb",
+    "embedding_cosine_topk_fast",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -260,11 +266,9 @@ _POST_WINDOW = (
 _ROWS_ONLY = (
     "approx_distinct_parts",
     "rolling_distinct_users",
-    "embedding_cosine_topk_fast",
     "embedding_ann",
     "embedding_pq_topk",
     "embedding_sq8_topk",
-    "semantic_dedup_emb",
     "topic_balanced_docs",
     "distinct_profile_hll",
     "ann_recall_ivf",

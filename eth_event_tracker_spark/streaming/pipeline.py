@@ -236,6 +236,71 @@ def views_as_of(
     )
 
 
+def snapshot_at(changelog: DataFrame, horizon_indx: int) -> DataFrame:
+    """Materialize the live view as of changelog position
+    ``horizon_indx`` — the SNAPSHOT half of the snapshot + tail-delta
+    read path (round-9 verdict item 4).  At 100 TB the changelog is the
+    biggest table and every ``view_as_of`` replay re-scans it; a
+    maintenance job persists ``snapshot_at(clog, h)`` (h = the finality
+    horizon maintain_changelog already computes) and readers reconstruct
+    any instant ≥ h from the snapshot plus the ``indx > h`` tail — the
+    read-side twin of the reference's checkpoint-resume principle (never
+    re-scan below lastBlock, tracker.go:611-666)."""
+    return current_view(changelog.where(F.col("indx") <= F.lit(int(horizon_indx))))
+
+
+def views_as_of_snapshot(
+    snapshot: DataFrame,
+    snapshot_pos: int,
+    tail: DataFrame,
+    instants: DataFrame,
+) -> DataFrame:
+    """``views_as_of`` from a materialized snapshot plus the tail delta:
+    row-identical (pinned in tests) for every instant ≥ ``snapshot_pos``,
+    but the bulk history below the snapshot is read ONCE as an already-
+    collapsed table instead of fanning every historical row out to every
+    instant and re-winnowing it through the winner aggregate.
+
+    Correctness: changelog indx is a total logical clock, so for a key
+    with ANY tail change ≤ t the tail's winner is the global winner
+    (every tail indx > snapshot_pos ≥ every snapshot-era indx); keys
+    untouched by the tail keep their snapshot state verbatim.  Instants
+    BELOW the snapshot position cannot be served from this snapshot —
+    a plan-side assert_true fails the job (same guard shape as the
+    compaction horizon's).
+
+    Scale shape: the winner aggregate runs over tail×instants only (the
+    tail is the recent, small end); the snapshot is anti-joined against
+    the BROADCAST set of tail-touched keys — no snapshot shuffle at all.
+    ``tail`` must be exactly the ``indx > snapshot_pos`` rows."""
+    instants = _guard_as_of(instants, int(snapshot_pos))
+    payload = [
+        c for c in tail.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY
+    ]
+    joined = tail.join(F.broadcast(instants), F.col("indx") <= F.col("_as_of"))
+    winner = (
+        joined.groupBy("view_label", *NATURAL_KEY)
+        .agg(F.max(F.struct("indx", "change_type", *payload)).alias("_w"))
+        # both the live-row filter and the touched-key anti-join read
+        # the winner table — cut lineage so the aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    tail_live = winner.where(F.col("_w.change_type") == "add").select(
+        "view_label",
+        *NATURAL_KEY,
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
+        F.col("_w.indx").alias("indx"),
+    )
+    touched = winner.select("view_label", *NATURAL_KEY)
+    snap_cols = ["view_label", *NATURAL_KEY, *payload, "indx"]
+    snap_live = (
+        snapshot.crossJoin(F.broadcast(instants.select("view_label")))
+        .join(F.broadcast(touched), ["view_label", *NATURAL_KEY], "left_anti")
+        .select(*snap_cols)
+    )
+    return snap_live.unionByName(tail_live.select(*snap_cols))
+
+
 def validity_intervals(changelog: DataFrame) -> DataFrame:
     """SCD2 view of the changelog: one row per natural key with
     ``[valid_from, valid_to)`` in changelog-indx (logical clock) space —

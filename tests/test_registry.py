@@ -17,9 +17,7 @@ DRIVER_WINDOW = 50
 # outputs cannot hash-match a SQL oracle; pytest pins their bounds below)
 ROWS_ONLY_EXTRAS = {
     "approx_distinct_parts",
-    "semantic_dedup_emb",
     "distinct_profile_hll",
-    "embedding_cosine_topk_fast",
     "embedding_ann",
     "embedding_pq_topk",
     "topic_balanced_docs",
@@ -158,6 +156,10 @@ POST_WINDOW_ORACLES = (
     "kcore_cosupply",
     "community_labels_cosupply",
     "pagerank_cosupply",
+    # round 10
+    "dedup_simhash_clusters",
+    "semantic_dedup_emb",
+    "embedding_cosine_topk_fast",
 )
 
 
@@ -218,19 +220,22 @@ def test_extras_still_verified(spark, sf_dir):
     assert all(1 <= r.rank <= 5 for r in rows)
 
 
-def test_semantic_dedup_extra_still_verified(spark, sf_dir):
-    """The rows-only SemDeDup registry entry keeps producing a sane
-    result: a non-empty strict-or-equal subset of the corpus with unique
-    ids (the drop/keep semantics themselves are pinned against the exact
-    tier in tests/test_llmdata.py)."""
+def test_semantic_dedup_entry_drops_planted_duplicates(spark, sf_dir):
+    """The (now oracle-graded) SemDeDup entry must actually exercise the
+    drop path: the query plants exact (%7) and perturbed (%11) duplicate
+    copies, every planted exact copy must drop (identical vectors always
+    co-cluster and the original has the lower id), and no base-corpus
+    row may drop (the fixture's max pairwise cosine is 0.60 < 0.9)."""
     from eth_event_tracker_spark.queries.llmdata import semantic_dedup_emb
     from eth_event_tracker_spark.tables import load_table
 
     kept = semantic_dedup_emb(spark, sf_dir).collect()
     n_corpus = load_table(spark, sf_dir, "embeddings").count()
     ids = [r.vec_id for r in kept]
-    assert 0 < len(ids) <= n_corpus
     assert len(ids) == len(set(ids))
+    base_kept = [i for i in ids if i < 1_000_000]
+    assert len(base_kept) == n_corpus  # no base row drops
+    assert not [i for i in ids if 1_000_000 <= i < 2_000_000]  # exact copies drop
 
 
 def test_catalog_is_fresh():

@@ -119,6 +119,66 @@ def test_simhash_collapse_bit_equal_and_clusters_consistent(spark, sf_dir):
     assert comp_got == comp_ref
 
 
+def test_views_as_of_snapshot_equals_full_replay(spark, tmp_path):
+    """Snapshot + tail-delta reconstruction (round-10, verdict item 4)
+    must be row-identical to the full-changelog views_as_of for every
+    instant at/above the snapshot position, and must FAIL (not silently
+    under-reconstruct) for an instant below it."""
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.streaming.pipeline import (
+        snapshot_at,
+        views_as_of,
+        views_as_of_snapshot,
+    )
+
+    from .test_pipeline import _churned_changelog
+
+    store, t, clog, _head = _churned_changelog(spark, tmp_path)
+    cdf = clog.df(spark).cache()
+    try:
+        max_indx = cdf.agg(F.max("indx")).first()[0]
+        h = max_indx // 2
+        probes = [h, h + (max_indx - h) // 2, max_indx]
+        instants = spark.createDataFrame(
+            [(f"t{t_}", t_) for t_ in probes], "view_label string, _as_of long"
+        )
+        snap = snapshot_at(cdf, h).localCheckpoint(eager=False)
+        tail = cdf.where(F.col("indx") > h)
+        fast = views_as_of_snapshot(snap, h, tail, instants)
+        full = views_as_of(cdf, instants)
+        cols = sorted(full.columns)
+        got = sorted(map(tuple, fast.select(*cols).collect()))
+        want = sorted(map(tuple, full.select(*cols).collect()))
+        assert got == want and len(want) > 0
+
+        below = spark.createDataFrame(
+            [("too_early", h - 1)], "view_label string, _as_of long"
+        )
+        with pytest.raises(Exception, match="assert_true|ASSERT|below"):
+            views_as_of_snapshot(snap, h, tail, below).collect()
+    finally:
+        cdf.unpersist()
+
+
+def test_tfidf_norm_materialized_once_in_plan(spark, sf_dir):
+    """hashed_tfidf_vectors' L2 norm (a 64-element fold) must appear in
+    the optimized plan exactly ONCE, as its own projected column — never
+    inside the normalizing transform's lambda, where Spark would
+    re-evaluate it per array element (the round-9 O(n²) HOF finding;
+    this instance cost the classifier ~0.9 s/call at sf0.1)."""
+    from eth_event_tracker_spark.operators.text import hashed_tfidf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        hashed_tfidf_vectors(docs, dim=64)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(") == 1
+
+
 def test_lsh_bucket_running_fold_matches_cumsum_reference():
     """The running-accumulator per-plane dot (round-10 memory fix) must be
     bit-identical to the cumulative-sum last column it replaced — both
