@@ -95,31 +95,55 @@ def cosine_topk_pandas(
 ) -> DataFrame:
     """Throughput tier: broadcast the query matrix, mapInPandas over the
     corpus computing per-partition partial top-k, then a tiny global
-    top-k reduce.  Arrow-batched numpy matmul — the shape that saturates
-    executors at scale (corpus never shuffles; only Q×k candidate rows
-    move)."""
+    top-k reduce — the shape that saturates executors at scale (corpus
+    never shuffles; only Q×k candidate rows move per batch).
+
+    ORACLE-GRADE since round 10: the per-pair arithmetic is the exact
+    tier's (cosine_topk_exact) bit-for-bit — dot and self-dots as strict
+    left-to-right folds (a per-dimension running accumulator, NOT a BLAS
+    matmul whose pairwise summation reorders adds), then
+    dot / (sqrt(ssq) * sqrt(ssc)) — so the result hash-matches the same
+    DuckDB twin.  The per-batch shortlist keeps the top-k by the FULL
+    (cosine desc, id asc) order (lexsort, not argpartition: an arbitrary
+    tie at the k-boundary could otherwise drop the id the global window
+    would have kept); the final 9-dp rounding happens once, JVM-side,
+    exactly like the exact tier."""
     spark = queries.sparkSession
     qrows = queries.select(id_col, vec_col).collect()  # Q is small by contract
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bq = spark.sparkContext.broadcast((q_ids, q_mat))
+    # per-query self-dot by the same fold (python floats == IEEE doubles)
+    q_ss = np.array(
+        [_py_fold_dot(r[1], r[1]) for r in qrows], dtype=np.float64
+    )
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_ss))
+    dim = q_mat.shape[1] if len(qrows) else 0
 
     def part(batches):
-        ids, mat = bq.value
+        ids, mat, ssq = bq.value
         for pdf in batches:
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = q_mat @ c_mat.T  # Q × B
-            top = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            out = {
-                "q_id": np.repeat(ids, top),
-                "c_id": c_ids[idx].ravel(),
-                "cosine": np.take_along_axis(sims, idx, 1).ravel(),
-            }
-            yield pd.DataFrame(out)
+            b = len(c_mat)
+            dots = np.zeros((len(mat), b))
+            ssc = np.zeros(b)
+            for d in range(dim):  # left-to-right fold, vectorized per dim
+                col = c_mat[:, d]
+                dots += mat[:, d : d + 1] * col[None, :]
+                ssc += col * col
+            sims = dots / (np.sqrt(ssq)[:, None] * np.sqrt(ssc)[None, :])
+            top = min(k, b)
+            for qi in range(len(ids)):
+                # full (cosine desc, c_id asc) order — ties at the cut
+                # keep the lowest id, matching the global window
+                order = np.lexsort((c_ids, -sims[qi]))[:top]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.full(top, ids[qi]),
+                        "c_id": c_ids[order],
+                        "cosine": sims[qi][order],
+                    }
+                )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
         part, schema="q_id long, c_id long, cosine double"
@@ -128,8 +152,17 @@ def cosine_topk_pandas(
     return (
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .select("q_id", "c_id", "rank", "cosine")
+        .select("q_id", "c_id", "rank", F.round("cosine", 9).alias("cosine"))
     )
+
+
+def _py_fold_dot(a, b) -> float:
+    """Strict left-to-right double fold from a 0.0 accumulator — the
+    driver-side twin of `_dbl_dot` (python floats are IEEE doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
 def lsh_bucket(
