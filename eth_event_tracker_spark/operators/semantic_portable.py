@@ -234,6 +234,476 @@ def semantic_dup_pairs_portable(
     )
 
 
+def hashed_tfidf_units(
+    df: DataFrame, dim: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, vq array<long>): signed feature hashing of smooth TF-IDF
+    into exact INTEGER cells — the engine-portable twin of
+    text.hashed_tfidf_vectors (which hashes with xxhash64 and sums
+    float weights, neither replayable by the SQL oracle).
+
+    * index = hash60(term, "tfidx") mod dim; sign from one more
+      hash60 bit — both pure-SQL in either engine;
+    * per-term weight = tf · round((ln((n+1)/(df+1)) + 1) · 1e3) —
+      the quantize-the-ln convention of quality_unigram_logprob (ln
+      inputs are exact integer ratios, ≤1-ulp across engines, and the
+      e3 rounding absorbs it); cells are exact BIGINT sums, order-
+      independent by construction;
+    * NO L2 normalization: the portable k-means scores by
+      dot(v, c)/|c|, which is invariant to the scale of v, so the
+      cluster geometry does not need unit vectors (Lloyd means weight
+      longer docs more — documented, deliberate).
+
+    Magnitude bound (int64 + seed-dot safety): |cell| ≤ tokens/doc ·
+    ~1.2e4 ≲ 1e7, so a 64-dim integer self-dot stays < 2^53."""
+    from .text import words
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().agg(F.count("*").alias("_n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    sign = F.when(F.pmod(hash60(F.col("term"), F.lit("tfsgn")), F.lit(2)) == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    w_e3 = F.round(
+        (F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)) * F.lit(1e3)
+    ).cast("long")
+    cells = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.pmod(hash60(F.col("term"), F.lit("tfidx")), F.lit(dim)).cast("int").alias("idx"),
+            (sign * F.col("tf") * w_e3).alias("v"),
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.sum("v").alias("v"))
+    )
+    return (
+        cells.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m"))
+        .select(
+            id_col,
+            F.expr(f"transform(sequence(0, {dim - 1}), i -> coalesce(m[i], 0L))").alias("vq"),
+        )
+    )
+
+
+def topic_balanced_portable(
+    df: DataFrame,
+    n_topics: int = 8,
+    per_topic_cap: int = 1000,
+    dim: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Engine-portable twin of text.topic_balanced_sample: integer
+    hashed-TFIDF cells → the portable k-means → per-topic deterministic
+    hash cap (splits.per_stratum_cap, already oracle-proven).  Every
+    decision — feature hash, seeding, Lloyd rounds, assignment argmax,
+    cap ranking — replays bit-for-bit in the DuckDB twin.  Docs whose
+    text yields no tokens have no feature cells and are excluded, the
+    same contract as the xxhash64 tier."""
+    from .splits import per_stratum_cap
+
+    vecs = hashed_tfidf_units(df, dim, text_col, id_col).localCheckpoint(eager=False)
+    cents = build_portable_centroids(vecs, n_topics, 2, id_col, "vq")
+    assigned = assign_portable(vecs, cents, id_col, "vq").select(id_col, "centroid_id")
+    kept = per_stratum_cap(
+        df.join(assigned, id_col), per_topic_cap, stratum_col="centroid_id", key_col=id_col
+    )
+    return kept.drop("centroid_id")
+
+
+def probe_portable(
+    df: DataFrame,
+    cents: list[list[int]],
+    n_probe: int,
+    vq_col: str = "vq",
+    out_col: str = "probes",
+) -> DataFrame:
+    """Append ``out_col``: the top-``n_probe`` centroid ids by the SAME
+    portable score assign_portable uses (fold64(vq, c) / |c|), ordered
+    (score desc, cid asc) — lexsort, so a boundary tie keeps the lowest
+    cid exactly like the twin's ROW_NUMBER."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = len(cents)
+    cents_np = np.array(cents, dtype=np.float64)
+    cnorm = [math.sqrt(_fold64(c, c)) for c in cents]
+    dim = len(cents[0])
+    n_out = min(n_probe, k)
+
+    @pandas_udf("array<int>")
+    def probes_of(vqs: pd.Series) -> pd.Series:
+        m = np.stack(vqs.to_numpy()).astype(np.float64)
+        scores = np.empty((len(m), k))
+        for c in range(k):
+            acc = np.zeros(len(m))
+            row = cents_np[c]
+            for d in range(dim):
+                acc += m[:, d] * row[d]
+            scores[:, c] = acc / cnorm[c]
+        cids = np.arange(k)
+        out = [
+            np.lexsort((cids, -scores[i]))[:n_out].astype(np.int32)
+            for i in range(len(m))
+        ]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, probes_of(F.col(vq_col)))
+
+
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF ANN with the portable k-means: corpus assigns once to
+    integer-sum centroids (the index build), each query probes its
+    ``n_probe`` nearest centroids by the portable score, candidates meet
+    via the centroid_id equality join, and the probed buckets rerank on
+    the exact ordered-fold cosine of the RAW doubles — the
+    similarity.ivf_topk contract (q_id, c_id, rank, cosine), every
+    decision replayable by the SQL twin."""
+    from .similarity import _dbl_dot
+
+    cq = corpus.select(id_col, vec_col, quantized(F.col(vec_col)).alias("vq")).localCheckpoint(
+        eager=False
+    )
+    cents = (
+        centroids
+        if centroids is not None
+        else build_portable_centroids(cq, n_centroids, 2, id_col, "vq")
+    )
+    tagged = assign_portable(cq, cents, id_col, "vq").select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        quantized(F.col(vec_col)).alias("vq"),
+    )
+    qb = probe_portable(qq, cents, n_probe).select(
+        "q_id", "qv", F.explode("probes").alias("centroid_id")
+    )
+    cand = qb.join(tagged, "centroid_id")
+    if exclude_self:
+        cand = cand.where(F.col("q_id") != F.col("c_id"))
+    nq = F.sqrt(_dbl_dot(F.col("qv"), F.col("qv")))
+    nc = F.sqrt(_dbl_dot(F.col("cv"), F.col("cv")))
+    scored = cand.withColumn("cosine", _dbl_dot(F.col("qv"), F.col("cv")) / (nq * nc))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cosine")
+    )
+
+
+def ivf_tune_nprobe_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    target_recall: float = 0.9,
+    max_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> tuple[int, list[dict]]:
+    """Engine-portable twin of similarity.ivf_tune_nprobe — the same
+    one-job whole-curve shape (candidates annotated with probe position,
+    exploded to levels, one window pass), with the two non-replayable
+    pieces replaced:
+
+    * probe order comes from probe_portable's lexsort over the portable
+      scores (np.argsort's unstable quicksort could order tied centroids
+      differently from the twin's ROW_NUMBER);
+    * the per-level mean recall is an exact-integer mean: per-query
+      recall (an exact ints ratio) quantizes to 1e-9 units — exact,
+      recalls are multiples of 1/k — and the level mean is
+      SUM(units)/n/1e9, order-independent (F.avg over doubles is not)."""
+    from .similarity import _dbl_dot, cosine_topk_exact
+    from pyspark.sql import Window
+
+    max_probe = min(max_probe or n_centroids, n_centroids)
+    cq = corpus.select(id_col, vec_col, quantized(F.col(vec_col)).alias("vq")).localCheckpoint(
+        eager=False
+    )
+    cents = build_portable_centroids(cq, n_centroids, 2, id_col, "vq")
+    tagged = assign_portable(cq, cents, id_col, "vq").select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"), "centroid_id"
+    )
+    qq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        quantized(F.col(vec_col)).alias("vq"),
+    )
+    qb = probe_portable(qq, cents, max_probe).select(
+        "q_id", "qv", F.posexplode("probes").alias("probe_pos", "centroid_id")
+    )
+    cand = qb.join(tagged, "centroid_id")
+    if exclude_self:
+        cand = cand.where(F.col("q_id") != F.col("c_id"))
+    nq = F.sqrt(_dbl_dot(F.col("qv"), F.col("qv")))
+    nc = F.sqrt(_dbl_dot(F.col("cv"), F.col("cv")))
+    scored = cand.select(
+        "q_id", "c_id", "probe_pos",
+        (_dbl_dot(F.col("qv"), F.col("cv")) / (nq * nc)).alias("cosine"),
+    )
+    truth = cosine_topk_exact(queries, corpus, k, id_col, vec_col)
+    if exclude_self:
+        truth = truth.where(F.col("q_id") != F.col("c_id"))
+    truth = truth.select("q_id", "c_id")
+    n_truth = truth.groupBy("q_id").agg(F.count("*").alias("n_truth"))
+    lev = scored.select(
+        "q_id", "c_id", "cosine",
+        F.explode(F.sequence(F.col("probe_pos") + 1, F.lit(max_probe))).alias("level"),
+    )
+    w = Window.partitionBy("q_id", "level").orderBy(F.desc("cosine"), F.asc("c_id"))
+    topk = (
+        lev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "level")
+    )
+    hits = topk.join(truth, ["q_id", "c_id"], "left_semi")
+    levels = n_truth.sparkSession.range(1, max_probe + 1).select(
+        F.col("id").cast("int").alias("level")
+    )
+    per_q = (
+        n_truth.crossJoin(F.broadcast(levels))
+        .join(
+            hits.groupBy("q_id", "level").agg(F.count("*").alias("n_hit")),
+            ["q_id", "level"],
+            "left",
+        )
+        .select(
+            "level",
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+                * F.lit(1e9)
+            ).cast("long").alias("r_e9"),
+        )
+    )
+    rows = (
+        per_q.groupBy("level")
+        .agg(
+            (F.sum("r_e9").cast("double") / F.count("*") / F.lit(1e9)).alias("mean_recall")
+        )
+        .orderBy("level")
+        .collect()
+    )
+    curve = [
+        {"n_probe": int(r.level), "mean_recall": float(r.mean_recall or 0.0)}
+        for r in rows
+    ]
+    chosen = next(
+        (pt["n_probe"] for pt in curve if pt["mean_recall"] >= target_recall),
+        max_probe,
+    )
+    return chosen, curve
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero on a double — Spark F.round / DuckDB
+    round(DOUBLE) semantics (numpy's half-even would diverge)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def pq_train_portable(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 4,
+    n_train: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Engine-portable PQ codebooks: per-subspace Lloyd k-means over a
+    hash60-ordered sample of e6-QUANTIZED vectors, every step exact or
+    fixed-order —
+
+    * seeds = the first k sample rows' subspace slices (cycled when the
+      sample is shorter), exactly similarity.pq_train's rule;
+    * assignment: integer squared distances (order-independent exact
+      sums — euclidean needs no fold discipline at all), first-minimum
+      ties;
+    * update: the new centroid component is round(sum/count) — one
+      double division + one half-away round on exact integers, the
+      pagerank-units recipe — so the EUCLIDEAN mean (where the cosine
+      trick of carrying raw sums does not apply: scale changes
+      distances) stays replayable.
+
+    Returns (m, k, d/m) python ints.  Unlike similarity.pq_train this
+    trains on quantized units; the ~1e-6 relative quantization noise is
+    far below the k=16-codes resolution (recall pinned in tests)."""
+    qdf = corpus.select(id_col, quantized(F.col(vec_col)).alias("vq"))
+    sample = (
+        qdf.orderBy(hash60(F.col(id_col).cast("string"), F.lit("pq")), id_col)
+        .limit(n_train)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_train_portable: corpus is empty")
+    x = np.array([[int(v) for v in r[1]] for r in sample], dtype=np.int64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    n = len(x)
+    books: list[list[list[int]]] = []
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        # integer arithmetic throughout: distances and member sums are
+        # EXACT int64 (order-independent — no fold discipline needed),
+        # so vectorized numpy equals the twin's SQL bit-for-bit; only
+        # the mean's round(sum/count) touches floats, and that is one
+        # exact-int division + one half-away round per component
+        cents = xs[np.arange(k) % n].copy()  # cycle-padded seeds
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first-min ties, like the twin
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    sums = xs[mask].sum(axis=0)  # exact int64
+                    mu = sums.astype(np.float64) / int(mask.sum())
+                    cents[j] = np.where(
+                        mu >= 0, np.floor(mu + 0.5), np.ceil(mu - 0.5)
+                    ).astype(np.int64)
+        books.append([[int(v) for v in row] for row in cents])
+    return books
+
+
+def pq_encode_portable(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """array<int> of m nearest-codebook codes over the QUANTIZED vector.
+    All integer arithmetic — exact in ANY evaluation order — so an
+    Arrow-batched int64 numpy argmin equals the twin's ROW_NUMBER
+    (d2, j) bit-for-bit (np.argmin keeps the first minimum).  An earlier
+    pure-Catalyst form nested the m·k·d/m codebook as 1024 literals
+    inside two lambda levels and spent multiple seconds per action in
+    analysis/codegen before touching a row; integers need no fold
+    discipline, so the vectorized UDF is both the fast AND the portable
+    shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(books)
+    dsub = len(books[0][0])
+    books_np = np.array(books, dtype=np.int64)  # m × k × dsub
+
+    @pandas_udf("array<int>")
+    def enc(vqs: pd.Series) -> pd.Series:
+        x = np.stack(vqs.to_numpy()).astype(np.int64)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - books_np[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)  # first-min ties
+        return pd.Series(list(out))
+
+    return (
+        df.withColumn("_vq", quantized(F.col(vec_col)))
+        .withColumn(out_col, enc(F.col("_vq")))
+        .drop("_vq")
+    )
+
+
+def pq_adc_topk_portable(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC scan over integer LUTs (Σ_s lut[s][code_s] — exact BIGINT,
+    order-free) + exact ordered-fold rerank on the raw doubles of the
+    shortlist·k survivors; same output contract as similarity.
+    pq_adc_topk: (q_id, vec_id, dist, rank ≤ k), ties by id."""
+
+    m = len(books)
+    n_cent = len(books[0])
+    dsub = len(books[0][0])
+    spark = queries.sparkSession
+    qrows = queries.select(
+        id_col, vec_col, quantized(F.col(vec_col)).alias("vq")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        vq = [int(v) for v in r[2]]
+        flat = []
+        for s in range(m):
+            sub = vq[s * dsub : (s + 1) * dsub]
+            for j in range(n_cent):
+                flat.append(sum((a - b) * (a - b) for a, b in zip(sub, books[s][j])))
+        lut_rows.append((int(r[0]), [float(v) for v in r[1]], flat))
+    luts = spark.createDataFrame(
+        lut_rows, "q_id long, qv array<double>, lut array<long>"
+    )
+    c = F.col(codes_col)
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(F.col("lut"), s * n_cent + c[s] + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("c_id"), codes_col)
+        .crossJoin(F.broadcast(luts.select("q_id", "lut")))
+        .select("q_id", "c_id", adc.alias("adc_dist"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col("q_id") != F.col("c_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist * k)
+        .join(
+            corpus_codes.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv")),
+            "c_id",
+        )
+        .join(F.broadcast(luts.select("q_id", "qv")), "q_id")
+    )
+    exact = short.withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    w2 = Window.partitionBy("q_id").orderBy("dist", "c_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(id_col), "dist", "rank")
+    )
+
+
 def semantic_dedup_portable(
     df: DataFrame,
     threshold: float = 0.9,

@@ -258,6 +258,12 @@ _POST_WINDOW = (
     "dedup_simhash_clusters",
     "semantic_dedup_emb",
     "embedding_cosine_topk_fast",
+    "topic_balanced_docs",
+    "embedding_sq8_topk",
+    "embedding_pq_topk",
+    "embedding_ann",
+    "ann_recall_ivf",
+    "ann_nprobe_tuning_curve",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -266,14 +272,8 @@ _POST_WINDOW = (
 _ROWS_ONLY = (
     "approx_distinct_parts",
     "rolling_distinct_users",
-    "embedding_ann",
-    "embedding_pq_topk",
-    "embedding_sq8_topk",
-    "topic_balanced_docs",
     "distinct_profile_hll",
-    "ann_recall_ivf",
     "quality_classifier_scores",
-    "ann_nprobe_tuning_curve",
 )
 
 

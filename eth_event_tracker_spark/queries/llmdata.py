@@ -559,6 +559,82 @@ def _duck_dot(a: str, b: str) -> str:
     )
 
 
+_IDOT = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
+_FDOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
+)
+
+
+def _kmeans_replay_ctes(dim: int) -> str:
+    """The portable-k-means CTE chain shared by every promoted k-means
+    consumer (SemDeDup, topic balance): expects prior CTEs
+    ``q(vec_id, vq BIGINT[])`` and ``kk(k)``; emits ``nsamp`` through
+    the final assignment ``a3(vec_id, cid)``.  Seeding is a recursive
+    CTE carrying (chosen, minsim) list state — exact integer sample
+    dots, fixed-order IEEE scores, leftmost-argmin ties; Lloyd updates
+    are exact integer component sums (centroids as raw SUMS — cosine
+    ignores the mean's 1/n); assignment argmax ties on lowest cid."""
+    from ..functions.hashing import duck_hash60_inline
+
+    h60 = duck_hash60_inline("vec_id", "'ivf'")
+
+    def assign(name: str, cents: str, cn: str) -> str:
+        score = _FDOT.format(a="q.vq", b="c.cs")
+        return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {score} / n.cn DESC, c.cid) AS rn
+    FROM q CROSS JOIN {cents} c JOIN {cn} n ON n.cid = c.cid) WHERE rn = 1)"""
+
+    def update(name: str, a: str, prev: str) -> str:
+        return f"""u{name} AS (
+  SELECT {a}.cid, pos.d, SUM(q.vq[pos.d]) AS s
+  FROM {a} JOIN q USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) pos
+  GROUP BY {a}.cid, pos.d),
+c{name} AS MATERIALIZED (
+  SELECT {prev}.cid, COALESCE(n.cs, {prev}.cs) AS cs
+  FROM {prev} LEFT JOIN (SELECT cid, list(s ORDER BY d) AS cs FROM u{name} GROUP BY cid) n USING (cid)),
+cn{name} AS (SELECT cid, sqrt({_FDOT.format(a="cs", b="cs")}) AS cn FROM c{name})"""
+
+    return f"""nsamp AS (SELECT GREATEST(k, LEAST(256, 32 * k)) AS m FROM kk),
+samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {h60}, vec_id) - 1 AS sidx, vq
+  FROM q QUALIFY sidx < (SELECT m FROM nsamp)),
+ssq AS MATERIALIZED (SELECT sidx, {_IDOT.format(a="vq", b="vq")} AS ss FROM samp),
+sims AS MATERIALIZED (
+  SELECT a.sidx AS i, b.sidx AS j,
+         CAST({_IDOT.format(a="a.vq", b="b.vq")} AS DOUBLE)
+         / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) AS sim
+  FROM samp a JOIN samp b ON TRUE
+  JOIN ssq sa ON sa.sidx = a.sidx JOIN ssq sb ON sb.sidx = b.sidx),
+simrows AS MATERIALIZED (SELECT i, list(sim ORDER BY j) AS sl FROM sims GROUP BY i),
+seeds(step, chosen, minsim) AS (
+  SELECT 1, [0]::BIGINT[], (SELECT sl FROM simrows WHERE i = 0)
+  UNION ALL
+  SELECT r.step + 1, list_append(r.chosen, r.nxt),
+         list_transform(list_zip(r.minsim, sr.sl), x -> greatest(x[1], x[2]))
+  FROM (SELECT step, chosen, minsim,
+               list_position(minsim, list_aggregate(minsim, 'min')) - 1 AS nxt
+        FROM seeds WHERE step < LEAST((SELECT k FROM kk), (SELECT COUNT(*) FROM samp))) r
+  JOIN simrows sr ON sr.i = r.nxt),
+seedlist AS MATERIALIZED (SELECT chosen FROM seeds ORDER BY step DESC LIMIT 1),
+c0 AS MATERIALIZED (
+  SELECT g.cid, s.vq AS cs
+  FROM (SELECT unnest(generate_series(1, (SELECT len(chosen) FROM seedlist))) - 1 AS cid) g
+  JOIN seedlist sl ON TRUE
+  JOIN samp s ON s.sidx = sl.chosen[g.cid + 1]),
+cn0 AS (SELECT cid, sqrt({_FDOT.format(a="cs", b="cs")}) AS cn FROM c0),
+{assign("a1", "c0", "cn0")},
+{update("1", "a1", "c0")},
+{assign("a2", "c1", "cn1")},
+{update("2", "a2", "c1")},
+{assign("a3", "c2", "cn2")}"""
+
+
+
 _COSINE_ORACLE = f"""
 WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id >= 5),
@@ -613,40 +689,298 @@ def embedding_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPS.cosine_topk_pandas(queries, corpus, k=5)
 
 
-# Registered ROWS-ONLY after the 50 oracle-bearing entries: ANN is
-# approximate by design, so no SQL oracle can hash-match it.  pytest pins
-# recall ≥ 0.8 vs brute force for both arms; bench.py times it.
-@register("embedding_ann", None, "ANN top-k, LSH + IVF arms (rows-only extra)")
+def _lsh_bucket_expr(n_planes: int = 6, dim: int = 64, vec: str = "embedding") -> str:
+    """DuckDB expression for lsh_bucket's signature: per plane, a strict
+    left-to-right fold of the vector against the sha-derived plane
+    literals, sign bit p set when the dot is ≥ 0."""
+    from ..operators.similarity import _plane_component
+
+    terms = []
+    for p in range(n_planes):
+        lits = ", ".join(repr(_plane_component(p, d)) for d in range(dim))
+        fold = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({vec}, [{lits}]), "
+            "x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {fold} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _embedding_ann_oracle_sql(k: int = 5, n_planes: int = 6, n_probe: int = 3) -> str:
+    """Twin of BOTH ANN arms: the LSH arm replays the literal-plane
+    buckets + multiprobe XOR + ordered-fold cosine rerank (the
+    embedding_near_dup_lsh recipe, query/corpus split); the IVF arm
+    replays the portable k-means (shared CTE chain), the per-query
+    probe ranking, the centroid-equality candidate join and the same
+    rerank.  ANN is approximate versus BRUTE FORCE, but each arm's
+    output is a deterministic function of the data — which is all a
+    hash check needs."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)])
+    cosine = (
+        f"{_FDOT.format(a='qv', b='cv')} / "
+        f"(sqrt({_FDOT.format(a='qv', b='qv')}) * sqrt({_FDOT.format(a='cv', b='cv')}))"
+    )
+    quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    return f"""
+WITH RECURSIVE lsh_tagged AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({_lsh_bucket_expr(n_planes)} AS BIGINT) AS bucket
+  FROM embeddings),
+lsh_probed AS (
+  SELECT vec_id AS q_id, embedding AS qv, unnest([{probes}]) AS bucket
+  FROM lsh_tagged WHERE vec_id < 5),
+lsh_cand AS (
+  SELECT p.q_id, p.qv, t.vec_id AS c_id, t.embedding AS cv
+  FROM lsh_probed p JOIN lsh_tagged t USING (bucket)
+  WHERE t.vec_id >= 5 AND p.q_id <> t.vec_id),
+lsh_top AS (
+  SELECT q_id, c_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+    SELECT q_id, c_id, {cosine} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {cosine} DESC, c_id) AS rn
+    FROM lsh_cand) WHERE rn <= {k}),
+q AS MATERIALIZED (SELECT vec_id, embedding, {quant} AS vq FROM embeddings WHERE vec_id >= 5),
+kk AS (SELECT 8 AS k),
+{_kmeans_replay_ctes(64)},
+qs AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS qemb, {quant} AS qvq
+  FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT q_id, cid FROM (
+    SELECT qs.q_id, c.cid,
+           row_number() OVER (PARTITION BY qs.q_id
+             ORDER BY {_FDOT.format(a="qs.qvq", b="c.cs")} / n.cn DESC, c.cid) AS prn
+    FROM qs CROSS JOIN c2 c JOIN cn2 n ON n.cid = c.cid) WHERE prn <= {n_probe}),
+ivf_cand AS (
+  SELECT p.q_id, qs.qemb AS qv, a.vec_id AS c_id, q.embedding AS cv
+  FROM pr p
+  JOIN a3 a ON a.cid = p.cid
+  JOIN qs ON qs.q_id = p.q_id
+  JOIN q ON q.vec_id = a.vec_id
+  WHERE p.q_id <> a.vec_id),
+ivf_top AS (
+  SELECT q_id, c_id, CAST(rn AS BIGINT) AS rank, cosine FROM (
+    SELECT q_id, c_id, {cosine} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY {cosine} DESC, c_id) AS rn
+    FROM ivf_cand) WHERE rn <= {k})
+SELECT q_id, c_id, rank, cosine, 'lsh' AS method FROM lsh_top
+UNION ALL
+SELECT q_id, c_id, rank, cosine, 'ivf' AS method FROM ivf_top
+"""
+
+
+@register(
+    "embedding_ann",
+    _embedding_ann_oracle_sql(),
+    "ANN top-k, LSH + IVF arms — ORACLE-GRADED (round 10): the LSH arm "
+    "replays literal planes + multiprobe + fold rerank, the IVF arm the "
+    "portable k-means + probe ranking + fold rerank; approximate vs "
+    "brute force (recall pinned in pytest) but deterministic vs the twin",
+)
 def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic_portable import ivf_topk_portable
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
     lsh = OPS.ann_lsh_topk(queries, corpus, k=5, n_planes=6).withColumn("method", F.lit("lsh"))
-    ivf = OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=3).withColumn("method", F.lit("ivf"))
+    ivf = ivf_topk_portable(queries, corpus, k=5, n_centroids=8, n_probe=3).withColumn(
+        "method", F.lit("ivf")
+    )
     return lsh.unionByName(ivf)
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    n_cent: int = 16,
+    n_iters: int = 4,
+    n_train: int = 1024,
+    k: int = 5,
+    shortlist: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the portable PQ tier: hash60-ordered quantized
+    sample → per-subspace integer Lloyd (assignment = exact integer
+    squared distances, first-min ties; update = round(sum/count), the
+    pagerank-units recipe for a EUCLIDEAN mean where carrying raw sums
+    would change distances) → integer encode/LUT/ADC → exact
+    ordered-fold rerank.  All subspaces ride one CTE chain keyed on s."""
+    from ..functions.hashing import duck_hash60_inline
+
+    dsub = dim // m
+    h60 = duck_hash60_inline("vec_id", "'pq'")
+    d2 = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q2) -> p + q2)"
+    )
+    quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    sl = f"s * {dsub} + 1 : s * {dsub} + {dsub}"
+
+    def lloyd(i: int, prev: str) -> str:
+        return f"""a{i} AS MATERIALIZED (
+  SELECT ridx, s, j FROM (
+    SELECT ss.ridx, ss.s, c.j,
+           row_number() OVER (PARTITION BY ss.ridx, ss.s
+             ORDER BY {d2.format(a="ss.v8", b="c.cs")}, c.j) AS rn
+    FROM ssub ss JOIN {prev} c ON c.s = ss.s) WHERE rn = 1),
+u{i} AS (
+  SELECT a.s, a.j, d.d,
+         CAST(round(CAST(SUM(ss.v8[d.d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+  FROM a{i} a JOIN ssub ss ON ss.ridx = a.ridx AND ss.s = a.s
+  CROSS JOIN (SELECT unnest(generate_series(1, {dsub})) AS d) d
+  GROUP BY a.s, a.j, d.d),
+c{i} AS MATERIALIZED (
+  SELECT {prev}.s, {prev}.j, COALESCE(nn.cs, {prev}.cs) AS cs
+  FROM {prev} LEFT JOIN (SELECT s, j, list(mu ORDER BY d) AS cs FROM u{i} GROUP BY s, j) nn
+  USING (s, j))"""
+
+    rounds = ",\n".join(lloyd(i, f"c{i - 1}") for i in range(1, n_iters + 1))
+    final = f"c{n_iters}"
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+q AS MATERIALIZED (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+         {quant} AS vq
+  FROM embeddings WHERE vec_id < 5),
+cq AS MATERIALIZED (SELECT vec_id, embedding, {quant} AS vq FROM corpus),
+samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {h60}, vec_id) - 1 AS ridx, vq
+  FROM cq QUALIFY ridx < {n_train}),
+subs AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+ssub AS MATERIALIZED (
+  SELECT samp.ridx, subs.s, samp.vq[subs.{sl}] AS v8 FROM samp CROSS JOIN subs),
+ns AS (SELECT COUNT(*) AS n FROM samp),
+c0 AS MATERIALIZED (
+  SELECT g.j, ss.s, ss.v8 AS cs
+  FROM (SELECT unnest(generate_series(0, {n_cent - 1})) AS j) g
+  JOIN ns ON TRUE
+  JOIN ssub ss ON ss.ridx = g.j % ns.n),
+{rounds},
+enc AS MATERIALIZED (
+  SELECT c_id, s, j FROM (
+    SELECT cq.vec_id AS c_id, c.s, c.j,
+           row_number() OVER (PARTITION BY cq.vec_id, c.s
+             ORDER BY {d2.format(a=f"cq.vq[c.{sl}]", b="c.cs")}, c.j) AS rn
+    FROM cq JOIN {final} c ON TRUE) WHERE rn = 1),
+lut AS MATERIALIZED (
+  SELECT q.q_id, c.s, c.j, {d2.format(a=f"q.vq[c.{sl}]", b="c.cs")} AS sd
+  FROM q CROSS JOIN {final} c),
+adc AS (
+  SELECT l.q_id, e.c_id, SUM(l.sd) AS adc_dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.j
+  WHERE l.q_id <> e.c_id
+  GROUP BY l.q_id, e.c_id),
+short AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rn
+  FROM adc),
+ex AS (
+  SELECT s.q_id, s.c_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(q.qv, c.embedding),
+             x -> (x[1] - CAST(x[2] AS DOUBLE)) * (x[1] - CAST(x[2] AS DOUBLE)))),
+           (p, s2) -> p + s2) AS dist
+  FROM short s JOIN q ON q.q_id = s.q_id JOIN corpus c ON c.vec_id = s.c_id
+  WHERE s.rn <= {shortlist * k}),
+ranked AS (
+  SELECT q_id, c_id AS vec_id, dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS INT) AS rank
+  FROM ex)
+SELECT q_id, vec_id, dist, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 @register(
     "embedding_pq_topk",
-    None,
-    "PQ compressed-domain ANN: ADC scan over 8-byte codes + exact rerank (rows-only extra)",
+    _pq_oracle_sql(),
+    "PQ compressed-domain ANN: ADC scan over 8-byte codes + exact rerank "
+    "— ORACLE-GRADED (round 10) via the portable integer PQ (quantized "
+    "sample, integer Lloyd with round(sum/count) means, integer "
+    "encode/LUT/ADC, ordered-fold rerank), replayed end-to-end in SQL",
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic_portable import (
+        pq_adc_topk_portable,
+        pq_encode_portable,
+        pq_train_portable,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
-    books = OPS.pq_train(corpus, m=8, k=16)
-    codes = OPS.pq_encode(corpus, books)
-    return OPS.pq_adc_topk(queries, codes, books, k=5)
+    books = pq_train_portable(corpus, m=8, k=16)
+    # the ADC scan and the shortlist rerank both read the codes table —
+    # cut lineage so the nested-HOF encode runs once, not per branch
+    codes = pq_encode_portable(corpus, books).localCheckpoint(eager=False)
+    return pq_adc_topk_portable(queries, codes, books, k=5)
+
+
+def _sq8_oracle_sql(k: int = 5, shortlist: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of the SQ8 tier — promotable WITHOUT touching the
+    operator because every step was already engine-portable: per-dim
+    bounds are exact MIN/MAX (order-independent), step/inv/encode are
+    fixed elementwise IEEE expressions on those exact bounds
+    (floor(+0.5), clamp), and both the ADC scan and the exact rerank are
+    0.0-seeded left-to-right folds.  The twin recomputes the bounds in
+    SQL (they are data-dependent — no literals to embed) and replays the
+    same two-stage shortlist→rerank cut."""
+    enc = (
+        "list_transform(list_zip(c.embedding, bl.los, bl.invs), "
+        "x -> GREATEST(0, LEAST(255, CAST(floor((CAST(x[1] AS DOUBLE) - x[2]) * x[3] + 0.5) AS INT))))"
+    )
+    adc_term = "(x[1] - x[3] - CAST(x[2] AS DOUBLE) * x[4]) * (x[1] - x[3] - CAST(x[2] AS DOUBLE) * x[4])"
+    ex_term = "(x[1] - CAST(x[2] AS DOUBLE)) * (x[1] - CAST(x[2] AS DOUBLE))"
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5),
+b AS (SELECT d.d, MIN(CAST(c.embedding[d.d] AS DOUBLE)) AS lo,
+             MAX(CAST(c.embedding[d.d] AS DOUBLE)) AS hi
+      FROM corpus c CROSS JOIN dims d GROUP BY d.d),
+bl AS (SELECT list(lo ORDER BY d) AS los,
+              list((hi - lo) / 255.0 ORDER BY d) AS steps,
+              list(CASE WHEN (hi - lo) / 255.0 > 0
+                        THEN 1.0 / ((hi - lo) / 255.0) ELSE 0.0 END ORDER BY d) AS invs
+       FROM b),
+codes AS MATERIALIZED (
+  SELECT c.vec_id AS c_id, {enc} AS sq
+  FROM corpus c CROSS JOIN bl),
+adc AS (
+  SELECT q.q_id, cd.c_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(q.qv, cd.sq, bl.los, bl.steps), x -> {adc_term})),
+           (p, s) -> p + s) AS adc_dist
+  FROM codes cd CROSS JOIN q CROSS JOIN bl
+  WHERE q.q_id <> cd.c_id),
+short AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rn
+  FROM adc),
+ex AS (
+  SELECT s.q_id, s.c_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(q.qv, c.embedding), x -> {ex_term})),
+           (p, s2) -> p + s2) AS dist
+  FROM short s JOIN q ON q.q_id = s.q_id JOIN corpus c ON c.vec_id = s.c_id
+  WHERE s.rn <= {shortlist * k}),
+ranked AS (
+  SELECT q_id, c_id AS vec_id, dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS INT) AS rank
+  FROM ex)
+SELECT q_id, vec_id, dist, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 @register(
     "embedding_sq8_topk",
-    None,
+    _sq8_oracle_sql(),
     "SQ8 compressed-domain ANN: per-dim byte codes (4x smaller, no "
-    "training) scored in the compressed domain + exact rerank — the "
-    "scalar-quantization tier beside PQ (rows-only extra; encode/recall/"
-    "plan pins in tests/test_sq.py)",
+    "training) scored in the compressed domain + exact rerank — "
+    "ORACLE-GRADED (round 10): bounds are exact MIN/MAX, encode is "
+    "floor(+0.5) on those bounds, both distance passes are 0.0-seeded "
+    "ordered folds, so the twin recomputes everything in SQL "
+    "(encode/recall/plan pins in tests/test_sq.py)",
 )
 def embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1116,35 +1450,7 @@ def _semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_oracle_sql() -> str:
     """DuckDB twin of the full portable SemDeDup pipeline (validated
     kept-set-identical to a pure-python replay at sf0.001/0.01/0.1)."""
-    from ..functions.hashing import duck_hash60_inline
-
-    idot = "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (p, q) -> p + q)"
-    fdot = (
-        "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (p, q) -> p + q)"
-    )
     pert = "[" + ", ".join(repr(p) for p in _SEM_PERT) + "]::DOUBLE[]"
-    h60 = duck_hash60_inline("vec_id", "'ivf'")
-
-    def assign(name: str, cents: str, cn: str) -> str:
-        score = fdot.format(a="q.vq", b="c.cs")
-        return f"""{name} AS MATERIALIZED (
-  SELECT vec_id, cid FROM (
-    SELECT q.vec_id, c.cid,
-           row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY {score} / n.cn DESC, c.cid) AS rn
-    FROM q CROSS JOIN {cents} c JOIN {cn} n ON n.cid = c.cid) WHERE rn = 1)"""
-
-    def update(name: str, a: str, prev: str) -> str:
-        return f"""u{name} AS (
-  SELECT {a}.cid, pos.d, SUM(q.vq[pos.d]) AS s
-  FROM {a} JOIN q USING (vec_id)
-  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) pos
-  GROUP BY {a}.cid, pos.d),
-c{name} AS MATERIALIZED (
-  SELECT {prev}.cid, COALESCE(n.cs, {prev}.cs) AS cs
-  FROM {prev} LEFT JOIN (SELECT cid, list(s ORDER BY d) AS cs FROM u{name} GROUP BY cid) n USING (cid)),
-cn{name} AS (SELECT cid, sqrt({fdot.format(a="cs", b="cs")}) AS cn FROM c{name})"""
 
     return f"""
 WITH RECURSIVE
@@ -1163,47 +1469,15 @@ q AS MATERIALIZED (
   FROM corpus),
 nn AS (SELECT COUNT(*) AS n FROM q),
 kk AS (SELECT GREATEST(16, LEAST(4096, CAST(n // 256 AS BIGINT))) AS k FROM nn),
-nsamp AS (SELECT GREATEST(k, LEAST(256, 32 * k)) AS m FROM kk),
-samp AS MATERIALIZED (
-  SELECT row_number() OVER (ORDER BY {h60}, vec_id) - 1 AS sidx, vq
-  FROM q QUALIFY sidx < (SELECT m FROM nsamp)),
-ssq AS MATERIALIZED (SELECT sidx, {idot.format(a="vq", b="vq")} AS ss FROM samp),
-sims AS MATERIALIZED (
-  SELECT a.sidx AS i, b.sidx AS j,
-         CAST({idot.format(a="a.vq", b="b.vq")} AS DOUBLE)
-         / (sqrt(CAST(sa.ss AS DOUBLE)) * sqrt(CAST(sb.ss AS DOUBLE))) AS sim
-  FROM samp a JOIN samp b ON TRUE
-  JOIN ssq sa ON sa.sidx = a.sidx JOIN ssq sb ON sb.sidx = b.sidx),
-simrows AS MATERIALIZED (SELECT i, list(sim ORDER BY j) AS sl FROM sims GROUP BY i),
-seeds(step, chosen, minsim) AS (
-  SELECT 1, [0]::BIGINT[], (SELECT sl FROM simrows WHERE i = 0)
-  UNION ALL
-  SELECT r.step + 1, list_append(r.chosen, r.nxt),
-         list_transform(list_zip(r.minsim, sr.sl), x -> greatest(x[1], x[2]))
-  FROM (SELECT step, chosen, minsim,
-               list_position(minsim, list_aggregate(minsim, 'min')) - 1 AS nxt
-        FROM seeds WHERE step < LEAST((SELECT k FROM kk), (SELECT COUNT(*) FROM samp))) r
-  JOIN simrows sr ON sr.i = r.nxt),
-seedlist AS MATERIALIZED (SELECT chosen FROM seeds ORDER BY step DESC LIMIT 1),
-c0 AS MATERIALIZED (
-  SELECT g.cid, s.vq AS cs
-  FROM (SELECT unnest(generate_series(1, (SELECT len(chosen) FROM seedlist))) - 1 AS cid) g
-  JOIN seedlist sl ON TRUE
-  JOIN samp s ON s.sidx = sl.chosen[g.cid + 1]),
-cn0 AS (SELECT cid, sqrt({fdot.format(a="cs", b="cs")}) AS cn FROM c0),
-{assign("a1", "c0", "cn0")},
-{update("1", "a1", "c0")},
-{assign("a2", "c1", "cn1")},
-{update("2", "a2", "c1")},
-{assign("a3", "c2", "cn2")},
+{_kmeans_replay_ctes(64)},
 nrm AS MATERIALIZED (
-  SELECT vec_id, sqrt({fdot.format(a="emb", b="emb")}) AS nrm FROM q),
+  SELECT vec_id, sqrt({_FDOT.format(a="emb", b="emb")}) AS nrm FROM q),
 prs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
   JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id
   JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
-  WHERE round({fdot.format(a="qa.emb", b="qb.emb")} / (na.nrm * nb.nrm), 9) >= {_SEM_THRESHOLD}),
+  WHERE round({_FDOT.format(a="qa.emb", b="qb.emb")} / (na.nrm * nb.nrm), 9) >= {_SEM_THRESHOLD}),
 und AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
 walk(node, lbl) AS (
   SELECT a AS node, a AS lbl FROM und
@@ -1351,16 +1625,58 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pc(docs).orderBy(F.desc("n_pairs"), "pair").limit(50)
 
 
+def _topic_balanced_oracle_sql(n_topics: int = 8, cap: int = 40, dim: int = 32) -> str:
+    """DuckDB twin of the portable topic-balance pipeline: integer
+    hashed-TFIDF cells (hash60 index/sign, e3-quantized ln weights,
+    exact BIGINT sums) → the shared portable-k-means replay → the
+    per-stratum hash-cap ranking of cap_per_stratum."""
+    from ..functions.hashing import duck_hash60_inline
+
+    h_idx = duck_hash60_inline("term", "'tfidx'")
+    h_sgn = duck_hash60_inline("term", "'tfsgn'")
+    h_cap = duck_hash60_inline("CAST(a3.vec_id AS VARCHAR)", "0")
+    return f"""
+WITH RECURSIVE {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+cells AS (
+  SELECT doc_id, CAST({h_idx} % {dim} AS INT) AS idx,
+         SUM((CASE WHEN {h_sgn} % 2 = 0 THEN 1 ELSE -1 END)
+             * tf * CAST(round((ln((nd.n + 1.0) / (dfreq.df_t + 1.0)) + 1.0) * 1000.0) AS BIGINT)) AS v
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  GROUP BY doc_id, idx),
+q AS MATERIALIZED (
+  SELECT d.doc_id AS vec_id, list(COALESCE(c.v, 0) ORDER BY g.i) AS vq
+  FROM (SELECT DISTINCT doc_id FROM cells) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.idx = g.i
+  GROUP BY d.doc_id),
+kk AS (SELECT {n_topics} AS k),
+{_kmeans_replay_ctes(dim)},
+capd AS (
+  SELECT a3.vec_id AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY a3.cid ORDER BY {h_cap}, a3.vec_id) AS rk
+  FROM a3)
+SELECT d.doc_id, d.text FROM capd JOIN documents d USING (doc_id) WHERE rk <= {cap}
+"""
+
+
 @register(
     "topic_balanced_docs",
-    None,
-    "hashed-TFIDF k-means topic clusters, dominant topics capped (rows-only extra)",
+    _topic_balanced_oracle_sql(),
+    "hashed-TFIDF k-means topic clusters, dominant topics capped — "
+    "ORACLE-GRADED (round 10): integer feature cells (hash60 index/sign, "
+    "e3-quantized ln weights — exact order-independent BIGINT sums), the "
+    "portable-k-means replay shared with semantic_dedup_emb, and the "
+    "already-proven per-stratum hash-cap rule, end-to-end in one twin",
 )
 def topic_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import topic_balanced_sample
+    from ..operators.semantic_portable import topic_balanced_portable
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return topic_balanced_sample(docs, n_topics=8, per_topic_cap=40, dim=32)
+    return topic_balanced_portable(docs, n_topics=8, per_topic_cap=40, dim=32)
 
 
 # ---------------------------------------------------------------------------
@@ -2047,22 +2363,73 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup_exact(synth_assets(docs))
 
 
+def _ann_recall_ivf_oracle_sql(k: int = 5, n_probe: int = 5) -> str:
+    """Twin of the recall monitor: the IVF arm replays via the portable
+    k-means (probe=5), ground truth via the exact-cosine ranked block,
+    recall = coalesce(hits, 0) / n_truth — one division of exact ints."""
+    quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    cosine = (
+        f"{_FDOT.format(a='qv', b='cv')} / "
+        f"(sqrt({_FDOT.format(a='qv', b='qv')}) * sqrt({_FDOT.format(a='cv', b='cv')}))"
+    )
+    return f"""
+WITH RECURSIVE q AS MATERIALIZED (
+  SELECT vec_id, embedding, {quant} AS vq FROM embeddings WHERE vec_id >= 5),
+kk AS (SELECT 8 AS k),
+{_kmeans_replay_ctes(64)},
+qs AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS qemb, {quant} AS qvq
+  FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT q_id, cid FROM (
+    SELECT qs.q_id, c.cid,
+           row_number() OVER (PARTITION BY qs.q_id
+             ORDER BY {_FDOT.format(a="qs.qvq", b="c.cs")} / n.cn DESC, c.cid) AS prn
+    FROM qs CROSS JOIN c2 c JOIN cn2 n ON n.cid = c.cid) WHERE prn <= {n_probe}),
+ivf_top AS (
+  SELECT q_id, c_id FROM (
+    SELECT cand.q_id, cand.c_id,
+           ROW_NUMBER() OVER (PARTITION BY cand.q_id ORDER BY {cosine} DESC, cand.c_id) AS rn
+    FROM (SELECT p.q_id, qs.qemb AS qv, a.vec_id AS c_id, q.embedding AS cv
+          FROM pr p JOIN a3 a ON a.cid = p.cid
+          JOIN qs ON qs.q_id = p.q_id JOIN q ON q.vec_id = a.vec_id
+          WHERE p.q_id <> a.vec_id) cand) WHERE rn <= {k}),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT qs.q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.q_id
+             ORDER BY {_FDOT.format(a="qs.qemb", b="c.embedding")} /
+                      (sqrt({_FDOT.format(a="qs.qemb", b="qs.qemb")}) *
+                       sqrt({_FDOT.format(a="c.embedding", b="c.embedding")})) DESC,
+                      c.vec_id) AS rn
+    FROM qs CROSS JOIN q c) WHERE rn <= {k}),
+nt AS (SELECT q_id, COUNT(*) AS n_truth FROM truth GROUP BY q_id),
+nh AS (SELECT t.q_id, COUNT(*) AS n_hit
+       FROM truth t JOIN ivf_top i ON i.q_id = t.q_id AND i.c_id = t.c_id
+       GROUP BY t.q_id)
+SELECT nt.q_id, nt.n_truth, COALESCE(nh.n_hit, 0) AS n_hit,
+       CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall
+FROM nt LEFT JOIN nh ON nh.q_id = nt.q_id
+"""
+
+
 @register(
     "ann_recall_ivf",
-    None,
+    _ann_recall_ivf_oracle_sql(),
     doc="per-query recall of the IVF ANN tier vs the exact cosine top-5 "
-    "on a 5-query sample (rows-only: the measured quantity is an ANN "
-    "property; recall ≥ 0.8 pinned in pytest) — the index health check "
-    "a pipeline runs after rebuild/append",
+    "on a 5-query sample — ORACLE-GRADED (round 10) via the portable "
+    "IVF arm; recall is an exact-integer ratio, so the health check "
+    "itself hash-matches (recall ≥ 0.8 still pinned in pytest)",
 )
 def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semantic_portable import ivf_topk_portable
     from ..operators.similarity import ann_recall
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
     exact = OPS.cosine_topk_exact(queries, corpus, k=5)
-    ivf = OPS.ivf_topk(queries, corpus, k=5, n_centroids=8, n_probe=5)
+    ivf = ivf_topk_portable(queries, corpus, k=5, n_centroids=8, n_probe=5)
     return ann_recall(exact, ivf)
 
 
@@ -2563,22 +2930,99 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OPD.containment_pairs(docs, threshold=0.8, shingles=_doc_shingles(spark, sf_dir))
 
 
+def _ann_nprobe_curve_oracle_sql(
+    k: int = 5, max_probe: int = 8, target_e9: int = 900_000_000
+) -> str:
+    """Twin of the whole tuning curve: candidates annotated with probe
+    position explode to every level they are visible at, one window
+    ranks all levels, per-level mean recall is the exact-integer-units
+    mean (SUM(round(recall·1e9)) / n / 1e9), and chosen = the smallest
+    level whose units meet the target (fallback max_probe)."""
+    quant = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    cosine = (
+        f"{_FDOT.format(a='qv', b='cv')} / "
+        f"(sqrt({_FDOT.format(a='qv', b='qv')}) * sqrt({_FDOT.format(a='cv', b='cv')}))"
+    )
+    return f"""
+WITH RECURSIVE q AS MATERIALIZED (
+  SELECT vec_id, embedding, {quant} AS vq FROM embeddings WHERE vec_id >= 5),
+kk AS (SELECT 8 AS k),
+{_kmeans_replay_ctes(64)},
+qs AS MATERIALIZED (
+  SELECT vec_id AS q_id, embedding AS qemb, {quant} AS qvq
+  FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT q_id, cid, prn - 1 AS probe_pos FROM (
+    SELECT qs.q_id, c.cid,
+           row_number() OVER (PARTITION BY qs.q_id
+             ORDER BY {_FDOT.format(a="qs.qvq", b="c.cs")} / n.cn DESC, c.cid) AS prn
+    FROM qs CROSS JOIN c2 c JOIN cn2 n ON n.cid = c.cid) WHERE prn <= {max_probe}),
+scored AS MATERIALIZED (
+  SELECT cand.q_id, cand.c_id, cand.probe_pos, {cosine} AS cosine
+  FROM (SELECT p.q_id, p.probe_pos, qs.qemb AS qv, a.vec_id AS c_id, q.embedding AS cv
+        FROM pr p JOIN a3 a ON a.cid = p.cid
+        JOIN qs ON qs.q_id = p.q_id JOIN q ON q.vec_id = a.vec_id
+        WHERE p.q_id <> a.vec_id) cand),
+lev AS (
+  SELECT s.q_id, s.c_id, s.cosine, l.level
+  FROM scored s
+  JOIN (SELECT unnest(generate_series(1, {max_probe})) AS level) l
+    ON l.level > s.probe_pos),
+topk AS (
+  SELECT q_id, c_id, level FROM (
+    SELECT q_id, c_id, level,
+           ROW_NUMBER() OVER (PARTITION BY q_id, level ORDER BY cosine DESC, c_id) AS rn
+    FROM lev) WHERE rn <= {k}),
+truth AS (
+  SELECT q_id, c_id FROM (
+    SELECT qs.q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.q_id
+             ORDER BY {_FDOT.format(a="qs.qemb", b="c.embedding")} /
+                      (sqrt({_FDOT.format(a="qs.qemb", b="qs.qemb")}) *
+                       sqrt({_FDOT.format(a="c.embedding", b="c.embedding")})) DESC,
+                      c.vec_id) AS rn
+    FROM qs CROSS JOIN q c) WHERE rn <= {k}),
+nt AS (SELECT q_id, COUNT(*) AS n_truth FROM truth GROUP BY q_id),
+hits AS (
+  SELECT t.q_id, k2.level, COUNT(*) AS n_hit
+  FROM topk k2 JOIN truth t ON t.q_id = k2.q_id AND t.c_id = k2.c_id
+  GROUP BY t.q_id, k2.level),
+per_q AS (
+  SELECT l.level,
+         CAST(round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                    / CAST(nt.n_truth AS DOUBLE) * 1e9) AS BIGINT) AS r_e9
+  FROM nt
+  CROSS JOIN (SELECT unnest(generate_series(1, {max_probe})) AS level) l
+  LEFT JOIN hits h ON h.q_id = nt.q_id AND h.level = l.level),
+curve AS (
+  SELECT level, CAST(SUM(r_e9) AS DOUBLE) / COUNT(*) / 1e9 AS mean_recall,
+         SUM(r_e9) / COUNT(*) AS units
+  FROM per_q GROUP BY level),
+pick AS (SELECT COALESCE(MIN(level), {max_probe}) AS chosen
+         FROM curve WHERE units >= {target_e9})
+SELECT CAST(level AS INT) AS n_probe, mean_recall,
+       (level = pick.chosen) AS chosen
+FROM curve CROSS JOIN pick
+"""
+
+
 @register(
     "ann_nprobe_tuning_curve",
-    None,
+    _ann_nprobe_curve_oracle_sql(),
     doc="ivf_tune_nprobe's recall-vs-probe curve on the embeddings "
-    "fixture (rows-only: ANN property; tuner minimality pinned in "
-    "tests/test_similarity_recall.py) — the closed-loop form of "
-    "ann_recall_ivf: smallest n_probe meeting the 0.9 target, plus "
-    "every level evaluated on the way",
+    "fixture — ORACLE-GRADED (round 10): portable probe order (lexsort "
+    "== the twin's ROW_NUMBER) and an exact-integer-units level mean "
+    "replace the two float-order seams, so the whole curve plus the "
+    "chosen-level rule hash-match (tuner minimality still pinned in "
+    "tests/test_similarity_recall.py)",
 )
 def ann_nprobe_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_tune_nprobe
+    from ..operators.semantic_portable import ivf_tune_nprobe_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
-    chosen, curve = ivf_tune_nprobe(
+    chosen, curve = ivf_tune_nprobe_portable(
         queries, corpus, k=5, n_centroids=8, target_recall=0.9
     )
     return spark.createDataFrame(

@@ -270,9 +270,14 @@ def views_as_of_snapshot(
     compaction horizon's).
 
     Scale shape: the winner aggregate runs over tail×instants only (the
-    tail is the recent, small end); the snapshot is anti-joined against
-    the BROADCAST set of tail-touched keys — no snapshot shuffle at all.
-    ``tail`` must be exactly the ``indx > snapshot_pos`` rows."""
+    tail is the recent end); the snapshot is anti-joined against the
+    tail-touched key set WITHOUT a broadcast hint — when the tail is
+    small (the steady-state case) AQE broadcasts it and the snapshot
+    never shuffles, and when a deep reorg makes the tail proportional
+    to the table (the sf≈10 smoke hit exactly this: a forced broadcast
+    of ~1 GiB of touched keys blew spark.driver.maxResultSize) the join
+    falls back to a shuffle instead of failing.  ``tail`` must be
+    exactly the ``indx > snapshot_pos`` rows."""
     instants = _guard_as_of(instants, int(snapshot_pos))
     payload = [
         c for c in tail.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY
@@ -295,7 +300,7 @@ def views_as_of_snapshot(
     snap_cols = ["view_label", *NATURAL_KEY, *payload, "indx"]
     snap_live = (
         snapshot.crossJoin(F.broadcast(instants.select("view_label")))
-        .join(F.broadcast(touched), ["view_label", *NATURAL_KEY], "left_anti")
+        .join(touched, ["view_label", *NATURAL_KEY], "left_anti")
         .select(*snap_cols)
     )
     return snap_live.unionByName(tail_live.select(*snap_cols))

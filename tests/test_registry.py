@@ -18,14 +18,8 @@ DRIVER_WINDOW = 50
 ROWS_ONLY_EXTRAS = {
     "approx_distinct_parts",
     "distinct_profile_hll",
-    "embedding_ann",
-    "embedding_pq_topk",
-    "topic_balanced_docs",
-    "ann_recall_ivf",
     "quality_classifier_scores",
-    "embedding_sq8_topk",
     "rolling_distinct_users",
-    "ann_nprobe_tuning_curve",
 }
 
 # Oracle-bearing entries added after the window filled (round 5+): they
@@ -160,6 +154,12 @@ POST_WINDOW_ORACLES = (
     "dedup_simhash_clusters",
     "semantic_dedup_emb",
     "embedding_cosine_topk_fast",
+    "topic_balanced_docs",
+    "embedding_sq8_topk",
+    "embedding_pq_topk",
+    "embedding_ann",
+    "ann_recall_ivf",
+    "ann_nprobe_tuning_curve",
 )
 
 

@@ -104,6 +104,14 @@ def main() -> int:
     if args.dst:
         DST = args.dst
 
+    # a 30x+ synthetic tier needs a bigger single-JVM heap than the 8g
+    # local-mode default: at factor 100 the co-supply extraction OOM'd
+    # at 8g while completing comfortably at 48g — a deployment sizes
+    # executor memory in its submit conf, so the smoke sizes its local
+    # stand-in the same way (explicit SPARK_GRAFT_DRIVER_MEM still wins)
+    if args.factor >= 30:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from eth_event_tracker_spark.queries import REGISTRY, _load
     from eth_event_tracker_spark.session import get_spark
 
