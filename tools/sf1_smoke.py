@@ -104,12 +104,16 @@ def main() -> int:
     if args.dst:
         DST = args.dst
 
-    # a 30x+ synthetic tier needs a bigger single-JVM heap than the 8g
+    # the 100x synthetic tier needs a bigger single-JVM heap than the 8g
     # local-mode default: at factor 100 the co-supply extraction OOM'd
     # at 8g while completing comfortably at 48g — a deployment sizes
     # executor memory in its submit conf, so the smoke sizes its local
-    # stand-in the same way (explicit SPARK_GRAFT_DRIVER_MEM still wins)
-    if args.factor >= 30:
+    # stand-in the same way (explicit SPARK_GRAFT_DRIVER_MEM still
+    # wins).  Do NOT oversize smaller tiers: an idle-host A/B at sf3
+    # measured the LPA loop 50% SLOWER under a 48g heap than 8g
+    # (60.5 s vs 90.3 s — GC profile), so the bump applies only where
+    # 8g actually fails.
+    if args.factor > 30:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from eth_event_tracker_spark.queries import REGISTRY, _load
