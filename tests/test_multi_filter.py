@@ -116,6 +116,97 @@ def test_fifty_filters_one_store_survive_reorg(tmp_path):
     assert sizes[0] == 0 and sizes[-1] == 60
 
 
+def test_twelve_streams_one_chain_dir_mixed_specs(tmp_path):
+    """The streaming twin of the 50-filter store pin: N=12 readStream
+    queries over ONE chain_dir with mixed address/topic/wildcard/
+    event-id specs — each gets its own offset sidecar and checkpoint,
+    all survive the same reorg, and each folds to exactly the
+    provider-matcher's log set for its spec.  (N is smaller than the
+    batch tier's 50 because every streaming query pays a Spark session
+    round-trip; the concurrency mechanics are identical per filter —
+    the reference's ListPrefix store model, tracker.go:26-31.)"""
+    import glob
+    import json as _json
+
+    from eth_event_tracker_spark.session import get_spark
+    from eth_event_tracker_spark.sources.changelog_source import register
+    from eth_event_tracker_spark.sources.file_chain import dump_chain
+    from eth_event_tracker_spark.sources.mock_chain import EVENT_SIGS
+
+    from .test_web3_source import _drain
+
+    spark = get_spark("tests")
+    register(spark)
+    prov = MockProvider()
+    prov.advance(20, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+
+    logs = prov.get_logs(0, 20)
+    addr = logs[0]["address"]
+    t1s = sorted({lg["topics"][1] for lg in logs})[:5]
+    specs: list[dict] = [
+        {},
+        {"addresses": _json.dumps([addr])},
+        {"addresses": _json.dumps(["0x" + "bb" * 20])},  # matches nothing
+        {"topics": _json.dumps([EVENT_SIGS[0]])},
+        {"topics": _json.dumps([EVENT_SIGS[1]])},
+        {"addresses": _json.dumps([addr]), "topics": _json.dumps([EVENT_SIGS[0]])},
+        {"addresses": _json.dumps([addr]), "topics": _json.dumps([EVENT_SIGS[1]])},
+    ] + [{"topics": _json.dumps([None, t1])} for t1 in t1s]
+    assert len(specs) == 12
+
+    def run_all():
+        for i, opts in enumerate(specs):
+            reader = (
+                spark.readStream.format("web3changelog")
+                .option("chain_dir", cdir)
+                .option("max_blocks_per_batch", "25")
+            )
+            for kk, vv in opts.items():
+                reader = reader.option(kk, vv)
+            q = (
+                reader.load()
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / f"out{i}"))
+                .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+                .start()
+            )
+            _drain(q)
+
+    run_all()
+    # one sidecar per distinct filter identity
+    assert len(glob.glob(f"{cdir}/_source_offset_*.json")) == len(
+        {_json.dumps(s, sort_keys=True) for s in specs}
+    )
+    prov.fork(4, logs_per_block=2)
+    dump_chain(prov, cdir)
+    run_all()
+
+    head = len(prov.canonical) - 1
+    for i, opts in enumerate(specs):
+        addrs = tuple(_json.loads(opts.get("addresses", "[]")))
+        topics = tuple(_json.loads(opts.get("topics", "[]")))
+        want = {
+            (lg["block_hash"], lg["tx_index"], lg["log_index"])
+            for lg in prov.get_logs(0, head, addrs, topics)
+        }
+        files = glob.glob(str(tmp_path / f"out{i}" / "*.parquet"))
+        if not files:
+            assert not want, f"spec {i}: stream wrote nothing but matcher found logs"
+            continue
+        got_df = spark.read.parquet(str(tmp_path / f"out{i}"))
+        added = {
+            (r.block_hash, r.tx_index, r.log_index)
+            for r in got_df.where("action = 'added'").collect()
+        }
+        removed = {
+            (r.block_hash, r.tx_index, r.log_index)
+            for r in got_df.where("action = 'removed'").collect()
+        }
+        assert added - removed == want, f"spec {i}: folded changelog mismatch"
+
+
 def test_multi_filter_scale_artifact_is_sane():
     """The committed linearity artifact exists, covers ascending N, and
     recorded a per-filter mean that does not blow up with N (the
