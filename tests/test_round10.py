@@ -119,6 +119,26 @@ def test_simhash_collapse_bit_equal_and_clusters_consistent(spark, sf_dir):
     assert comp_got == comp_ref
 
 
+def test_portable_semantic_collapse_bit_equal(spark, sf_dir):
+    """The portable SemDeDup's exact-duplicate collapse must emit the
+    BIT-identical pair set of the uncollapsed within-cluster join on a
+    duplicate-heavy corpus (the planted-duplicates fixture of the
+    registered entry) — the round-9 pin, re-established for the
+    portable tier whose centroids/assignment differ from the numpy
+    path's."""
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        semantic_dup_pairs_portable,
+    )
+    from eth_event_tracker_spark.queries.llmdata import _semantic_corpus
+
+    corpus = _semantic_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    a = semantic_dup_pairs_portable(corpus, threshold=0.9, collapse_exact=True)
+    b = semantic_dup_pairs_portable(corpus, threshold=0.9, collapse_exact=False)
+    got = {(r.id_a, r.id_b, r.cosine) for r in a.collect()}
+    ref = {(r.id_a, r.id_b, r.cosine) for r in b.collect()}
+    assert got == ref and len(ref) > 0
+
+
 def test_views_as_of_snapshot_equals_full_replay(spark, tmp_path):
     """Snapshot + tail-delta reconstruction (round-10, verdict item 4)
     must be row-identical to the full-changelog views_as_of for every
