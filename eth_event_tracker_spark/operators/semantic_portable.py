@@ -107,7 +107,18 @@ def build_portable_centroids(
     # |vq| ≤ ~1e8 ⇒ per-pair dot ≤ 64·1e16 < 2^63.
     s_np = np.array(s, dtype=np.int64)
     gram = s_np @ s_np.T
-    rt = np.sqrt(np.diag(gram).astype(np.float64))
+    self_dots = np.diag(gram)
+    if (self_dots == 0).any():
+        # an all-zero sampled vector would make its seed similarities
+        # 0/0 = NaN, and NaN ORDERING is the one place the engines
+        # genuinely diverge (np.argmin propagates NaN, DuckDB sorts it
+        # greatest) — fail loud here rather than silently drift from
+        # the twin; zero vectors carry no direction to cluster anyway
+        raise ValueError(
+            "build_portable_centroids: all-zero vector in the seeding "
+            "sample — filter zero-norm rows out upstream"
+        )
+    rt = np.sqrt(self_dots.astype(np.float64))
     sims = gram.astype(np.float64) / (rt[:, None] * rt[None, :])
 
     chosen = [0]

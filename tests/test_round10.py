@@ -119,6 +119,26 @@ def test_simhash_collapse_bit_equal_and_clusters_consistent(spark, sf_dir):
     assert comp_got == comp_ref
 
 
+def test_portable_centroids_reject_zero_vector_in_sample(spark):
+    """An all-zero sampled vector would produce NaN seed similarities,
+    and NaN ordering is the one arithmetic where the engines genuinely
+    diverge (numpy argmin propagates NaN, DuckDB sorts it greatest) —
+    the builder must fail loud instead of silently drifting from the
+    twin."""
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        build_portable_centroids,
+        quantized,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.5]), (2, [0.3, 0.9])],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", quantized(F.col("embedding")).alias("vq"))
+    with pytest.raises(ValueError, match="all-zero"):
+        build_portable_centroids(df, n_clusters=2)
+
+
 def test_portable_semantic_collapse_bit_equal(spark, sf_dir):
     """The portable SemDeDup's exact-duplicate collapse must emit the
     BIT-identical pair set of the uncollapsed within-cluster join on a
