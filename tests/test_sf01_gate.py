@@ -67,6 +67,23 @@ def test_sf01_gate_diff_logic():
     assert sf01_gate.diff_vs_baseline({k: dict(v) for k, v in base.items()}) == []
 
 
+def test_sf10_smoke_artifact_committed():
+    """The sf≈10 (100× density) tier for the heaviest queries (round-9
+    verdict item 3) must be committed and all green.  Regenerate with
+    `python tools/sf1_smoke.py --factor 100 --dst /tmp/eets_sf10_synth
+    --out sf10_smoke.json --budget 600 --only ...` (the tool sizes the
+    heap itself at factor > 30)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "sf10_smoke.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["sf"] == 10.0 and len(d["queries"]) >= 5
+    bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
+    assert not bad, f"sf10 smoke failures: {bad}"
+
+
 @pytest.mark.slow
 def test_sf01_gate_graded_window_passes():
     """The gate itself, live at sf0.1 over the graded window: every
