@@ -75,6 +75,14 @@ def main() -> None:
     from eth_event_tracker_spark.queries import REGISTRY, _load
     from eth_event_tracker_spark.session import get_spark
 
+    # per-entry honesty: the graph family shares one memoized co-supply
+    # edge extraction per session (queries/relational._cosupply_edges) —
+    # disable it here so each entry's committed time keeps paying the
+    # full extraction, comparable round-over-round and to the recorded
+    # baseline; the smoke tiers (one session, whole-fleet totals) run
+    # warm, which is the deployment shape
+    os.environ["SPARK_GRAFT_GRAPH_COLD"] = "1"
+
     _load()
     load_start = os.getloadavg()
     spark = get_spark("bench")

@@ -59,6 +59,23 @@ def _fold64(a, b) -> float:
     return acc
 
 
+def _nonzero_norms(cents: list[list[int]]) -> list[float]:
+    """sqrt(self-dot) per centroid, refusing zero: a Lloyd update whose
+    members cancel to the all-zero sum would score NaN for every row,
+    and NaN ORDERING is where the engines diverge (np.argmax/lexsort vs
+    DuckDB's NaN-greatest) — fail loud like build_portable_centroids'
+    seeding guard instead of silently drifting from the twin
+    (round-11 advice)."""
+    norms = [math.sqrt(_fold64(c, c)) for c in cents]
+    if any(n == 0.0 for n in norms):
+        raise ValueError(
+            "portable k-means: a centroid summed to the zero vector — "
+            "its cosine scores would be NaN and the DuckDB twin orders "
+            "NaN differently; filter zero-norm rows out upstream"
+        )
+    return norms
+
+
 def quantized(vec_col) -> F.Column:
     """The vector in integer units: round(x * 1e6) per component —
     F.round is the same round-half-away-from-zero both engines apply."""
@@ -127,8 +144,12 @@ def build_portable_centroids(
         nxt = int(np.argmin(minsim))  # leftmost min — both engines
         chosen.append(nxt)
         minsim = np.maximum(minsim, sims[nxt])
-    while len(chosen) < n_clusters:  # degenerate: fewer rows than k
-        chosen.append(chosen[len(chosen) % ns])
+    # degenerate corpus (fewer sample rows than k): stop at min(k, ns)
+    # centroids — the DuckDB twin's seedlist carries LEAST(k, n_sample)
+    # entries, and a cycle-padded duplicate here would drift from it
+    # after the first Lloyd round (the low-cid copy updates, the stale
+    # pad keeps seed coords) and let rows argmax onto a centroid id the
+    # twin does not have (round-11 advice)
     cents = [list(s[i]) for i in chosen]
 
     for _ in range(n_iters):
@@ -144,7 +165,7 @@ def build_portable_centroids(
             by_c.setdefault(r.centroid_id, {})[r.pos] = int(r.s)
         cents = [
             [by_c[ci][p] for p in sorted(by_c[ci])] if ci in by_c else cents[ci]
-            for ci in range(n_clusters)
+            for ci in range(len(cents))
         ]
     return cents
 
@@ -161,7 +182,7 @@ def assign_portable(
 
     k = len(cents)
     cents_np = np.array(cents, dtype=np.float64)  # exact: |sums| < 2^53
-    cnorm = [math.sqrt(_fold64(c, c)) for c in cents]
+    cnorm = _nonzero_norms(cents)
     dim = len(cents[0])
 
     @pandas_udf("int")
@@ -343,7 +364,7 @@ def probe_portable(
 
     k = len(cents)
     cents_np = np.array(cents, dtype=np.float64)
-    cnorm = [math.sqrt(_fold64(c, c)) for c in cents]
+    cnorm = _nonzero_norms(cents)
     dim = len(cents[0])
     n_out = min(n_probe, k)
 
@@ -527,10 +548,11 @@ def ivf_tune_nprobe_portable(
     return chosen, curve
 
 
-def _round_half_away(x: float) -> int:
-    """round-half-away-from-zero on a double — Spark F.round / DuckDB
-    round(DOUBLE) semantics (numpy's half-even would diverge)."""
-    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero, elementwise — Spark F.round / DuckDB
+    round(DOUBLE) semantics (numpy's own half-even rounding would
+    diverge); the single source for the documented rounding rule."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
 
 
 def pq_train_portable(
@@ -591,9 +613,7 @@ def pq_train_portable(
                 if mask.any():
                     sums = xs[mask].sum(axis=0)  # exact int64
                     mu = sums.astype(np.float64) / int(mask.sum())
-                    cents[j] = np.where(
-                        mu >= 0, np.floor(mu + 0.5), np.ceil(mu - 0.5)
-                    ).astype(np.int64)
+                    cents[j] = _round_half_away(mu).astype(np.int64)
         books.append([[int(v) for v in row] for row in cents])
     return books
 

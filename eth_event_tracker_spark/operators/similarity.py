@@ -116,6 +116,16 @@ def cosine_topk_pandas(
     q_ss = np.array(
         [_py_fold_dot(r[1], r[1]) for r in qrows], dtype=np.float64
     )
+    if (q_ss == 0.0).any():
+        # a zero-norm vector yields cosine NaN, and NaN ORDERING is the
+        # one place the tiers diverge: the batch shortlist's lexsort
+        # puts NaN last while the global window (and the DuckDB oracle)
+        # rank it FIRST in DESC order — fail loud rather than break the
+        # bit-equality contract with the exact tier (round-11 advice)
+        raise ValueError(
+            "cosine_topk_pandas: zero-norm query vector — cosine would "
+            "be NaN; filter zero-norm rows out upstream"
+        )
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_ss))
     dim = q_mat.shape[1] if len(qrows) else 0
 
@@ -131,6 +141,15 @@ def cosine_topk_pandas(
                 col = c_mat[:, d]
                 dots += mat[:, d : d + 1] * col[None, :]
                 ssc += col * col
+            if (ssc == 0.0).any():
+                # same NaN-ordering hazard as the query-side guard: the
+                # shortlist would silently DROP the NaN row the exact
+                # tier and the oracle rank first
+                raise ValueError(
+                    "cosine_topk_pandas: zero-norm corpus vector — "
+                    "cosine would be NaN; filter zero-norm rows out "
+                    "upstream"
+                )
             sims = dots / (np.sqrt(ssq)[:, None] * np.sqrt(ssc)[None, :])
             top = min(k, b)
             for qi in range(len(ids)):

@@ -478,7 +478,11 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
 """,
-    doc="SimHash-63 near-dups (Hamming ≤ 6, pigeonhole-blocked) — hash60-based, so fully oracle-checked",
+    doc="SimHash-63 near-dups (Hamming ≤ 6, pigeonhole-blocked) — hash60-based, "
+    "so fully oracle-checked; output-volume note: this PAIR tier is quadratic "
+    "in duplication (a d-replica cluster emits d(d-1)/2 rows) — pipelines "
+    "should consume `dedup_simhash_clusters`, the linear doc→cluster decision "
+    "form, and keep this tier for pair-level audits",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

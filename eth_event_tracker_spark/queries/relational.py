@@ -1186,9 +1186,26 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COSUPPLY_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier top-5 co-supply pairs (src < dst) — the shared graph
     fixture for the triangle / LPA / PageRank / clustering entries.
+
+    SHARED EXTRACTION (round-10 verdict item 3): seven registry entries
+    start from this same lineitem pass (at sf10 it is the heap-cliff
+    stage, ~4 of the 5 most expensive bench entries), so the built edge
+    set is memoized per (application, sf_dir) behind a lazy
+    localCheckpoint — one extraction serves the whole graph family in a
+    session, the way a 100 TB deployment would persist the edge extract
+    once and fan analytics out from it.  The result is tiny
+    (≤ 5·|suppliers| rows), so the checkpoint blocks are negligible.
+    Correctness is unaffected: oracles recompute from lineitem, and the
+    checkpointed rows ARE the single-build rows.  Set
+    ``SPARK_GRAFT_GRAPH_COLD=1`` to rebuild per call — bench.py sets it
+    so per-entry timings keep paying the full extraction (the committed
+    bench contract measures per-entry cost, not fleet amortization).
 
     The edge contract is DENSITY-INVARIANT: each src keeps its 5
     strongest edges by (shared-part count desc, dst), so the extracted
@@ -1205,12 +1222,28 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition matters: AQE coalesces the post-groupBy exchange by the
     SMALL list-table size, but the explode blows each row up ~325× —
     without re-spreading, millions of pair rows land on two tasks
-    (explode-after-exchange defeats size-based coalescing)."""
+    (explode-after-exchange defeats size-based coalescing).  The spread
+    width is ``defaultParallelism`` (one slice per core), NOT a literal:
+    a hard-coded 32 silently under-spreads the explode on any cluster
+    wider than this box (round-10 verdict item 2)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_GRAPH_COLD") == "1":
+        return _build_cosupply_edges(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    df = _COSUPPLY_CACHE.get(key)
+    if df is None:
+        df = _build_cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
+        _COSUPPLY_CACHE[key] = df
+    return df
+
+
+def _build_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     lists = (
         li.groupBy("l_partkey")
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     pairs = lists.select(
         F.explode(

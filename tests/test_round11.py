@@ -1,0 +1,123 @@
+"""Round-11 pins.
+
+1. Co-supply spread width (round-10 verdict item 2): the post-groupBy
+   re-spread before the ~325× pair explode must scale with
+   ``defaultParallelism`` — a hard-coded 32 silently under-spreads the
+   explode on any cluster wider than this box.
+2. Shared graph extraction (round-10 verdict item 3): within one
+   session+sf_dir the graph family reuses ONE memoized co-supply build;
+   ``SPARK_GRAFT_GRAPH_COLD=1`` forces the per-call rebuild (the bench
+   contract), and both paths are row-identical.
+3. Degenerate-sample k-means (round-11 advice): fewer corpus rows than
+   k must yield min(k, n_sample) centroids — no cycle-padded duplicates
+   that drift from the DuckDB twin after a Lloyd round.
+4. Zero-norm guards (round-11 advice): cosine_topk_pandas and the
+   portable k-means scorers fail loud on zero-norm vectors instead of
+   silently ordering NaN differently from the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_cosupply_spread_tracks_default_parallelism(spark, sf_dir):
+    """The re-spread width before the pair explode is defaultParallelism,
+    not a literal: RoundRobinPartitioning(dp) must appear in the plan."""
+    from eth_event_tracker_spark.queries.relational import _build_cosupply_edges
+
+    dp = spark.sparkContext.defaultParallelism
+    plan = _build_cosupply_edges(spark, sf_dir)._jdf.queryExecution().toString()
+    assert f"RoundRobinPartitioning({dp})" in plan, plan[:2000]
+
+
+def test_cosupply_shared_extraction_row_identical(spark, sf_dir):
+    from eth_event_tracker_spark.queries import relational as R
+
+    R._COSUPPLY_CACHE.clear()
+    old = os.environ.pop("SPARK_GRAFT_GRAPH_COLD", None)
+    try:
+        warm1 = R._cosupply_edges(spark, sf_dir)
+        assert R._COSUPPLY_CACHE, "warm path must memoize"
+        warm2 = R._cosupply_edges(spark, sf_dir)
+        assert warm1 is warm2, "second call must reuse the memoized frame"
+
+        os.environ["SPARK_GRAFT_GRAPH_COLD"] = "1"
+        cold = R._cosupply_edges(spark, sf_dir)
+        assert cold is not warm1, "cold flag must rebuild per call"
+
+        wrows = sorted(map(tuple, warm1.collect()))
+        crows = sorted(map(tuple, cold.collect()))
+        assert wrows == crows and len(wrows) > 0
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_GRAPH_COLD", None)
+        else:
+            os.environ["SPARK_GRAFT_GRAPH_COLD"] = old
+        R._COSUPPLY_CACHE.clear()
+
+
+def test_portable_kmeans_degenerate_sample_stops_at_n(spark):
+    """8 rows, k=16: exactly 8 centroids (LEAST(k, n_sample), matching
+    the twin's seedlist) and every assignment lands on one of them."""
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        assign_portable,
+        build_portable_centroids,
+        quantized,
+    )
+
+    rows = [(i, [float(i + 1), float((i * 7) % 5 + 1)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = df.select("vec_id", quantized(F.col("embedding")).alias("vq"))
+    cents = build_portable_centroids(qdf, n_clusters=16, n_iters=2)
+    assert len(cents) == 8
+    assigned = assign_portable(qdf, cents)
+    cids = {r.centroid_id for r in assigned.collect()}
+    assert cids <= set(range(8))
+
+
+def test_cosine_topk_pandas_zero_norm_fails_loud(spark):
+    from eth_event_tracker_spark.operators.similarity import cosine_topk_pandas
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    zq = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero-norm query"):
+        cosine_topk_pandas(zq, ok, k=1)
+    with pytest.raises(Exception, match="zero-norm corpus"):
+        cosine_topk_pandas(ok, ok.unionByName(zq), k=1).collect()
+
+
+def test_portable_scorers_zero_centroid_fails_loud(spark):
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        assign_portable,
+        probe_portable,
+        quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    ).select("vec_id", quantized(F.col("embedding")).alias("vq"))
+    bad = [[1, 1], [0, 0]]
+    with pytest.raises(ValueError, match="zero vector"):
+        assign_portable(df, bad)
+    with pytest.raises(ValueError, match="zero vector"):
+        probe_portable(df, bad, n_probe=1)
+
+
+def test_round_half_away_matches_engines():
+    """The single-source rounding rule: half-away-from-zero (Spark
+    F.round / DuckDB round(DOUBLE)), never numpy's half-even."""
+    import numpy as np
+
+    from eth_event_tracker_spark.operators.semantic_portable import _round_half_away
+
+    x = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49, -0.49])
+    out = _round_half_away(x)
+    assert out.tolist() == [1.0, 2.0, 3.0, -1.0, -2.0, -3.0, 0.0, -0.0]
