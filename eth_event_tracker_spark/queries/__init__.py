@@ -58,11 +58,12 @@ _LOADED = False
 # hash-match a SQL oracle; they are registered with oracle=None and sorted
 # AFTER the 50, so a driver whose window allows still exercises them as
 # rows-only checks (round-4 advice) while pytest pins their bounds (rsd,
-# recall ≥ 0.8, subset-of-exact) and bench.py times them.  Rounds 9-10
-# shrank this set from 17 to 4 (Spark-native DataSketches HLL ×3 +
-# L-BFGS) by re-expressing the ANN/k-means/dedup tiers with exact
-# integer aggregates and fixed-order IEEE folds — approximate-vs-brute-
-# force is NOT the bar; deterministic-given-the-data is.  The most expensive
+# recall ≥ 0.8, subset-of-exact) and bench.py times them.  Rounds 9-11
+# shrank this set from 17 to 3 (the Spark-native DataSketches HLL trio —
+# sketch-library identity, honestly non-replayable) by re-expressing the
+# ANN/k-means/dedup/classifier tiers with exact integer aggregates and
+# fixed-order IEEE folds — approximate-vs-brute-force is NOT the bar;
+# deterministic-given-the-data is.  The most expensive
 # oracle-bearing queries sit at the back of the hash-checked prefix
 # (_WINDOW's tail) so a tighter-than-50 cap costs the best-pytest-covered
 # ones first.
@@ -268,6 +269,9 @@ _POST_WINDOW = (
     "embedding_ann",
     "ann_recall_ivf",
     "ann_nprobe_tuning_curve",
+    # round 11: the last algorithmic rows-only entry promoted — portable
+    # integer-GD classifier whose DuckDB twin replays training end-to-end
+    "quality_classifier_scores",
 )
 
 # Rows-only (approximate) extras in their canonical order — explicit for
@@ -277,7 +281,6 @@ _ROWS_ONLY = (
     "approx_distinct_parts",
     "rolling_distinct_users",
     "distinct_profile_hll",
-    "quality_classifier_scores",
 )
 
 

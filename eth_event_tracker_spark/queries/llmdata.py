@@ -2437,21 +2437,142 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, ivf)
 
 
+def _quality_classifier_oracle_sql(
+    dim: int = 64, n_iters: int = 8, lr_exp: int = 2, clamp: int = 10**9
+) -> str:
+    """DuckDB twin of the PORTABLE quality classifier
+    (operators/classifier.distill_quality_gate_portable): integer
+    hashed-TFIDF cells + length-bucket indicators → ``n_iters`` unrolled
+    batch-GD rounds whose gradients are exact integer sums and whose
+    weight updates are exact integer half-away divisions — the k-means
+    promotion recipe applied to training.  The only float per evaluation
+    is the pinned sigmoid sequence (one int→double cast, /1e9, exp,
+    1/(1+·), ·1e6, round) whose e6 quantization absorbs the cross-engine
+    exp ulp exactly like the round(ln·1e9) convention of the LM
+    entries.  Bucket bands and the indicator magnitude come from the
+    SAME constants the Spark side uses (single source)."""
+    from ..operators.classifier import _AWL_BUCKETS, _BUCKET_UNIT, _NW_BUCKETS
+
+    h_idx = duck_hash60_inline("term", "'tfidx'")
+    h_sgn = duck_hash60_inline("term", "'tfsgn'")
+    cells = []
+    for lo, hi in _NW_BUCKETS:
+        cond = f"nw >= {lo}" + (f" AND nw < {hi}" if hi is not None else "")
+        cells.append(f"CASE WHEN {cond} THEN {_BUCKET_UNIT} ELSE 0 END")
+    for lo, hi in _AWL_BUCKETS:
+        conds = ([f"awl >= {lo}"] if lo is not None else []) + (
+            [f"awl < {hi}"] if hi is not None else []
+        )
+        cells.append(
+            f"CASE WHEN {' AND '.join(conds)} THEN {_BUCKET_UNIT} ELSE 0 END"
+        )
+    qb = "[" + ",\n     ".join(cells) + "]"
+    dtot = dim + len(_NW_BUCKETS) + len(_AWL_BUCKETS)
+    d_w = 10 ** (lr_exp + 3)
+    d_b = 10**lr_exp
+    sig = (
+        "CAST(round((1.0 / (1.0 + exp(-(CAST({z} AS DOUBLE) / 1000000000.0)))) "
+        "* 1000000.0) AS BIGINT)"
+    )
+
+    def rha(g: str, den: str) -> str:
+        # round-half-away integer division, sign restored — the exact
+        # twin of classifier._rha_div (no double cast: gradients exceed
+        # 2^53 at scale)
+        return (
+            f"(CASE WHEN {g} >= 0 THEN (2 * ({g}) + {den}.d) // (2 * {den}.d) "
+            f"ELSE -((2 * (-({g})) + {den}.d) // (2 * {den}.d)) END)"
+        )
+
+    def iteration(i: int) -> str:
+        p = i - 1
+        return f"""z{i} AS MATERIALIZED (
+  SELECT t.doc_id, SUM(t.vq[w.j] * w.wu) + (SELECT bu FROM b{p}) * 1000 AS ze9
+  FROM t CROSS JOIN w{p} w GROUP BY t.doc_id),
+p{i} AS MATERIALIZED (
+  SELECT doc_id, {sig.format(z="ze9")} AS pe6 FROM z{i}),
+g{i} AS MATERIALIZED (
+  SELECT pos.j,
+         SUM((p.pe6 - t.ye6) * (CASE WHEN pos.j = 0 THEN 1 ELSE t.vq[pos.j] END)) AS g
+  FROM p{i} p JOIN t USING (doc_id)
+  CROSS JOIN (SELECT unnest(generate_series(0, {dtot})) AS j) pos
+  GROUP BY pos.j),
+w{i} AS MATERIALIZED (
+  SELECT w.j, GREATEST(-{clamp}, LEAST({clamp}, w.wu - {rha('g.g', 'dw')})) AS wu
+  FROM w{p} w JOIN g{i} g USING (j) CROSS JOIN dw),
+b{i} AS (
+  SELECT GREATEST(-{clamp}, LEAST({clamp}, b.bu - {rha('g.g', 'db')})) AS bu
+  FROM b{p} b CROSS JOIN (SELECT g FROM g{i} WHERE j = 0) g CROSS JOIN db)"""
+
+    iters = ",\n".join(iteration(i) for i in range(1, n_iters + 1))
+    return f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+cells AS (
+  SELECT doc_id, CAST({h_idx} % {dim} AS INT) AS idx,
+         SUM((CASE WHEN {h_sgn} % 2 = 0 THEN 1 ELSE -1 END)
+             * tf * CAST(round((ln((nd.n + 1.0) / (dfreq.df_t + 1.0)) + 1.0) * 1000.0) AS BIGINT)) AS v
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+  GROUP BY doc_id, idx),
+s0 AS MATERIALIZED (
+  SELECT doc_id, len(words) AS nw,
+         length(array_to_string(words, '')) / len(words) AS awl
+  FROM w),
+verd AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN nw < 20 THEN 'too_short'
+              WHEN nw > 400 THEN 'too_long'
+              WHEN awl < 2.0 THEN 'degenerate_words'
+              ELSE 'keep' END AS verdict
+  FROM s0),
+qtf AS (
+  SELECT d.doc_id, list(COALESCE(c.v, 0) ORDER BY g.i) AS vt
+  FROM (SELECT DISTINCT doc_id FROM cells) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.idx = g.i
+  GROUP BY d.doc_id),
+t AS MATERIALIZED (
+  SELECT qtf.doc_id,
+         list_concat(qtf.vt, (SELECT {qb} FROM s0 s WHERE s.doc_id = qtf.doc_id)) AS vq,
+         CASE WHEN v.verdict = 'keep' THEN 1000000 ELSE 0 END AS ye6
+  FROM qtf JOIN verd v USING (doc_id)),
+nn AS (SELECT COUNT(*) AS n FROM t),
+dw AS (SELECT {d_w} * n AS d FROM nn),
+db AS (SELECT {d_b} * n AS d FROM nn),
+w0 AS (SELECT unnest(generate_series(1, {dtot})) AS j, CAST(0 AS BIGINT) AS wu),
+b0 AS (SELECT CAST(0 AS BIGINT) AS bu),
+{iters},
+zf AS (
+  SELECT t.doc_id, SUM(t.vq[w.j] * w.wu) + (SELECT bu FROM b{n_iters}) * 1000 AS ze9
+  FROM t CROSS JOIN w{n_iters} w GROUP BY t.doc_id),
+pf AS (SELECT doc_id, {sig.format(z="ze9")} AS pe6 FROM zf)
+SELECT pf.doc_id, v.verdict AS teacher_verdict,
+       CAST(pf.pe6 AS DOUBLE) / 1000000.0 AS p_good
+FROM pf JOIN verd v USING (doc_id)
+"""
+
+
 @register(
     "quality_classifier_scores",
-    None,
-    doc="model-based quality scoring (rows-only: L-BFGS float reduction "
-    "order is layout-dependent): LR over hashed TF-IDF distilled from the "
-    "rule gate's own verdicts — the learned filter tier; accuracy / "
-    "teacher-agreement / decision-stability pinned in pytest; tol=1e-4 "
-    "stops L-BFGS at the ~8 rounds that fix every KEEP decision instead "
-    "of polishing 1e-6 loss digits no consumer reads (round-9 verdict)",
+    _quality_classifier_oracle_sql(),
+    doc="model-based quality scoring — ORACLE-GRADED (round 11): "
+    "fixed-iteration integer-quantized logistic GD over hashed-TFIDF "
+    "cells + length-bucket indicators, distilled from the rule gate's "
+    "own verdicts; gradients are exact order-independent integer sums "
+    "(the property L-BFGS's float partials lack), weight updates exact "
+    "integer half-away divisions, and the DuckDB twin replays training "
+    "end-to-end through 8 unrolled GD rounds; the L-BFGS tier stays as "
+    "library code (classifier.distill_quality_gate) with its own "
+    "behavior pins",
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.classifier import distill_quality_gate
+    from ..operators.classifier import distill_quality_gate_portable
 
     docs = load_table(spark, sf_dir, "documents")
-    return distill_quality_gate(docs, dim=64, max_iter=15, tol=1e-4)
+    return distill_quality_gate_portable(docs, dim=64, n_iters=8, lr_exp=2)
 
 
 # ---------------------------------------------------------------------------

@@ -359,7 +359,9 @@ def incremental_agg(
     return out
 
 
-def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
+def maintain_changelog(
+    spark: SparkSession, entry, tracker, snapshot_dir: str | None = None
+) -> dict:
     """Periodic changelog retention, wired to the tracker's own finality
     horizon: compact everything below ``checkpoint head − backlog`` — by
     O-5 depth-bounded finality (tracker.go:33-35), nothing below that can
@@ -370,14 +372,131 @@ def maintain_changelog(spark: SparkSession, entry, tracker) -> dict:
     store buckets newly crossing the horizon.  ``entry`` is any backend's
     changelog entry (all four implement ``compact_changelog``).  Returns
     the backend's compaction stats; no-op dict when there is no
-    checkpoint yet."""
+    checkpoint yet.
+
+    SNAPSHOT REFRESH (round-10 verdict item 4): pass ``snapshot_dir`` and
+    the same pass re-materializes the finality-horizon snapshot
+    (:func:`snapshot_at` at the max finalized indx) right after
+    compaction — the snapshot + tail-delta read path
+    (:func:`views_as_of_maintained`) becomes the DEFAULT, not an opt-in
+    a reader must wire up.  Ordering matters: compaction first, snapshot
+    second, because a snapshot older than the compaction horizon is
+    UNSAFE with a compacted tail (pruned rows between the old snapshot
+    position and the new horizon would silently vanish from the delta) —
+    readers therefore refuse any snapshot whose position is below the
+    entry's ``time_travel_horizon()`` and fall back to full replay,
+    which also closes the crash window between the compaction commit
+    and the snapshot swap."""
     last = tracker.get_last_block()
     if last is None:
         return {"rows_before": 0, "rows_after": 0}
     horizon = last.number - tracker.config.max_block_backlog
     if horizon <= 0:
         return {"rows_before": 0, "rows_after": 0}
-    return entry.compact_changelog(spark, finalized_below=horizon)
+    stats = entry.compact_changelog(spark, finalized_below=horizon)
+    if snapshot_dir is not None:
+        clog = entry.df(spark)
+        pos = (
+            clog.where(F.col("block_num") < F.lit(int(horizon)))
+            .agg(F.max("indx"))
+            .first()[0]
+        )
+        if pos is not None:
+            stats = {**stats, **refresh_snapshot(spark, clog, int(pos), snapshot_dir)}
+    return stats
+
+
+_SNAP_META = "_SNAP_META.json"
+
+
+def refresh_snapshot(
+    spark: SparkSession, changelog: DataFrame, snapshot_pos: int, snapshot_dir: str
+) -> dict:
+    """Materialize ``snapshot_at(changelog, snapshot_pos)`` under
+    ``snapshot_dir`` with an atomic metadata swap:
+
+      1. write parquet into a fresh ``.staging-<pos>`` dir,
+      2. rename it to ``data-<pos>`` (rebuilds of the same position
+         clear the old dir first — safe: a crash mid-sequence leaves
+         the meta pointing at a missing dir, which readers treat as
+         "no snapshot" and replay in full),
+      3. atomically replace ``_SNAP_META.json`` (tmp + os.replace),
+      4. sweep data dirs the meta no longer references.
+
+    A crash before (3) keeps the previous snapshot fully intact; after
+    (3) the new snapshot is live and stale dirs are swept by the next
+    refresh — the same stage/commit/sweep discipline as the store's
+    changelog compaction (``ParquetEntry.compact_changelog``)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    root = Path(snapshot_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    staging = root / f".staging-{int(snapshot_pos)}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    snap = snapshot_at(changelog, snapshot_pos)
+    snap.write.parquet(str(staging))
+    data = root / f"data-{int(snapshot_pos)}"
+    if data.exists():
+        shutil.rmtree(data)
+    os.rename(staging, data)
+    tmp = root / (_SNAP_META + ".tmp")
+    tmp.write_text(json.dumps({"snapshot_pos": int(snapshot_pos), "data": data.name}))
+    os.replace(tmp, root / _SNAP_META)
+    for p in root.iterdir():
+        if p.is_dir() and p.name != data.name:
+            shutil.rmtree(p)
+    n = sum(
+        1 for p in data.iterdir() if p.suffix == ".parquet"
+    )  # files, not rows: no extra action
+    return {"snapshot_pos": int(snapshot_pos), "snapshot_files": n}
+
+
+def read_snapshot(spark: SparkSession, snapshot_dir: str):
+    """(snapshot DataFrame, snapshot_pos) from a maintained snapshot dir,
+    or None when absent/torn (missing meta, or meta pointing at a swept
+    data dir — both read as "replay in full")."""
+    from pathlib import Path
+
+    root = Path(snapshot_dir)
+    meta_p = root / _SNAP_META
+    if not meta_p.exists():
+        return None
+    meta = json.loads(meta_p.read_text())
+    data = root / meta["data"]
+    if not data.exists():
+        return None
+    return spark.read.parquet(str(data)), int(meta["snapshot_pos"])
+
+
+def views_as_of_maintained(
+    spark: SparkSession, entry, instants: DataFrame, snapshot_dir: str
+) -> DataFrame:
+    """The DEFAULT time-travel read path over a maintained changelog:
+    serve :func:`views_as_of` from the maintained snapshot + the
+    ``indx > snapshot_pos`` tail when that is safe, else fall back to
+    the full replay — row-identical either way (pinned in tests).
+
+    Safe means BOTH: (a) the snapshot position is at/above the entry's
+    compaction horizon (an older snapshot with a compacted tail would
+    silently lose pruned history — the compact-vs-swap crash window),
+    and (b) every requested instant is at/above the snapshot position
+    (older instants cannot be served from this snapshot; the full
+    replay handles them, its own ``exact_from`` guard still applies)."""
+    exact_from = entry.time_travel_horizon()
+    snap = read_snapshot(spark, snapshot_dir)
+    if snap is not None:
+        snapshot, pos = snap
+        if pos >= exact_from:
+            lo = instants.agg(F.min("_as_of")).first()[0]
+            if lo is not None and int(lo) >= pos:
+                tail = entry.df(spark).where(F.col("indx") > F.lit(int(pos)))
+                return views_as_of_snapshot(snapshot, pos, tail, instants)
+    return views_as_of(
+        entry.df(spark), instants, exact_from=exact_from if exact_from > 0 else None
+    )
 
 
 def prune_changelog(changelog: DataFrame, finalized_below: int) -> DataFrame:

