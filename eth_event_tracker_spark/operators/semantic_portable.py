@@ -90,6 +90,8 @@ def build_portable_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vq_col: str = "vq",
+    lloyd_df: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> list[list[int]]:
     """Greedy farthest-point seeding + ``n_iters`` Lloyd rounds, every
     step integer-exact or fixed-order IEEE:
@@ -103,6 +105,17 @@ def build_portable_centroids(
     * Lloyd update: centroid := exact integer component SUM of its
       members (no division — cosine ignores scale); empty clusters keep
       their previous coordinates.
+
+    ``lloyd_df``/``weight_col`` (round-11): run the Lloyd rounds over a
+    PRE-COLLAPSED table of distinct quantized vectors with their
+    multiplicities instead of the full corpus — identical vectors
+    assign identically and the update is a plain integer sum, so
+    Σ_corpus vq == Σ_groups cnt·vq EXACTLY and the centroids are
+    bit-identical to the full-corpus run (pinned in tests) while the
+    per-round assignment scores |distinct| rows instead of |corpus|
+    (250× less at 300× duplication).  Seeding always samples from
+    ``qdf`` (the full corpus) — the sample is id-hash-ordered and
+    duplicate-aware by contract.
 
     Returns centroids as python-int lists (exact, overflow-free)."""
     n_sample = max(n_clusters, min(256, 32 * n_clusters))
@@ -152,12 +165,14 @@ def build_portable_centroids(
     # twin does not have (round-11 advice)
     cents = [list(s[i]) for i in chosen]
 
+    lf = lloyd_df if lloyd_df is not None else qdf
+    w = F.col(weight_col) if weight_col is not None else F.lit(1).cast("long")
     for _ in range(n_iters):
-        assigned = assign_portable(qdf, cents, id_col, vq_col)
+        assigned = assign_portable(lf, cents, id_col, vq_col)
         sums = (
-            assigned.select("centroid_id", F.posexplode(vq_col).alias("pos", "x"))
+            assigned.select("centroid_id", w.alias("_w"), F.posexplode(vq_col).alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.sum("x").alias("s"))  # exact BIGINT — order-independent
+            .agg(F.sum(F.col("_w") * F.col("x")).alias("s"))  # exact BIGINT — order-independent
             .collect()
         )
         by_c: dict[int, dict[int, int]] = {}
@@ -746,13 +761,86 @@ def semantic_dedup_portable(
     """Portable SemDeDup end-to-end: portable within-cluster pairs →
     min-id connected components → drop non-minimum members; returns the
     surviving rows of ``df`` unchanged (same contract as
-    similarity.semantic_dedup)."""
+    similarity.semantic_dedup).
+
+    DECISION FORM over exact-duplicate groups (round-11; the sf≈30
+    smoke caught the quadratic: 3× the sf10 data took 8.4× the time —
+    1742 s — because the pair EXPANSION emits C(d,2) rows per
+    d-replica group, ~450M edges at 300× duplication, and the
+    component propagation then shuffles all of them).  The dedup
+    DECISION never needs the expanded clique: a group's star (rep →
+    member) has exactly the clique's connectivity, so components run
+    over rep-level near-dup pairs plus ONE edge per duplicate member —
+    linear in the corpus.  Output-identical to the expanded form
+    (pinned in tests; the DuckDB twin — which computes components over
+    the full pair set — is unchanged and still hash-matches).  The
+    quadratic pair tier (``semantic_dup_pairs_portable``) remains for
+    pair-level audits, the `dedup_simhash` / `dedup_simhash_clusters`
+    split applied here."""
     from .dedup import dup_clusters
 
-    pairs = semantic_dup_pairs_portable(
-        df, threshold, n_clusters, id_col, vec_col, collapse_exact=collapse_exact
+    if not collapse_exact:
+        pairs = semantic_dup_pairs_portable(
+            df, threshold, n_clusters, id_col, vec_col, collapse_exact=False
+        )
+        comps = dup_clusters(pairs, "id_a", "id_b")
+        drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return df.join(drops, id_col, "left_anti")
+
+    if n_clusters is None:
+        # auto-k from the FULL corpus size, exactly like the pair tier —
+        # k must not depend on which form computes the components
+        n_rows = df.count()
+        n_clusters = max(16, min(4096, n_rows // 256))
+    groups = (
+        df.select(id_col, vec_col)
+        .groupBy(vec_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .localCheckpoint(eager=False)
     )
-    comps = dup_clusters(pairs, "id_a", "id_b")
+    reps = groups.select(F.col("members").getItem(0).alias(id_col), F.col(vec_col))
+    # centroids from the FULL corpus (sample order and Lloyd sums are
+    # corpus-level contracts — the twin replays them over q) — but the
+    # Lloyd rounds score the distinct-vq table with multiplicities,
+    # which is sum-exact (see build_portable_centroids)
+    qdf = df.select(id_col, quantized(F.col(vec_col)).alias("vq")).localCheckpoint(
+        eager=False
+    )
+    grp_vq = (
+        qdf.groupBy("vq")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cents = build_portable_centroids(
+        qdf, n_clusters, 2, id_col, "vq", lloyd_df=grp_vq, weight_col="_cnt"
+    )
+    rep_pairs = semantic_dup_pairs_portable(
+        reps, threshold, n_clusters, id_col, vec_col,
+        centroids=cents, collapse_exact=False,
+    ).select("id_a", "id_b")
+    # group stars, under the SAME intra-pair admission rule as
+    # _expand_exact_groups (sd > 0 keeps zero-vector groups edgeless;
+    # the rounded self-cosine vs threshold mirrors the clique filter)
+    v = F.col(vec_col)
+    sd = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    self_cos = F.round(F.col("sd") / (F.sqrt("sd") * F.sqrt("sd")), 9)
+    stars = (
+        groups.where(F.size("members") > 1)
+        .withColumn("sd", sd)
+        .where(F.col("sd") > 0)
+        .where(self_cos >= F.lit(threshold))
+        .select(
+            F.col("members").getItem(0).alias("id_a"),
+            F.explode(F.expr("slice(members, 2, size(members))")).alias("id_b"),
+        )
+    )
+    comps = dup_clusters(rep_pairs.unionByName(stars), "id_a", "id_b")
     drops = comps.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

@@ -121,3 +121,65 @@ def test_round_half_away_matches_engines():
     x = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 0.49, -0.49])
     out = _round_half_away(x)
     assert out.tolist() == [1.0, 2.0, 3.0, -1.0, -2.0, -3.0, 0.0, -0.0]
+
+
+def test_semantic_dedup_decision_form_equals_expanded(spark):
+    """The star-edge decision form (round-11: sf30 caught the C(d,2)
+    pair expansion going quadratic in duplication) must keep the EXACT
+    survivor set of the expanded-pair form on a duplicate-heavy corpus
+    with planted near-duplicates."""
+    import random
+
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        semantic_dedup_portable,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        for _ in range(1 + i % 5):  # duplication factor 1..5
+            rows.append((vid, v))
+            vid += 1
+    # planted near-duplicates of every 4th base vector
+    for i in range(0, 40, 4):
+        rows.append((vid, [x + 1e-4 for x in base[i]]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept_fast = semantic_dedup_portable(df, threshold=0.9, n_clusters=4)
+    kept_slow = semantic_dedup_portable(
+        df, threshold=0.9, n_clusters=4, collapse_exact=False
+    )
+    a = sorted(r.vec_id for r in kept_fast.collect())
+    b = sorted(r.vec_id for r in kept_slow.collect())
+    assert a == b and 0 < len(a) < len(rows)
+
+
+def test_weighted_lloyd_centroids_bit_identical(spark):
+    """build_portable_centroids with a distinct-vq Lloyd table +
+    multiplicities must return the EXACT centroids of the full-corpus
+    run — Σ_corpus vq == Σ_groups cnt·vq on exact integers."""
+    from eth_event_tracker_spark.operators.semantic_portable import (
+        build_portable_centroids,
+        quantized,
+    )
+
+    rows = []
+    vid = 0
+    for i in range(12):
+        v = [float(i + 1), float((i * 3) % 7 + 1), float(i % 4 + 1)]
+        for _ in range(1 + i % 4):
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = df.select("vec_id", quantized(F.col("embedding")).alias("vq"))
+    full = build_portable_centroids(qdf, n_clusters=4, n_iters=2)
+    grp = qdf.groupBy("vq").agg(
+        F.min("vec_id").alias("vec_id"), F.count("*").alias("_cnt")
+    )
+    weighted = build_portable_centroids(
+        qdf, n_clusters=4, n_iters=2, lloyd_df=grp, weight_col="_cnt"
+    )
+    assert full == weighted

@@ -128,3 +128,20 @@ def test_sf3_smoke_artifact_committed():
     assert d["sf"] == 3.0 and len(d["queries"]) >= 5
     bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
     assert not bad, f"sf3 smoke failures: {bad}"
+
+
+def test_sf30_smoke_artifact_committed():
+    """The sf≈30 (300× density) tier for the top-3 heaviest (round-10
+    verdict item 5) must be committed and all green.  Regenerate with
+    `python tools/sf1_smoke.py --factor 300 --dst /tmp/eets_sf30_synth
+    --out sf30_smoke.json --budget 900 --only semantic_dedup_emb
+    pagerank_cosupply community_labels_cosupply`."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "sf30_smoke.json")
+    with open(path) as f:
+        d = json.load(f)
+    assert d["sf"] == 30.0 and len(d["queries"]) >= 3
+    bad = {k: v for k, v in d["queries"].items() if v["status"] != "ok"}
+    assert not bad, f"sf30 smoke failures: {bad}"
