@@ -40,6 +40,14 @@ for t in "region nation customer supplier part orders lineitem events documents 
 qs, os_ = e.queries(), e.oracle_sql()
 if N_ENTRIES is not None:
     qs = dict(list(qs.items())[:N_ENTRIES])
+# SPARK_GRAFT_ONLY=a,b,c — verify just the named entries (round-11 tight
+# optimize→verify loops; the full registry still runs when unset)
+_only = os.environ.get("SPARK_GRAFT_ONLY")
+if _only:
+    want = [w.strip() for w in _only.split(",") if w.strip()]
+    missing = [w for w in want if w not in qs]
+    assert not missing, f"SPARK_GRAFT_ONLY names not in registry: {missing}"
+    qs = {k: qs[k] for k in want}
 def canon(v):
     if v is None: return "N"
     if isinstance(v, float):
