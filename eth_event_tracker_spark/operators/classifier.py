@@ -256,7 +256,12 @@ def train_quality_gd_portable(
         )
         # ONE action per iteration: bias rides along as position 0 with
         # x = 1, features shift to positions 1..dim — 65-key shuffle,
-        # map-side combined
+        # map-side combined.  Round-11 A/B kept this shape: a "zero
+        # shuffle" wide grand aggregate (dim+1 decimal sums in one agg)
+        # measured 3× SLOWER warm (0.77 → 2.52 s/iter at sf0.1) because
+        # the 83-expression aggregate re-pays plan/codegen cost every
+        # iteration, while this small plan is codegen-cache-friendly and
+        # the 83-key shuffle is partial-aggregated to ~83×n_tasks rows.
         grads = (
             r.select(
                 "r",

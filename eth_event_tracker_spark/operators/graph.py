@@ -176,17 +176,30 @@ def pagerank(
     out_deg = e.groupBy("node").agg(F.count("*").alias("_deg"))
     # half-UP like F.round / DuckDB round (python round() is half-even)
     init_units = int(math.floor(UNITS / n + 0.5))
-    ranks = nodes.withColumn("units", F.lit(init_units).cast("long"))
-    prev = None
+    # Round-11 join-count fix (guide §2.4): the rank frame CARRIES the
+    # static out-degree (joined once here, not once per round) and the
+    # previous round's units (so the convergence delta needs no join
+    # against a second frame).  The round-10 loop spent 5 joins/round
+    # (ranks⋈deg for dangling, ⋈prev for delta, ranks⋈deg⋈e for
+    # contribs, nodes⋈inbound for the update); this shape spends 2
+    # (⋈e, ⋈inbound) — identical arithmetic, identical ranks, and the
+    # ONE-action-per-round discipline is unchanged.
+    ranks = (
+        nodes.join(out_deg, "node", "left")
+        .select(
+            "node",
+            "_deg",
+            F.lit(init_units).cast("long").alias("units"),
+            F.lit(None).cast("long").alias("_old"),
+        )
+        .localCheckpoint(eager=False)
+    )
     for _ in range(n_iters):
-        frame = ranks.join(out_deg, "node", "left")
         aggs = [F.sum(F.when(F.col("_deg").isNull(), F.col("units"))).alias("_dangling")]
-        check_delta = tol is not None and prev is not None
-        if check_delta:
-            frame = frame.join(prev.select("node", F.col("units").alias("_old")), "node")
+        if tol is not None:
             aggs.append(F.sum(F.abs(F.col("units") - F.col("_old"))).alias("_delta"))
-        row = frame.agg(*aggs).first()  # the round's single driver action
-        if check_delta and row["_delta"] is not None and row["_delta"] < tol * UNITS:
+        row = ranks.agg(*aggs).first()  # the round's single driver action
+        if tol is not None and row["_delta"] is not None and row["_delta"] < tol * UNITS:
             break
         # the exact expression sequence the SQL twin replays:
         dangling_units = row["_dangling"] or 0
@@ -194,7 +207,7 @@ def pagerank(
             (1.0 - damping) / n + damping * (dangling_units * 1e-15) / n
         ) * 1e15
         contribs = (
-            ranks.join(out_deg, "node")
+            ranks.where(F.col("_deg").isNotNull())
             .join(e, "node")
             .select(
                 F.col("_dst").alias("node"),
@@ -204,21 +217,21 @@ def pagerank(
             )
         )
         inbound = contribs.groupBy("node").agg(F.sum("cu").alias("in_units"))
-        new_ranks = (
-            nodes.join(inbound, "node", "left")
+        ranks = (
+            ranks.join(inbound, "node", "left")
             .select(
                 "node",
+                "_deg",
                 F.round(
                     F.lit(base_units)
                     + F.lit(damping) * F.coalesce(F.col("in_units"), F.lit(0)).cast("double")
                 )
                 .cast("long")
                 .alias("units"),
+                F.col("units").alias("_old"),
             )
             .localCheckpoint(eager=False)
         )
-        prev = ranks
-        ranks = new_ranks
     return ranks.select("node", (F.col("units").cast("double") * F.lit(1e-15)).alias("rank"))
 
 
@@ -258,29 +271,40 @@ def label_propagation(
     )
     nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     labels = nodes.select("node", F.col("node").alias("label"))
+    lbl_t = und.schema["a"].dataType
     w = Window.partitionBy("node").orderBy(F.desc("_cnt"), F.asc("_lbl"))
+    wn = Window.partitionBy("node")
     for _ in range(n_iters):
+        # Round-11 join-count fix (guide §2.4): the self-vote row carries
+        # the voter's own current label in a side column, and a second
+        # window over the SAME node partitioning (no extra exchange)
+        # surfaces it next to the argmax winner — so the changed-count
+        # needs no join of new labels against old.  2 shuffling joins per
+        # round → 1; votes, counts, argmax and the returned labels are
+        # byte-identical to the round-10 loop.
         votes = und.join(
             labels.select(F.col("node").alias("b"), F.col("label").alias("_lbl")), "b"
-        ).select(F.col("a").alias("node"), "_lbl")
+        ).select(F.col("a").alias("node"), "_lbl", F.lit(None).cast(lbl_t).alias("_self"))
         votes = votes.unionByName(
-            labels.select("node", F.col("label").alias("_lbl"))  # the self-vote
+            labels.select(  # the self-vote
+                "node", F.col("label").alias("_lbl"), F.col("label").alias("_self")
+            )
         )
-        neigh = votes.groupBy("node", "_lbl").agg(F.count("*").alias("_cnt"))
+        neigh = votes.groupBy("node", "_lbl").agg(
+            F.count("*").alias("_cnt"), F.max("_self").alias("_was")
+        )
         new_labels = (
             neigh.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_old", F.max("_was").over(wn))
             .where(F.col("_rn") == 1)
-            .select("node", F.col("_lbl").alias("label"))
+            .select("node", F.col("_lbl").alias("label"), "_old")
             .localCheckpoint(eager=False)
         )
         changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("_old")), "node"
-            )
-            .where(F.col("label") != F.col("_old"))
+            new_labels.where(F.col("label") != F.col("_old"))
             .count()  # the round's single driver action
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels
@@ -366,18 +390,23 @@ def bfs_hops(
     needed.  DuckDB twin: a bounded recursive CTE taking MIN(d) per node
     (queries/relational.py bfs_hops_cosupply) — the oracle for the loop."""
     e = _canon_edges(edges, src, dst)
+    # Round-11 join-count fix (guide §2.4): symmetrize the edge table
+    # ONCE so each BFS round probes a single adjacency join instead of
+    # joining the frontier against both endpoint columns separately —
+    # same neighbor set, half the per-round join stages.
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
     visited = sources.select(F.col(source_col).alias("node")).distinct().select(
         "node", F.lit(0).alias("hops")
     ).localCheckpoint(eager=False)
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         neigh = (
-            frontier.join(e, frontier["node"] == e["a"]).select(F.col("b").alias("node"))
-            .unionAll(
-                frontier.join(e, frontier["node"] == e["b"]).select(
-                    F.col("a").alias("node")
-                )
-            )
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
             .distinct()
         )
         new = neigh.join(visited.select("node"), "node", "left_anti").select(

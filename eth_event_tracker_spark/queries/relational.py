@@ -1239,20 +1239,33 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-11 shuffle-count fix (guide §2.4): explode to (src, dst-list)
+    # rows FIRST (a ~26× cheaper explode than the full pair explode), then
+    # ONE hash repartition on src — the pair explode, the (src, dst)
+    # count aggregate AND the per-src top-5 window all run inside that
+    # partitioning (HashPartitioning(src) satisfies the clustering of
+    # both downstream operators), so the plan carries 2 exchanges where
+    # the round-10 shape carried 4 (partkey agg → round-robin spread →
+    # pair-count agg → window) and the ~325×-per-part pair rows never
+    # cross a shuffle at all.  The explicit partition count (one slice
+    # per core, scale-adaptive) keeps AQE from coalescing the SMALL
+    # src-list rows into few tasks before the explode blows them up —
+    # the same explode-after-exchange trap the round-10 round-robin
+    # spread existed to dodge.
     li = load_table(spark, sf_dir, "lineitem")
-    lists = (
-        li.groupBy("l_partkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    lists = li.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    pairs = lists.select(
+    by_src = lists.select(
         F.explode(
             F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src, y AS dst))))"
+                "transform(ss, (x, i) -> "
+                "struct(x AS src, slice(ss, i + 2, size(ss)) AS ds))"
             )
         ).alias("p")
-    ).select("p.src", "p.dst")
+    ).select("p.src", "p.ds")
+    spread = by_src.repartition(spark.sparkContext.defaultParallelism, "src")
+    pairs = spread.select("src", F.explode("ds").alias("dst"))
     w = Window.partitionBy("src").orderBy(F.desc("cnt"), "dst")
     return (
         pairs.groupBy("src", "dst")
