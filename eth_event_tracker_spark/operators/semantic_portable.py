@@ -200,16 +200,20 @@ def assign_portable(
     cnorm = _nonzero_norms(cents)
     dim = len(cents[0])
 
+    cnorm_np = np.asarray(cnorm, dtype=np.float64)
+
     @pandas_udf("int")
     def nearest(vqs: pd.Series) -> pd.Series:
         m = np.stack(vqs.to_numpy()).astype(np.float64)
-        scores = np.empty((len(m), k))
-        for c in range(k):
-            acc = np.zeros(len(m))
-            row = cents_np[c]
-            for d in range(dim):
-                acc += m[:, d] * row[d]
-            scores[:, c] = acc / cnorm[c]
+        # accumulate over d for ALL centroids at once (round 11): each
+        # scores[i, c] still receives m[i, d]·c[d] additions in the same
+        # left-to-right d order as the per-centroid loop, so every score
+        # is IEEE-bit-identical to the fold the DuckDB twin replays —
+        # the python-level loop shrinks from k·dim to dim iterations.
+        scores = np.zeros((len(m), k))
+        for d in range(dim):
+            scores += m[:, d, None] * cents_np[None, :, d]
+        scores /= cnorm_np[None, :]
         # first-max == ORDER BY score DESC, cid ASC
         return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
 
@@ -383,16 +387,17 @@ def probe_portable(
     dim = len(cents[0])
     n_out = min(n_probe, k)
 
+    cnorm_np = np.asarray(cnorm, dtype=np.float64)
+
     @pandas_udf("array<int>")
     def probes_of(vqs: pd.Series) -> pd.Series:
         m = np.stack(vqs.to_numpy()).astype(np.float64)
-        scores = np.empty((len(m), k))
-        for c in range(k):
-            acc = np.zeros(len(m))
-            row = cents_np[c]
-            for d in range(dim):
-                acc += m[:, d] * row[d]
-            scores[:, c] = acc / cnorm[c]
+        # same d-ordered accumulation as assign_portable.nearest (round
+        # 11): bit-identical scores, k·dim → dim python iterations
+        scores = np.zeros((len(m), k))
+        for d in range(dim):
+            scores += m[:, d, None] * cents_np[None, :, d]
+        scores /= cnorm_np[None, :]
         cids = np.arange(k)
         out = [
             np.lexsort((cids, -scores[i]))[:n_out].astype(np.int32)
