@@ -26,12 +26,21 @@ from pyspark.sql import functions as F
 
 def test_cosupply_spread_tracks_default_parallelism(spark, sf_dir):
     """The re-spread width before the pair explode is defaultParallelism,
-    not a literal: RoundRobinPartitioning(dp) must appear in the plan."""
+    not a literal.  Round-11 shape: ONE hash repartition on src (the pair
+    explode, pair-count aggregate and top-5 window all reuse it), so the
+    plan must carry RepartitionByExpression [src], dp — round-robin would
+    mean the single-exchange restructure regressed, a literal width would
+    re-introduce the hard-coded-32 under-spread (round-10 verdict item 2)."""
+    import re
+
     from eth_event_tracker_spark.queries.relational import _build_cosupply_edges
 
     dp = spark.sparkContext.defaultParallelism
     plan = _build_cosupply_edges(spark, sf_dir)._jdf.queryExecution().toString()
-    assert f"RoundRobinPartitioning({dp})" in plan, plan[:2000]
+    assert re.search(rf"RepartitionByExpression \[src#\d+L?\], {dp}\b", plan), (
+        plan[:2000]
+    )
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]
 
 
 def test_cosupply_shared_extraction_row_identical(spark, sf_dir):
