@@ -40,6 +40,115 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def corpus_dup_heavy(
+    df: DataFrame, text_col: str = "text", shingles: DataFrame | None = None
+) -> bool:
+    """ONE cheap scalar decides whether the identical-content
+    pre-collapse pays for itself: heavy ⟺ the approximate count of
+    distinct normalized texts sits more than 10 % below the row count.
+
+    The collapse's candidate-volume saving scales with the SQUARE of
+    the exact-duplicate factor while its cost (a per-doc hash
+    aggregate, a tiny group shuffle, and the pair re-expansion) is a
+    handful of metadata-width stages — on a duplicate-light corpus the
+    stages are pure overhead, on a crawl-shaped one they are the
+    difference between O(buckets²) and O(distinct-buckets²).  Both
+    plans produce bit-identical output, so this is a runtime plan
+    choice in the AQE spirit, made from a measured statistic instead
+    of doctrine.  approx_count_distinct at rsd 2 % keeps the decision
+    deterministic for a given dataset and leaves ≥5σ between a
+    duplicate-free corpus and the 10 % margin.
+
+    The verdict is memoized ON the shingle-table object when one is
+    passed — the registry entries share one session-scoped cached
+    shingle table per sf_dir, so the whole dedup family pays the
+    decision aggregate once per session."""
+    if shingles is not None:
+        hit = getattr(shingles, "_eets_dup_heavy", None)
+        if hit is not None:
+            return hit
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(normalize(F.col(text_col)), 0.02).alias("d"),
+    ).first()
+    heavy = bool(row.n and (row.n - row.d) > 0.10 * row.n)
+    if shingles is not None:
+        shingles._eets_dup_heavy = heavy
+    return heavy
+
+
+def _dup_text_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse documents with IDENTICAL normalized text to one
+    representative: (rep = min member id, members = sorted ids), one
+    row per distinct content.
+
+    This is the exact-duplicate pre-collapse the simhash/embedding
+    tiers already run (round-9 verdict finding #1) applied to the
+    shingle-join family: a crawl-scale corpus is duplicate-heavy, and
+    every shingle/prefix/band bucket's candidate count grows with the
+    SQUARE of the duplication factor, while shingle sets — and so
+    Jaccard, containment, minhash signatures and band keys — are pure
+    functions of normalize(text).  Members are therefore
+    interchangeable with their representative in every pair
+    computation.  The group key is exact_dedup's content hash
+    (sha-256 of the normalized text); docs whose normalized text is
+    empty produce no shingles and so no pairs — they are excluded so
+    the expansion cannot invent pairs the shingle join never sees.
+    Shuffle shape (guide §2.3): one scan of the doc table, one
+    metadata-width (hash, id) exchange — payloads never move."""
+    return (
+        df.where(normalize(F.col(text_col)) != "")
+        .select(F.col(id_col), F.sha2(normalize(F.col(text_col)), 256).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .select(F.col("members").getItem(0).alias("rep"), "members")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _expand_member_pairs(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    intra: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Expand representative-level UNORDERED pairs (doc_a < doc_b) to
+    member level: a cross-group member pair inherits its reps' value
+    columns verbatim (the pair measure depends only on the two shingle
+    sets), and every within-group pair — identical sets — is emitted
+    with the literal columns in ``intra`` (e.g. jaccard = 1.0, which is
+    bit-equal to the oracle's s/s division).  Pass ``intra=None`` for
+    value-less pair sets (candidates).  Each unordered member pair is
+    emitted exactly once: groups partition the doc ids, and rep pairs
+    are unique per group pair."""
+    val_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
+    ga = groups.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ms_a"))
+    gb = groups.select(F.col("rep").alias("doc_b"), F.col("members").alias("_ms_b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(F.explode("_ms_a").alias("_ma"), "_ms_b", *val_cols)
+        .select("_ma", F.explode("_ms_b").alias("_mb"), *val_cols)
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            *val_cols,
+        )
+    )
+    intra_vals = [c.alias(name) for name, c in (intra or {}).items()]
+    intra_df = (
+        groups.where(F.size("members") > 1)
+        .select(F.posexplode("members").alias("_i", "_ma"), "members")
+        .select(
+            "_ma",
+            F.explode(F.expr("slice(members, _i + 2, size(members))")).alias("_mb"),
+        )
+        .select(F.col("_ma").alias("doc_a"), F.col("_mb").alias("doc_b"), *intra_vals)
+    )
+    return cross.unionByName(intra_df)
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -48,6 +157,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    collapse_identical: bool | None = None,
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -60,8 +170,30 @@ def jaccard_pairs(
     ``doc_a < doc_b``.  A defensive distinct below makes duplicate
     candidate rows harmless (a duplicate would otherwise double-count
     every co-shingle into n_inter); a row with doc_a > doc_b is the
-    caller's bug — it would report the pair in the swapped orientation."""
+    caller's bug — it would report the pair in the swapped orientation.
+
+    ``collapse_identical`` (exhaustive path only — a caller passing
+    ``candidates`` has already chosen its population): identical
+    normalized texts collapse to one representative before the shingle
+    self-join and member pairs expand afterwards
+    (:func:`_dup_text_groups`), so the co-shingle bucket joins no
+    longer square with the exact-duplicate factor.  ``None`` (default)
+    decides adaptively from the measured duplicate density
+    (:func:`corpus_dup_heavy`).  Bit-equality: cross-group pairs reuse
+    the reps' n_inter/n_a/n_b integers; a within-group pair's jaccard
+    is s/(s+s−s) = 1.0 exactly."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
+    if candidates is None and collapse_identical is None:
+        collapse_identical = corpus_dup_heavy(df, text_col, shingles)
+    if candidates is None and collapse_identical:
+        sh = sh.localCheckpoint(eager=False)  # rep join + verification below
+        groups = _dup_text_groups(df, text_col, id_col)
+        sh_rep = sh.join(groups.select(F.col("rep").alias(id_col)), id_col)
+        rep_pairs = jaccard_pairs(
+            df, threshold, n, text_col, id_col,
+            candidates=None, shingles=sh_rep, collapse_identical=False,
+        )
+        return _expand_member_pairs(rep_pairs, groups, {"jaccard": F.lit(1.0)})
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -100,6 +232,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    collapse_identical: bool | None = None,
 ) -> DataFrame:
     """ORDERED pairs (doc_a, doc_b, containment) with shingle containment
     |S(a) ∩ S(b)| / |S(a)| ≥ threshold — Broder's asymmetric companion to
@@ -112,8 +245,47 @@ def containment_pairs(
     pairs meet ONCE via the shingle equi-join (doc_a < doc_b), the
     intersection count aggregates once, and both orientations then emit
     from that single table with their own denominators — the ordered
-    output never doubles the join."""
+    output never doubles the join.
+
+    ``collapse_identical``: same identical-content pre-collapse as
+    :func:`jaccard_pairs` (``None`` = adaptive via
+    :func:`corpus_dup_heavy`), with an ORDERED expansion — a
+    cross-group member pair keeps its reps' orientation and containment
+    value (denominators depend only on the sets), and within-group
+    ordered pairs emit both directions with containment s/s = 1.0
+    exactly."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
+    if collapse_identical is None:
+        collapse_identical = corpus_dup_heavy(df, text_col, shingles)
+    if collapse_identical:
+        sh = sh.localCheckpoint(eager=False)  # rep join + verification below
+        groups = _dup_text_groups(df, text_col, id_col)
+        sh_rep = sh.join(groups.select(F.col("rep").alias(id_col)), id_col)
+        rep = containment_pairs(
+            df, threshold, n, text_col, id_col,
+            shingles=sh_rep, collapse_identical=False,
+        )
+        ga = groups.select(F.col("rep").alias("doc_a"), F.col("members").alias("_ms_a"))
+        gb = groups.select(F.col("rep").alias("doc_b"), F.col("members").alias("_ms_b"))
+        cross = (
+            rep.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(F.explode("_ms_a").alias("_ma"), "_ms_b", "containment")
+            .select("_ma", F.explode("_ms_b").alias("_mb"), "containment")
+            .select(
+                F.col("_ma").alias("doc_a"),
+                F.col("_mb").alias("doc_b"),
+                "containment",
+            )
+        )
+        intra = (
+            groups.where(F.size("members") > 1)
+            .select(F.explode("members").alias("doc_a"), "members")
+            .select("doc_a", F.explode("members").alias("doc_b"))
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit(1.0).alias("containment"))
+        )
+        return cross.unionByName(intra)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -146,6 +318,7 @@ def jaccard_pairs_prefix(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    collapse_identical: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard ≥ threshold pairs via PREFIX FILTERING — the
     AllPairs/PPJoin candidate rule (Bayardo/Ma/Srikant, WWW 2007): same
@@ -169,9 +342,29 @@ def jaccard_pairs_prefix(
     prefix tokens are by construction the RARE ones — the frequency-sorted
     order exists precisely to keep those buckets small.  One extra
     frequency aggregate + one per-doc rank window over the shingle
-    table; everything else is shared with the any-share path."""
+    table; everything else is shared with the any-share path.
+
+    ``collapse_identical``: exact duplicates make every one of their
+    (rare!) prefix tokens a hot key — prefix buckets, and so candidate
+    volume, grow with the SQUARE of the duplication factor, which is
+    precisely the regime a crawl corpus lives in.  The
+    identical-content pre-collapse (:func:`_dup_text_groups`; ``None``
+    = adaptive via :func:`corpus_dup_heavy`) runs the whole
+    freq/prefix/verify pipeline on one representative per distinct
+    content and expands member pairs afterwards.  The prefix rule
+    stays complete: document frequency over the collapsed table is
+    still a common total order over shingles (any such order preserves
+    the theorem), and the verification is exact regardless."""
     sh = shingles if shingles is not None else word_shingles(df, text_col, n, id_col)
+    if collapse_identical is None:
+        collapse_identical = corpus_dup_heavy(df, text_col, shingles)
     sh = sh.localCheckpoint(eager=False)  # three consumers below
+    groups = None
+    if collapse_identical:
+        groups = _dup_text_groups(df, text_col, id_col)
+        sh = sh.join(groups.select(F.col("rep").alias(id_col)), id_col).localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_t"))
     w = Window.partitionBy(id_col).orderBy("df_t", "shingle")
@@ -202,9 +395,12 @@ def jaccard_pairs_prefix(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(
+    verified = jaccard_pairs(
         df, threshold, n, text_col, id_col, candidates=cand, shingles=sh
     )
+    if groups is None:
+        return verified
+    return _expand_member_pairs(verified, groups, {"jaccard": F.lit(1.0)})
 
 
 # MinHash permutation family: one portable sha-based hash per shingle,
@@ -294,20 +490,65 @@ def band_keys(sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id") -> Da
 
 
 def lsh_candidates(
-    sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id"
+    sigs: DataFrame, band_rows: int = 4, id_col: str = "doc_id",
+    collapse_identical: bool | None = None,
 ) -> DataFrame:
-    """Band the signature; docs sharing any band key are candidates."""
+    """Band the signature; docs sharing any band key are candidates.
+
+    ``collapse_identical``: docs with an IDENTICAL full signature (every
+    band key equal — what exact duplicates produce) collapse to one
+    representative before the band self-join and expand afterwards, so
+    band buckets stop squaring with the duplication factor.  The
+    returned candidate SET is bit-identical: an identical-signature
+    pair shares all its bands (always a candidate, emitted by the
+    intra expansion), and a cross-group pair shares a band key iff its
+    representatives do (band keys depend only on the signature).
+    ``None`` decides adaptively from the measured distinct-signature
+    density (the signature analogue of :func:`corpus_dup_heavy`);
+    callers that already collapsed their population upstream, or
+    already know the corpus duplication, pass the boolean."""
     banded = band_keys(sigs, band_rows, id_col).localCheckpoint(eager=False)
+    groups = None
+    if collapse_identical is not False:
+        sig_of = F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                lambda s: s["band_key"],
+            ),
+        )
+        per_doc = (
+            banded.groupBy(id_col)
+            .agg(sig_of.alias("_sig"))
+            .localCheckpoint(eager=False)
+        )
+        if collapse_identical is None:
+            row = per_doc.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("_sig", 0.02).alias("d"),
+            ).first()
+            collapse_identical = bool(row.n and (row.n - row.d) > 0.10 * row.n)
+    if collapse_identical:
+        groups = (
+            per_doc.groupBy("_sig")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+            .select(F.col("members").getItem(0).alias("rep"), "members")
+            .localCheckpoint(eager=False)
+        )
+        banded = banded.join(groups.select(F.col("rep").alias(id_col)), id_col)
     # both sides of the self-join — without the lineage cut the whole
     # signature pipeline runs twice
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
-    return (
+    cand = (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if groups is not None:
+        return _expand_member_pairs(cand, groups)
+    return cand
 
 
 def minhash_lsh_dedup(
@@ -319,11 +560,24 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    collapse_identical: bool | None = None,
 ) -> DataFrame:
     """Full pipeline: shingle → minhash → LSH bands → candidate pairs →
     exact Jaccard verification ≥ threshold.  The shingle table is
     materialized once and shared between signature generation and
     verification — at 100 TB it would be a persisted intermediate table.
+
+    ``collapse_identical``: the identical-content pre-collapse
+    (:func:`_dup_text_groups`; ``None`` = adaptive via
+    :func:`corpus_dup_heavy`) runs signatures, banding AND the
+    Jaccard verification on one representative per distinct content,
+    expanding member pairs only at the very end — candidate
+    volume, verification joins and the n_inter aggregate all stop
+    squaring with the exact-duplicate factor.  Bit-equality as in
+    :func:`jaccard_pairs`: signatures and Jaccard depend only on the
+    shingle set (a pure function of the normalized text); within-group
+    pairs (always candidates — identical signatures share every band)
+    carry jaccard s/s = 1.0 exactly.
 
     Internal intermediates use localCheckpoint, not cache(): a cache()
     here would add a CacheManager entry per invocation with no owner to
@@ -337,9 +591,27 @@ def minhash_lsh_dedup(
         if shingles is not None
         else word_shingles(df, text_col, n, id_col).localCheckpoint(eager=False)
     )
+    if collapse_identical is None:
+        collapse_identical = corpus_dup_heavy(df, text_col, shingles)
+    groups = None
+    if collapse_identical:
+        groups = _dup_text_groups(df, text_col, id_col)
+        # reps are already content-distinct — the signature-level
+        # collapse inside lsh_candidates would only re-find (a subset
+        # of) the same groups, so pass False below either way
+        sh = sh.join(groups.select(F.col("rep").alias(id_col)), id_col).localCheckpoint(
+            eager=False
+        )
     sigs = minhash_signatures(df, k, n, text_col, id_col, shingles=sh)
-    cands = lsh_candidates(sigs, band_rows, id_col).localCheckpoint(eager=False)
-    return jaccard_pairs(df, threshold, n, text_col, id_col, candidates=cands, shingles=sh)
+    cands = lsh_candidates(
+        sigs, band_rows, id_col, collapse_identical=False
+    ).localCheckpoint(eager=False)
+    verified = jaccard_pairs(
+        df, threshold, n, text_col, id_col, candidates=cands, shingles=sh
+    )
+    if groups is None:
+        return verified
+    return _expand_member_pairs(verified, groups, {"jaccard": F.lit(1.0)})
 
 
 def minhash_filter_against(

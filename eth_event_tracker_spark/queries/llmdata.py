@@ -3702,7 +3702,11 @@ def dedup_precision_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(spark, sf_dir)
     sigs = OPD.minhash_signatures(docs, shingles=sh)
-    cand = OPD.lsh_candidates(sigs)
+    # identical texts ⇒ identical signatures, so the (memoized) corpus
+    # duplicate-density verdict decides the candidate-join collapse too
+    cand = OPD.lsh_candidates(
+        sigs, collapse_identical=OPD.corpus_dup_heavy(docs, "text", sh)
+    )
     true_pairs = OPD.jaccard_pairs(docs, threshold=0.8, shingles=sh).select(
         "doc_a", "doc_b", F.lit(1).alias("is_true")
     )

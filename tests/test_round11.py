@@ -192,3 +192,46 @@ def test_weighted_lloyd_centroids_bit_identical(spark):
         qdf, n_clusters=4, n_iters=2, lloyd_df=grp, weight_col="_cnt"
     )
     assert full == weighted
+
+
+def test_shingle_set_collapse_bit_equal_across_family(spark, sf_dir):
+    """The identical-shingle-set pre-collapse (round-11 optimization:
+    candidate volume must not square with the exact-duplicate factor)
+    is bit-equal to the uncollapsed pipelines across the whole
+    shingle-join family — jaccard doubles included (cross-group pairs
+    reuse the reps' integer division; within-group pairs s/s = 1.0).
+    The corpus is the fixture replicated 3× with disjoint ids (the
+    sf1-smoke duplication shape), so every doc sits in a ≥3-member
+    identical-set group and the collapse is actually exercised."""
+    from eth_event_tracker_spark.operators import dedup as OPD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs
+    for i in (1, 2):
+        corpus = corpus.unionByName(
+            docs.select((F.col("doc_id") + 1_000_000_000 * i).alias("doc_id"), "text")
+        )
+    corpus = corpus.localCheckpoint()
+
+    # the adaptive decision: replicated corpus → heavy (collapse), the
+    # raw fixture (≈no exact dups) → light (identical to the old plan)
+    assert OPD.corpus_dup_heavy(corpus) is True
+    assert OPD.corpus_dup_heavy(docs) is False
+
+    def pairs(df_out, cols):
+        return {tuple(getattr(r, c) for c in cols) for r in df_out.collect()}
+
+    for fn, cols in [
+        (OPD.jaccard_pairs, ("doc_a", "doc_b", "jaccard")),
+        (OPD.jaccard_pairs_prefix, ("doc_a", "doc_b", "jaccard")),
+        (OPD.minhash_lsh_dedup, ("doc_a", "doc_b", "jaccard")),
+        (OPD.containment_pairs, ("doc_a", "doc_b", "containment")),
+    ]:
+        got = pairs(fn(corpus, threshold=0.8), cols)
+        ref = pairs(fn(corpus, threshold=0.8, collapse_identical=False), cols)
+        assert got == ref and len(ref) > 0, fn.__name__
+
+    sigs = OPD.minhash_signatures(corpus)
+    got_c = pairs(OPD.lsh_candidates(sigs), ("doc_a", "doc_b"))
+    ref_c = pairs(OPD.lsh_candidates(sigs, collapse_identical=False), ("doc_a", "doc_b"))
+    assert got_c == ref_c and len(ref_c) > 0
