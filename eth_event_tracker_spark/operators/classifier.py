@@ -179,8 +179,9 @@ def _pe6_col(w_u: list[int], b_u: int) -> "F.Column":
 
 
 def _pe6_udf(w_u: list[int], b_u: int) -> "F.Column":
-    """Arrow-batched twin of :func:`_pe6_col` for the TRAINING loop's 8
-    hot actions: the int64 matmul is exact (order-free — integers), and
+    """Arrow-batched twin of :func:`_pe6_col` — the numpy scoring kernel
+    the training gradient (:func:`_grad_partials`) fuses into its single
+    Python pass: the int64 matmul is exact (order-free — integers), and
     the float tail replays the same pinned sequence (int→double /1e9,
     np.exp, 1/(1+·), ·1e6, half-away round via _round_half_away, never
     numpy's half-even).  Bit-equality to the Catalyst scorer is pinned
@@ -207,6 +208,47 @@ def _pe6_udf(w_u: list[int], b_u: int) -> "F.Column":
     return score(F.col("vq"))
 
 
+def _grad_partials(tv: DataFrame, w_u: list[int], b_u: int) -> DataFrame:
+    """Fused training-gradient partials for ONE GD iteration: per Arrow
+    batch (chunked to ≤100k rows), score pe6 with the exact numpy
+    sequence :func:`_pe6_udf` pins (int64 matmul — exact, order-free —
+    then the int→double /1e9, np.exp, 1e6 half-away-round tail), take
+    the residual r = pe6 − ye6, and emit the chunk's integer gradient
+    partials as (pos, g) rows: pos 0 = Σr (the bias, x ≡ 1), pos 1..dim
+    = Σ r·x_j.  The caller sums partials as DECIMAL(38,0) — exact and
+    order-independent, so any partitioning/chunking yields the same
+    gradient (pinned in tests against the posexplode form).
+
+    Overflow bound: |r| ≤ 1e6 and |x| ≤ ~5.1e6 (tf-idf e3 cells /
+    bucket units), so a 100k-row chunk's |Σ r·x_j| ≤ 5.1e17 < 2^63 —
+    the chunking exists for that bound, not for memory."""
+    from .semantic_portable import _round_half_away
+
+    w_np = np.array(w_u, dtype=np.int64)
+    bz = int(b_u) * 1000
+    dim = len(w_u)
+    pos = np.arange(dim + 1, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
+            ye6 = pdf["ye6"].to_numpy().astype(np.int64)
+            for s in range(0, len(ye6), 100_000):
+                m = vq[s : s + 100_000]
+                ze9 = m @ w_np + bz
+                z = ze9.astype(np.float64) / 1e9
+                p = 1.0 / (1.0 + np.exp(-z))
+                pe6 = _round_half_away(p * 1e6).astype(np.int64)
+                r = pe6 - ye6[s : s + 100_000]
+                yield pd.DataFrame(
+                    {"pos": pos, "g": np.concatenate(([r.sum()], r @ m))}
+                )
+
+    return tv.mapInPandas(gen, "pos int, g long")
+
+
 def train_quality_gd_portable(
     feats: DataFrame,
     labels_e6: DataFrame,
@@ -224,7 +266,8 @@ def train_quality_gd_portable(
     promotion recipe, semantic_portable.py module docstring).
 
     Per iteration (``n_iters`` fixed, no data-dependent stopping):
-      * pe6 per row via :func:`_pe6_col` (the pinned float sequence);
+      * pe6 per row via the :func:`_pe6_col` float sequence (the numpy
+        twin inside :func:`_grad_partials`);
       * residual r = pe6 - ye6 (exact integers, |r| ≤ 1e6);
       * gradients G_j = Σ r·x_j and G_b = Σ r as DECIMAL(38,0) — exact
         and ORDER-INDEPENDENT, the property that makes the distributed
@@ -250,27 +293,30 @@ def train_quality_gd_portable(
     d_b = (10**lr_exp) * n
     w = [0] * dim
     b = 0
+    # only the two columns the gradient kernel reads cross the Arrow
+    # boundary (guide §4.1: opaque functions defeat column pruning)
+    tv = t.select("vq", "ye6")
     for _ in range(n_iters):
-        r = t.withColumn("pe6", _pe6_udf(w, b)).withColumn(
-            "r", F.col("pe6") - F.col("ye6")
-        )
-        # ONE action per iteration: bias rides along as position 0 with
-        # x = 1, features shift to positions 1..dim — 65-key shuffle,
-        # map-side combined.  Round-11 A/B kept this shape: a "zero
-        # shuffle" wide grand aggregate (dim+1 decimal sums in one agg)
-        # measured 3× SLOWER warm (0.77 → 2.52 s/iter at sf0.1) because
-        # the 83-expression aggregate re-pays plan/codegen cost every
-        # iteration, while this small plan is codegen-cache-friendly and
-        # the 83-key shuffle is partial-aggregated to ~83×n_tasks rows.
+        # ONE action per iteration: a fused mapInPandas pass computes pe6
+        # (the same pinned numpy kernel as _pe6_udf) AND the per-chunk
+        # integer gradient partials g_0 = Σr, g_j = Σ r·x_j in one Python
+        # crossing, emitting 1+dim partial rows per ≤100k-row chunk; the
+        # 1+dim-key groupBy then sums the partials as DECIMAL(38,0).
+        # Integer addition is order-independent, so the result is the
+        # exact gradient regardless of partitioning/chunking — the same
+        # property the original posexplode+groupBy(pos) form leaned on.
+        # Round-11 interleaved A/Bs (idle host, sf0.1, 3 rounds each,
+        # models asserted identical): this fused form 0.29-0.31 s/iter vs
+        # posexplode 0.40-0.50 s/iter (training total 3.35 → 2.45 s) — it
+        # shuffles 1+dim rows per CHUNK instead of 1+dim rows per DOC;
+        # a "zero shuffle" wide grand aggregate (dim+1 decimal sums in
+        # one agg) measured 3× SLOWER than either (0.77 → 2.52 s/iter)
+        # because the 83-expression aggregate re-pays plan/codegen cost
+        # every iteration (weights are fresh literals each round).
         grads = (
-            r.select(
-                "r",
-                F.posexplode(
-                    F.concat(F.array(F.lit(1).cast("long")), F.col("vq"))
-                ).alias("pos", "x"),
-            )
+            _grad_partials(tv, w, b)
             .groupBy("pos")
-            .agg(F.sum((F.col("r") * F.col("x")).cast("decimal(38,0)")).alias("g"))
+            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
             .collect()
         )
         gmap = {int(row.pos): int(row.g) for row in grads}

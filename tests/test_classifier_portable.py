@@ -84,6 +84,51 @@ def test_training_is_layout_independent(spark, sf_dir):
     assert (w1, b1, n1) == (w2, b2, n2)
 
 
+def test_fused_gradient_equals_posexplode_gradient(spark, sf_dir):
+    """Round-11 optimization pin: the fused mapInPandas gradient
+    (_grad_partials — pe6 + integer partials in one Python pass) must
+    produce EXACTLY the gradient of the original posexplode+groupBy(pos)
+    form, for zero weights and for a non-trivial weight vector, under a
+    skewed repartition — the order-independence the exact-integer-sum
+    promotion rests on."""
+    from eth_event_tracker_spark.operators.classifier import _grad_partials, _pe6_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_units(docs, dim=64).localCheckpoint(eager=False)
+    dim = 64 + N_QUALITY_BUCKETS
+    t = feats.join(_labels(docs), "doc_id").select("vq", "ye6")
+    for w, b in [
+        ([0] * dim, 0),
+        ([((j * 7919) % 2001) - 1000 for j in range(dim)], 12345),
+    ]:
+        old = {
+            int(r.pos): int(r.g)
+            for r in (
+                t.withColumn("pe6", _pe6_udf(w, b))
+                .withColumn("r", F.col("pe6") - F.col("ye6"))
+                .select(
+                    "r",
+                    F.posexplode(
+                        F.concat(F.array(F.lit(1).cast("long")), F.col("vq"))
+                    ).alias("pos", "x"),
+                )
+                .groupBy("pos")
+                .agg(F.sum((F.col("r") * F.col("x")).cast("decimal(38,0)")).alias("g"))
+                .collect()
+            )
+        }
+        new = {
+            int(r.pos): int(r.g)
+            for r in (
+                _grad_partials(t.repartition(7), w, b)
+                .groupBy("pos")
+                .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+                .collect()
+            )
+        }
+        assert old == new and len(new) == dim + 1
+
+
 def test_rha_div_matches_duckdb_integer_form():
     """_rha_div == the twin's (2|g|+d)//(2d) CASE — including above 2^53
     where a double round() would drift."""
