@@ -53,6 +53,17 @@ def get_spark(
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_parent}{os.pathsep}{pp}" if pp else pkg_parent
+    # many-concurrent-streams robustness: every spawned Python process
+    # (executor worker, driver-side streaming-source runner) connects back
+    # to the JVM under a 15 s default socket timeout
+    # (pyspark.util.local_connect_and_auth) — a start storm of dozens of
+    # streaming queries can push interpreter startup past it.  60 s is
+    # inert in the common case (the timeout only bounds a connect that is
+    # already in flight) and absorbs the storm.  The JVM-side accept
+    # window (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS = 10 s) is
+    # hard-coded in Spark, so callers starting many queries must also
+    # stagger the STARTS (tests/test_multi_filter.py does, in waves).
+    os.environ.setdefault("SPARK_AUTH_SOCKET_TIMEOUT", "60")
 
     master = os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     n_shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))

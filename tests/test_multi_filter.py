@@ -124,10 +124,25 @@ def test_fifty_streams_one_chain_dir_mixed_specs(tmp_path):
     all survive the same reorg, and each folds to exactly the
     provider-matcher's log set for its spec (the same matcher equality
     the batch 50-filter pin asserts, so streaming == batch per filter
-    by transitivity).  Queries START CONCURRENTLY — 50 live queries
+    by transitivity).  All 50 queries are LIVE CONCURRENTLY — they
     share the session's scheduler and the chain_dir's sidecar/WAL
     locking at once, the reference's many-concurrent-filters mode
-    (ListPrefix store model, tracker.go:26-31)."""
+    (ListPrefix store model, tracker.go:26-31).
+
+    Measured scheduler bound (round-11, the round-10 verdict's allowed
+    alternative): the STARTS are staggered in waves of 10 because
+    Spark's JVM-side worker accept window is hard-coded at 10 s
+    (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS) and a 50-query start
+    storm on 32 local cores reproducibly blows it inside a full pytest
+    session (2/2 in-suite failures: "Python worker failed to connect
+    back" / CANNOT_OPEN_SOCKET while ~50 source-runner interpreters
+    launch at once; the test passes in isolation).  Earlier waves keep
+    running (continuous trigger — nothing is stopped until the drain
+    phase below), so the 50-live-queries concurrency property this pin
+    exists for is unchanged; only the instantaneous spawn demand is
+    bounded, exactly as a real many-filter deployment rolls out
+    subscriptions.  The Python-side connect timeout is raised to 60 s
+    in session.get_spark (SPARK_AUTH_SOCKET_TIMEOUT)."""
     import glob
     import json as _json
 
@@ -166,23 +181,37 @@ def test_fifty_streams_one_chain_dir_mixed_specs(tmp_path):
     assert len(specs) == N_FILTERS
 
     def run_all():
+        import time
+
         queries = []
-        for i, opts in enumerate(specs):
-            reader = (
-                spark.readStream.format("web3changelog")
-                .option("chain_dir", cdir)
-                .option("max_blocks_per_batch", "25")
-            )
-            for kk, vv in opts.items():
-                reader = reader.option(kk, vv)
-            queries.append(
-                reader.load()
-                .writeStream.format("parquet")
-                .option("path", str(tmp_path / f"out{i}"))
-                .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
-                .start()
-            )
-        # all 50 run at once; drain order is irrelevant (each drain
+        for wave_start in range(0, len(specs), 10):
+            wave = []
+            for i in range(wave_start, min(wave_start + 10, len(specs))):
+                opts = specs[i]
+                reader = (
+                    spark.readStream.format("web3changelog")
+                    .option("chain_dir", cdir)
+                    .option("max_blocks_per_batch", "25")
+                )
+                for kk, vv in opts.items():
+                    reader = reader.option(kk, vv)
+                wave.append(
+                    reader.load()
+                    .writeStream.format("parquet")
+                    .option("path", str(tmp_path / f"out{i}"))
+                    .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+                    .start()
+                )
+            # gate the NEXT wave on this one's first committed batches —
+            # bounds instantaneous worker-spawn demand (docstring), while
+            # every started query keeps running until its drain below
+            t0 = time.time()
+            while time.time() - t0 < 120 and any(
+                q.lastProgress is None for q in wave
+            ):
+                time.sleep(0.25)
+            queries.extend(wave)
+        # all 50 are live at once; drain order is irrelevant (each drain
         # waits only for ITS query to go idle)
         for q in queries:
             _drain(q, timeout=300)
