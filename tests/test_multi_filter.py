@@ -200,6 +200,14 @@ def test_fifty_streams_one_chain_dir_mixed_specs(tmp_path):
                     .writeStream.format("parquet")
                     .option("path", str(tmp_path / f"out{i}"))
                     .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+                    # 1 s polling (the deployment shape for a live
+                    # subscription): with the default continuous
+                    # trigger, 50 idle queries BUSY-poll latestOffset
+                    # through their Python source runners and saturate
+                    # the cores — in a warmed full-suite session that
+                    # starves new interpreters past Spark's hard-coded
+                    # 10 s worker accept window (see docstring)
+                    .trigger(processingTime="1 second")
                     .start()
                 )
             # gate the NEXT wave on this one's first committed batches —
