@@ -63,6 +63,10 @@ def get_spark(
     # window (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS = 10 s) is
     # hard-coded in Spark, so callers starting many queries must also
     # stagger the STARTS (tests/test_multi_filter.py does, in waves).
+    # NOTE: the env var only reaches JVM-spawned workers if it is set in
+    # this process BEFORE the JVM launches (worker env is inherited from
+    # the JVM).  For sessions created elsewhere / getOrCreate reuse, the
+    # spark.executorEnv.* conf below carries it through SparkConf instead.
     os.environ.setdefault("SPARK_AUTH_SOCKET_TIMEOUT", "60")
 
     master = os.environ.get("SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
@@ -89,6 +93,13 @@ def get_spark(
         # at 10x-fixture volumes.  Applied only at JVM launch; a cluster
         # deployment sizes driver/executor memory in its submit conf.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # belt-and-braces for the SPARK_AUTH_SOCKET_TIMEOUT env above: on a
+        # cluster (or a JVM launched before this getter ran) executor-side
+        # Python workers inherit it from this conf, not our process env
+        .config(
+            "spark.executorEnv.SPARK_AUTH_SOCKET_TIMEOUT",
+            os.environ.get("SPARK_AUTH_SOCKET_TIMEOUT", "60"),
+        )
     )
     if (state_store or os.environ.get("SPARK_GRAFT_STATE_STORE", "")).lower() == "rocksdb":
         for k, v in ROCKSDB_STATE_CONF.items():

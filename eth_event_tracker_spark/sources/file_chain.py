@@ -56,6 +56,39 @@ def dump_chain(provider: MockProvider, chain_dir: str | os.PathLike) -> None:
     )
 
 
+# Process-level parse memo keyed by (path, kind) -> ((mtime_ns, size), parsed).
+# dump_chain only ever os.replace()s whole files, so (mtime_ns, size) pins the
+# content; a changed file misses the memo and is re-parsed.  This matters for
+# the streaming sources: the per-query source-runner interpreter calls
+# latestOffset() every trigger (1 s in the deployment shape), and reused
+# daemon task workers call read() once per partition — each used to re-parse
+# the full chain JSONL per call.  Heavyweight work now happens once per
+# process per file version (optimization guide §4.5).  Parsed objects are
+# shared read-only; no engine consumer mutates them.  Bounded FIFO so long
+# test sessions over many tmp chains don't accumulate.
+_PARSE_MEMO: dict[tuple[str, str], tuple[tuple[int, int], object]] = {}
+_PARSE_MEMO_MAX = 8
+
+
+def _memoized_parse(path: Path, kind: str, parse) -> object:
+    st = os.stat(path)
+    key = (str(path), kind)
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _PARSE_MEMO.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    obj = parse(path)
+    if len(_PARSE_MEMO) >= _PARSE_MEMO_MAX:
+        _PARSE_MEMO.pop(next(iter(_PARSE_MEMO)))
+    _PARSE_MEMO[key] = (sig, obj)
+    return obj
+
+
+def _parse_jsonl(path: Path) -> list[dict]:
+    with path.open() as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
 class FileChainReader:
     """Task-side reader of a dumped chain."""
 
@@ -67,8 +100,9 @@ class FileChainReader:
     @property
     def blocks(self) -> list[dict]:
         if self._blocks is None:
-            with (self.dir / "blocks.jsonl").open() as f:
-                self._blocks = [json.loads(line) for line in f if line.strip()]
+            self._blocks = _memoized_parse(
+                self.dir / "blocks.jsonl", "blocks", _parse_jsonl
+            )
         return self._blocks
 
     def meta(self) -> dict:
@@ -104,10 +138,11 @@ class FileChainReader:
         if self._by_hash is None:
             p = self.dir / "by_hash.jsonl"
             if p.exists():
-                with p.open() as f:
-                    self._by_hash = {
-                        b["hash"]: b for b in (json.loads(ln) for ln in f if ln.strip())
-                    }
+                self._by_hash = _memoized_parse(
+                    p,
+                    "by_hash",
+                    lambda q: {b["hash"]: b for b in _parse_jsonl(q)},
+                )
             else:
                 self._by_hash = {b["hash"]: b for b in self.blocks}
         return self._by_hash

@@ -278,3 +278,32 @@ def test_restart_with_sidecar_ahead_of_wal(tmp_path):
     ]
     assert all_nums == sorted(set(all_nums))  # contiguous, no dup, no gap
     assert all_nums == list(range(0, offC["next"]))
+
+
+def test_file_chain_parse_memo_shares_and_invalidates(tmp_path):
+    """Round-12 operator optimization (guide §4.5): FileChainReader memoizes
+    the parsed chain per (path, mtime_ns, size) at process level, because
+    the streaming source runner re-reads the chain every 1 s trigger and
+    every read() task re-parsed by_hash.jsonl.  Pin: two readers share ONE
+    parsed object (memo hit), and a dump_chain rewrite — the only way the
+    chain ever changes — is seen immediately (memo miss on new signature)."""
+    from eth_event_tracker_spark.sources.file_chain import FileChainReader
+
+    prov = MockProvider()
+    prov.advance(10, logs_per_block=2)
+    cdir = str(tmp_path / "chain")
+    dump_chain(prov, cdir)
+
+    r1, r2 = FileChainReader(cdir), FileChainReader(cdir)
+    assert r1.blocks is r2.blocks, "memo hit must share the parsed list"
+    assert r1.by_hash is r2.by_hash
+    assert len(r1.blocks) == 11  # genesis + 10
+
+    before = r1.blocks
+    prov.fork(3, logs_per_block=1)  # reorg rewrites blocks.jsonl
+    dump_chain(prov, cdir)
+    r3 = FileChainReader(cdir)
+    assert r3.blocks is not before, "rewrite must invalidate the memo"
+    assert [b["hash"] for b in r3.blocks] == [b.hash for b in prov.canonical]
+    # orphans of the pre-fork branch stay fetchable by hash (S-2)
+    assert all(b["hash"] in r3.by_hash for b in before)

@@ -56,6 +56,8 @@ def _drain(q, timeout=120):
 
     t0, stable = time.time(), 0
     while time.time() - t0 < timeout and stable < 4:
+        if not q.isActive:
+            break  # already terminated — awaitTermination surfaces any error
         time.sleep(0.5)
         st = q.status
         if (
