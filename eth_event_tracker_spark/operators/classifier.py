@@ -209,19 +209,25 @@ def _pe6_udf(w_u: list[int], b_u: int) -> "F.Column":
 
 
 def _grad_partials(tv: DataFrame, w_u: list[int], b_u: int) -> DataFrame:
-    """Fused training-gradient partials for ONE GD iteration: per Arrow
-    batch (chunked to ≤100k rows), score pe6 with the exact numpy
-    sequence :func:`_pe6_udf` pins (int64 matmul — exact, order-free —
-    then the int→double /1e9, np.exp, 1e6 half-away-round tail), take
-    the residual r = pe6 − ye6, and emit the chunk's integer gradient
-    partials as (pos, g) rows: pos 0 = Σr (the bias, x ≡ 1), pos 1..dim
-    = Σ r·x_j.  The caller sums partials as DECIMAL(38,0) — exact and
-    order-independent, so any partitioning/chunking yields the same
-    gradient (pinned in tests against the posexplode form).
+    """Fused training-gradient partials for ONE GD iteration: per chunk,
+    score pe6 with the exact numpy sequence :func:`_pe6_udf` pins (int64
+    matmul — exact, order-free — then the int→double /1e9, np.exp, 1e6
+    half-away-round tail), take the residual r = pe6 − ye6, and emit the
+    chunk's integer gradient partials as (pos, g) rows: pos 0 = Σr (the
+    bias, x ≡ 1), pos 1..dim = Σ r·x_j.  The caller sums partials as
+    DECIMAL(38,0) — exact and order-independent, so any
+    partitioning/chunking yields the same gradient (pinned in tests
+    against the posexplode form).
 
-    Overflow bound: |r| ≤ 1e6 and |x| ≤ ~5.1e6 (tf-idf e3 cells /
-    bucket units), so a 100k-row chunk's |Σ r·x_j| ≤ 5.1e17 < 2^63 —
-    the chunking exists for that bound, not for memory."""
+    Chunking = int64-overflow enforcement (round-11 advice #1): a chunk
+    arrives as one Arrow batch (≤ spark.sql.execution.arrow.
+    maxRecordsPerBatch rows, default 10k — the effective chunk in the
+    measured numbers) and is further split so that
+    rows · 1e6 · max|x| < 2^63 holds for the MEASURED max|x| of the
+    batch, not an assumed feature bound — pathological long docs
+    (hashed-TFIDF cells grow with tokens/doc) shrink the chunk instead
+    of silently wrapping numpy int64.  |r| ≤ 1e6 always; the per-element
+    product 1e6·max|x| itself cannot overflow below ~7.7e8 tokens/doc."""
     from .semantic_portable import _round_half_away
 
     w_np = np.array(w_u, dtype=np.int64)
@@ -235,13 +241,15 @@ def _grad_partials(tv: DataFrame, w_u: list[int], b_u: int) -> DataFrame:
                 continue
             vq = np.stack(pdf["vq"].to_numpy()).astype(np.int64)
             ye6 = pdf["ye6"].to_numpy().astype(np.int64)
-            for s in range(0, len(ye6), 100_000):
-                m = vq[s : s + 100_000]
+            xmax = int(np.abs(vq).max()) or 1
+            step = max(1, min(100_000, (2**63 - 1) // (1_000_000 * xmax)))
+            for s in range(0, len(ye6), step):
+                m = vq[s : s + step]
                 ze9 = m @ w_np + bz
                 z = ze9.astype(np.float64) / 1e9
                 p = 1.0 / (1.0 + np.exp(-z))
                 pe6 = _round_half_away(p * 1e6).astype(np.int64)
-                r = pe6 - ye6[s : s + 100_000]
+                r = pe6 - ye6[s : s + step]
                 yield pd.DataFrame(
                     {"pos": pos, "g": np.concatenate(([r.sum()], r @ m))}
                 )
@@ -300,8 +308,10 @@ def train_quality_gd_portable(
         # ONE action per iteration: a fused mapInPandas pass computes pe6
         # (the same pinned numpy kernel as _pe6_udf) AND the per-chunk
         # integer gradient partials g_0 = Σr, g_j = Σ r·x_j in one Python
-        # crossing, emitting 1+dim partial rows per ≤100k-row chunk; the
-        # 1+dim-key groupBy then sums the partials as DECIMAL(38,0).
+        # crossing, emitting 1+dim partial rows per chunk (= one Arrow
+        # batch, default 10k rows, further split only if the measured
+        # max|x| demands it — see _grad_partials); the 1+dim-key groupBy
+        # then sums the partials as DECIMAL(38,0).
         # Integer addition is order-independent, so the result is the
         # exact gradient regardless of partitioning/chunking — the same
         # property the original posexplode+groupBy(pos) form leaned on.
@@ -313,6 +323,12 @@ def train_quality_gd_portable(
         # one agg) measured 3× SLOWER than either (0.77 → 2.52 s/iter)
         # because the 83-expression aggregate re-pays plan/codegen cost
         # every iteration (weights are fresh literals each round).
+        # Round-12 COLD adjudication (the round-11 verdict's protocol:
+        # fresh JVM per form, best-of-3, SPARK_GRAFT_CPUS at 32 AND 8,
+        # same box, idle): fused 5.72/5.33 s vs posexplode 8.69/6.30 s
+        # (noop sink 6.5 vs 14.4 / 4.9 vs 7.1) — fused wins cold at both
+        # core counts; the r11 driver's 2.52→5.82 read spanned two hosts
+        # and a ~1.5×-inflated run, not two plans.
         grads = (
             _grad_partials(tv, w, b)
             .groupBy("pos")

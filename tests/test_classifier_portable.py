@@ -176,3 +176,53 @@ def test_empty_training_set_fails_loud(spark):
         train_quality_gd_portable(
             feats, _labels(docs), dim=8 + N_QUALITY_BUCKETS, n_iters=1
         )
+
+
+def test_gradient_chunking_shrinks_for_huge_cells(spark):
+    """Round-12 advice fix: the fused gradient enforces the int64 bound
+    from the MEASURED max|x| of each Arrow batch — cells near the bound
+    force per-row chunks, and the summed gradient still equals an exact
+    Python-int reference (no silent numpy wrap)."""
+    import math
+
+    from eth_event_tracker_spark.operators.classifier import _grad_partials
+
+    # 6 rows whose cells are ~5e12: rows·1e6·max|x| would overflow int64
+    # for any chunk of ≥ 2 rows, so the kernel must fall back to step=1
+    big = 5_000_000_000_000
+    rows = [
+        ([big, -big // 2, 3], 0),
+        ([big - 7, big, 0], 1_000_000),
+        ([-big, big // 3, 1], 0),
+        ([big // 2, -big, 2], 1_000_000),
+        ([big, big, big], 0),
+        ([-big, -big, -big], 1_000_000),
+    ]
+    df = spark.createDataFrame(
+        [(list(map(int, v)), int(y)) for v, y in rows], "vq array<long>, ye6 long"
+    )
+    w, b = [2, -3, 5], 7
+    got = {
+        int(r.pos): int(r.g)
+        for r in (
+            _grad_partials(df, w, b)
+            .groupBy("pos")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+            .collect()
+        )
+    }
+    # exact reference in unbounded Python ints, same pinned float tail
+    ref = {p: 0 for p in range(4)}
+    for v, y in rows:
+        ze9 = sum(x * wj for x, wj in zip(v, w)) + b * 1000
+        z = float(ze9) / 1e9
+        # saturating exp, matching numpy (np.exp(±710) → inf/0, not raise)
+        p_ = 0.0 if -z > 709.0 else 1.0 / (1.0 + math.exp(-z))
+        pe6 = math.floor(p_ * 1e6 + 0.5) if p_ >= 0 else -math.floor(-p_ * 1e6 + 0.5)
+        r = pe6 - y
+        ref[0] += r
+        for j, x in enumerate(v):
+            ref[j + 1] += r * x
+    assert got == ref
+    # and the plain small-cell path still takes one chunk per batch
+    assert (2**63 - 1) // (1_000_000 * big) == 1  # the bound really binds
