@@ -96,6 +96,13 @@ def _dup_text_groups(
     (sha-256 of the normalized text); docs whose normalized text is
     empty produce no shingles and so no pairs — they are excluded so
     the expansion cannot invent pairs the shingle join never sees.
+    That filter is EXACT, not approximate: word_shingles pads any doc
+    shorter than n words with one whole-text shingle
+    (sequence(0, greatest(size-n, 0)), oracle CTE identical), so
+    "has ≥1 shingle" ⟺ normalize(text) != '' — identical sub-n-word
+    docs DO meet in the uncollapsed shingle join and the intra
+    expansion is allowed to emit them (pinned bit-equal either way in
+    tests/test_round12.py).
     Shuffle shape (guide §2.3): one scan of the doc table, one
     metadata-width (hash, id) exchange — payloads never move."""
     return (
