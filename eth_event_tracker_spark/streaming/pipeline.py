@@ -249,11 +249,21 @@ def snapshot_at(changelog: DataFrame, horizon_indx: int) -> DataFrame:
     return current_view(changelog.where(F.col("indx") <= F.lit(int(horizon_indx))))
 
 
+# Measured-broadcast bound for the tail-touched key set (round 12): keys
+# are ~100 B framed (block_hash strings), so 1M rows ≈ 100-150 MB — far
+# under both spark.driver.maxResultSize (1 GB) and the broadcast-relation
+# cap.  A deep reorg (tail ∝ table, the sf10 failure that killed the old
+# BLIND hint — docs/SCALE.md §93) measures over the bound and falls back
+# to the AQE shuffle path instead of failing.
+TOUCHED_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def views_as_of_snapshot(
     snapshot: DataFrame,
     snapshot_pos: int,
     tail: DataFrame,
     instants: DataFrame,
+    touched_broadcast_max_rows: int = TOUCHED_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """``views_as_of`` from a materialized snapshot plus the tail delta:
     row-identical (pinned in tests) for every instant ≥ ``snapshot_pos``,
@@ -269,16 +279,24 @@ def views_as_of_snapshot(
     a plan-side assert_true fails the job (same guard shape as the
     compaction horizon's).
 
-    Scale shape: the winner aggregate runs over tail×instants only (the
-    tail is the recent end); the snapshot is anti-joined against the
-    tail-touched key set WITHOUT a broadcast hint — when the tail is
-    small (the steady-state case) AQE broadcasts it and the snapshot
-    never shuffles, and when a deep reorg makes the tail proportional
-    to the table (the sf≈10 smoke hit exactly this: a forced broadcast
-    of ~1 GiB of touched keys blew spark.driver.maxResultSize) the join
-    falls back to a shuffle instead of failing.  ``tail`` must be
-    exactly the ``indx > snapshot_pos`` rows."""
-    instants = _guard_as_of(instants, int(snapshot_pos))
+    Scale shape (round-12 measured tuning, guide §2.4/§3.1): the winner
+    aggregate runs over tail×instants only (the tail is the recent end).
+    ``instants`` — a handful of rows whose lineage nonetheless drags the
+    scalar-aggregate subtrees (max-enc, retraction-median) through every
+    consumer — is localCheckpointed so those subtrees evaluate ONCE
+    instead of once per broadcast (A/B at sf0.1: 34 → 22 jobs for the
+    views pass).  The snapshot's anti-join against the tail-touched key
+    set broadcasts on a MEASURED bound: the winner table is already
+    checkpointed, so counting it is one cheap job, and
+    count ≤ ``touched_broadcast_max_rows`` (default 1M ≈ 100-150 MB
+    framed) guarantees the broadcast fits — the blind round-9 hint blew
+    spark.driver.maxResultSize at sf10 when a deep reorg made the tail
+    proportional to the table (docs/SCALE.md §93); over the bound the
+    join falls back to AQE's shuffle path instead of failing, exactly
+    as before.  Interleaved A/B at sf0.1 (warm, 3 rounds): 1.9-2.1 s →
+    1.2-1.4 s for the views pass.  ``tail`` must be exactly the
+    ``indx > snapshot_pos`` rows."""
+    instants = _guard_as_of(instants, int(snapshot_pos)).localCheckpoint(eager=False)
     payload = [
         c for c in tail.columns if c not in ("indx", "change_type") and c not in NATURAL_KEY
     ]
@@ -297,6 +315,8 @@ def views_as_of_snapshot(
         F.col("_w.indx").alias("indx"),
     )
     touched = winner.select("view_label", *NATURAL_KEY)
+    if winner.count() <= int(touched_broadcast_max_rows):
+        touched = F.broadcast(touched)
     snap_cols = ["view_label", *NATURAL_KEY, *payload, "indx"]
     snap_live = (
         snapshot.crossJoin(F.broadcast(instants.select("view_label")))
