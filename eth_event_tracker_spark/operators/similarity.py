@@ -706,6 +706,16 @@ def _expand_exact_groups(
     return cross.unionByName(intra.select("id_a", "id_b", "cosine"))
 
 
+# Measured switch for the ids-only candidate shape below (guide §8:
+# decide with small rows, move payloads once).  Below this row count the
+# extra re-attach joins cost more fixed overhead than the vector bytes
+# they save (round-11 interleaved A/B at sf0.1's 2k vectors: parity warm,
+# 5.36 vs 5.12 s cold — a measured LOSS, so the bench scale keeps the
+# in-place shape); above it the multiprobe explode and the candidate
+# distinct stop carrying 2×dim doubles per row.
+LSH_IDS_ONLY_MIN_ROWS = 10_000
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,
@@ -714,6 +724,7 @@ def cosine_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collapse_exact: bool = True,
+    ids_only: bool | None = None,
 ) -> DataFrame:
     """Scale path: LSH-bucketed candidate pairs, exact cosine verify —
     same no-cross-join shape as MinHash dedup.
@@ -728,12 +739,27 @@ def cosine_near_dup_pairs_lsh(
     pairs are generated output-linearly from the group member lists —
     bit-identical output (identical vectors share the identical fold
     arithmetic, so intra-group and expanded cross-group cosines equal
-    the uncollapsed join's values)."""
+    the uncollapsed join's values).
+
+    ``ids_only`` (round-12, guide §8): the in-place shape explodes every
+    vector ``1 + n_planes`` ways through the multiprobe array, shuffles
+    2×dim doubles per candidate through the bucket join AND the
+    (id_a, id_b) distinct, and only then folds the cosine.  The ids-only
+    shape runs the probe explode, bucket join and distinct on (id,
+    bucket) METADATA, then re-attaches each side's vector ONCE by id for
+    the verify — candidate decisions move ~16 bytes/row instead of ~1 KB.
+    ``None`` decides from the MEASURED corpus size (the bucketed table is
+    localCheckpointed anyway, so counting it is one cheap job):
+    ids-only iff rows ≥ LSH_IDS_ONLY_MIN_ROWS, the same
+    measured-statistic adaptivity as the dedup family's pre-collapse —
+    the candidate set, fold arithmetic and output are bit-identical
+    either way (pinned in tests)."""
     if collapse_exact:
         return _expand_exact_groups(
             df,
             lambda reps: cosine_near_dup_pairs_lsh(
-                reps, threshold, n_planes, multiprobe, id_col, vec_col, collapse_exact=False
+                reps, threshold, n_planes, multiprobe, id_col, vec_col,
+                collapse_exact=False, ids_only=ids_only,
             ),
             threshold,
             id_col,
@@ -742,14 +768,11 @@ def cosine_near_dup_pairs_lsh(
     # both join sides read the bucketed table — cut lineage so the
     # pandas-UDF bucketing runs once, not twice
     tagged = lsh_bucket(df, n_planes, id_col, vec_col).localCheckpoint(eager=False)
-    a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    if multiprobe >= 1:
-        probes = F.array(
-            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-        )
-        a = a.withColumn("bucket", F.explode(probes))
-    b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
+    if ids_only is None:
+        ids_only = tagged.count() >= LSH_IDS_ONLY_MIN_ROWS
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -757,6 +780,25 @@ def cosine_near_dup_pairs_lsh(
     )
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
+    if ids_only:
+        a = tagged.select(F.col(id_col).alias("id_a"), "bucket")
+        if multiprobe >= 1:
+            a = a.withColumn("bucket", F.explode(probes))
+        b = tagged.select(F.col(id_col).alias("id_b"), "bucket")
+        cand = (
+            a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va_t = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        vb_t = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = cand.join(va_t, "id_a").join(vb_t, "id_b")
+    else:
+        a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+        if multiprobe >= 1:
+            a = a.withColumn("bucket", F.explode(probes))
+        b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+        cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
     return (
         cand.withColumn("cosine", dot / (na * nb))
         .where(F.col("cosine") >= threshold)

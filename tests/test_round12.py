@@ -39,3 +39,44 @@ def test_collapse_bit_equal_with_sub_n_word_duplicates(spark):
         ids_in_pairs = {d for p in on for d in p[:2]}
         assert {1, 2, 7, 8} <= ids_in_pairs  # short dups DO pair (padded shingle)
         assert not {5, 6} & ids_in_pairs  # empties never pair
+
+
+def test_lsh_ids_only_shape_bit_identical(spark):
+    """Round-12 (verdict item 8): the ids-only candidate shape — probe
+    explode, bucket join and pair-distinct on (id, bucket) metadata,
+    vectors re-attached once per side for the verify — must produce the
+    BIT-identICAL pair set of the in-place shape, on a corpus with exact
+    duplicates (collapse on) and with the collapse forced off."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from eth_event_tracker_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    rows = []
+    for i in range(120):
+        base = [math.sin(0.7 * i + 0.13 * d) for d in range(16)]
+        rows.append((i, base))
+        if i % 4 == 0:  # exact duplicates
+            rows.append((1000 + i, list(base)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for collapse in (True, False):
+        a = sorted(
+            map(
+                tuple,
+                cosine_near_dup_pairs_lsh(
+                    df, threshold=0.3, n_planes=4, collapse_exact=collapse, ids_only=False
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                cosine_near_dup_pairs_lsh(
+                    df, threshold=0.3, n_planes=4, collapse_exact=collapse, ids_only=True
+                ).collect(),
+            )
+        )
+        assert a == b and len(a) > 0, f"collapse={collapse}"
